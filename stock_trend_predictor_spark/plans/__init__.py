@@ -1,0 +1,12 @@
+"""Import every query module so the registry is fully populated."""
+
+from stock_trend_predictor_spark.plans import stock_queries  # noqa: F401
+from stock_trend_predictor_spark.plans.registry import (
+    REGISTRY,
+    Query,
+    oracle_sql,
+    queries,
+    register,
+)
+
+__all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

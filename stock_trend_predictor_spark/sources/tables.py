@@ -1,0 +1,105 @@
+"""Batch table sources over the driver's parquet test data.
+
+Scans here are the engine's S1/S2/S7 surface (SURVEY §2.1): in the
+reference these are yfinance HTTP pulls into pandas
+(data_collection/fetch_stock.py:21-29, data_collection/kafka_producer.py:39-53)
+and a full Mongo collection scan (ml_model/predict_from_vm4.py:15,21).
+Spark-first, each becomes a parquet scan expressed declaratively so
+Catalyst gets predicate pushdown + column pruning for free — at 100 TB
+the scan IS the query cost, so nothing here ever collects or caches
+eagerly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates per scale factor (TESTDATA.md).
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Lazy — no job runs until an action.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS, NTZ), which the
+    vectorized Spark parquet reader rejects. We read it via the legacy
+    nanos-as-long path and rebuild the timestamp with integer floor
+    division (``div 1000``) — the same ns→µs truncation DuckDB applies,
+    so oracle comparisons stay bit-exact. The conf is a session-level
+    runtime conf, set here so the fix also holds under the driver's own
+    SparkSession.
+    """
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every test table; keys match DuckDB's pre-registered views."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the canonical ``ticks`` bar table (SURVEY §1.4) from `events`.
+
+    The driver's test data has no stock table, so the engine derives a
+    deterministic OHLCV-bar-shaped view from the `events` stream table:
+    each event becomes a bar close; the previous event of the same
+    symbol supplies the open (mirrors how the reference's close-only
+    tick stream at data_collection/fetch_stock.py:54-58 implies bar
+    boundaries). ``symbol`` ← event_type (low-cardinality key, like the
+    3-symbol universe at fetch_stock.py:42), ``close`` ← value.
+
+    The per-symbol ordering window is (ts, event_id) — a deterministic
+    total order, required for oracle-exact lag/lead results.
+
+    Scale note: the lag() shuffles once on symbol. Symbol is the natural
+    partition key downstream too (per-key training, per-key sinks), so
+    this one shuffle is reused by every consumer of the view.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.lag("value").over(w).alias("open"),
+        F.col("value").alias("close"),
+        F.col("event_id").alias("tick_id"),
+        F.col("user_id"),
+    )
+
+
+#: DuckDB-dialect CTE equivalent of :func:`ticks`, reused by oracle SQL
+#: strings so Spark queries and their oracles share one derivation.
+TICKS_ORACLE_CTE = """
+ticks AS (
+    SELECT event_type AS symbol,
+           ts,
+           lag(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS open,
+           value AS close,
+           event_id AS tick_id,
+           user_id
+    FROM events
+)
+"""

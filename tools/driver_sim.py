@@ -1,0 +1,40 @@
+"""Simulate the driver: vanilla SparkSession, import __spark_entry__ by path."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").config("spark.ui.enabled", "false")
+         .getOrCreate())  # deliberately vanilla: no engine configs
+
+import __spark_entry__ as E
+
+# 1. smoke: entry()
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s, schema={df.schema.simpleString()}")
+assert len(rows) > 0
+
+# 2. correctness at sf0.01 vs DuckDB oracle
+import duckdb
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for name in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
+
+qs, oracles = E.queries(), E.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+from stock_trend_predictor_spark.testing import compare_frames
+fails = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    if name in oracles:
+        rel = con.sql(oracles[name])
+        res = compare_frames(name, sdf, rel.fetchall(), list(rel.columns))
+        print(res)
+        fails += 0 if res.ok else 1
+    else:
+        print(f"[rows-only] {name}: {sdf.count()} rows")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
