@@ -53,7 +53,28 @@ def exact_sum_over(col: Column | str, window) -> Column:
     return F.sum(c.cast(DECIMAL_T)).over(window).cast("double")
 
 
+def stable_round(col: Column | str, scale: int = 2) -> Column:
+    """Cross-engine-deterministic ROUND for doubles.
+
+    Engine-native ``round(double, n)`` diverges between Spark (exact
+    BigDecimal HALF_UP) and DuckDB (``std::round(x*10^n)/10^n``) on
+    half-boundary values — e.g. ``round(1.15 * 1.1, 2)`` → 1.27 vs
+    1.26. ``floor(x*10^n + 0.5)/10^n`` uses only individually-rounded
+    IEEE ops, so both engines produce the identical double for the
+    identical input. Use this (with :func:`stable_round_sql` on the
+    oracle side) for every rounded output column.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
 # --- DuckDB-dialect mirrors (used inside oracle_sql strings) ---------
+
+
+def stable_round_sql(expr: str, scale: int = 2) -> str:
+    p = float(10**scale)
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
 
 
 def exact_sum_sql(expr: str) -> str:

@@ -27,10 +27,16 @@ def movement(close: Column | str = "close", open_: Column | str = "open") -> Col
 def change_pct(
     close: Column | str = "close", open_: Column | str = "open", scale: int = 2
 ) -> Column:
-    """Percent change of close vs open, rounded (F8/F9)."""
+    """Percent change of close vs open, rounded (F8/F9).
+
+    Rounded via exact.stable_round so the value is reproducible
+    bit-for-bit across engines and partitionings.
+    """
+    from stock_trend_predictor_spark.functions.exact import stable_round
+
     c = F.col(close) if isinstance(close, str) else close
     o = F.col(open_) if isinstance(open_, str) else open_
-    return F.round((c - o) / o * 100, scale)
+    return stable_round((c - o) / o * 100, scale)
 
 
 def wire_timestamp(ts: Column | str = "ts") -> Column:

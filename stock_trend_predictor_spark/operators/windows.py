@@ -1,0 +1,134 @@
+"""Time-series operators the reference implies but never implements
+(SURVEY §2.5: features_engineering.py is named for features yet computes
+none) — rolling features, as-of joins, sessionization, resampling.
+
+Scale design: every operator here is a single shuffle on the series key
+(symbol/user), then narrow window evaluation within partitions. No
+range-join explosions, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same ``by`` group.
+
+    Spark-first implementation (SURVEY §7 phase 2): instead of a range
+    join (quadratic blow-up on dense keys), union both sides tagged,
+    sort once per key, and carry the last-seen right values forward with
+    ``last(..., ignorenulls=True)``. One shuffle on ``by``; cost is
+    O(n log n) per key regardless of match distance — the strategy that
+    survives 100 TB where a non-equi join would not.
+
+    At equal timestamps the right row sorts first (side tag 0 < 1), so
+    the join is inclusive — matching DuckDB ``ASOF JOIN ... ON r.ts <=
+    l.ts`` semantics.
+    """
+    by = list(by)
+    tag = "__asof_side"
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias(tag),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in by + [ts] else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias(tag),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts, tag)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col(tag),
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return filled.where(F.col(tag) == 1).drop(tag)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "30 minutes",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key (new session when the
+    inter-event gap exceeds ``gap``).
+
+    Classic two-window composition: flag starts with lag(), then a
+    running sum converts flags to session ordinals. Single shuffle on
+    ``key``. The streaming twin is ``session_window()`` in
+    streaming/windows.py; this batch form is oracle-checkable.
+    """
+    order = [ts, *order_tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    is_new = (
+        F.when(F.lag(ts).over(w).isNull(), 1)
+        .when(F.col(ts) > F.lag(ts).over(w) + gap_expr, 1)
+        .otherwise(0)
+    )
+    return df.withColumn("__is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("__is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).drop("__is_new")
+
+
+def resample_bars(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Downsample a tick series to OHLC bars per (key, time bucket).
+
+    open/close via min_by/max_by on the timestamp (deterministic: the
+    driver data has globally unique timestamps), high/low via min/max —
+    all map-side-combinable aggregates, one shuffle.
+    """
+    from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+    bar = F.window(ts, bucket)
+    return (
+        df.groupBy(F.col(key), bar.alias("bar"))
+        .agg(
+            F.min_by(value, ts).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(value, ts).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col(value).cast(DECIMAL_T)).cast("double").alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("bar.start").alias("bar_start"),
+            "open", "high", "low", "close", "n_ticks", "total_value",
+        )
+    )

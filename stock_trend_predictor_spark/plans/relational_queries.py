@@ -1,0 +1,484 @@
+"""Relational core queries — SURVEY §2.1-§2.8 plus the standard join/
+agg/set-op/window surface the reference implies but never implements
+(SURVEY §2.3: "the new engine still ships a full join surface").
+
+Scale notes baked into every plan here:
+- joins against region/nation/supplier/part are broadcast (small dims);
+  Catalyst picks broadcast-hash automatically under the session's
+  autoBroadcastJoinThreshold, and `F.broadcast` pins it where the dim
+  is provably small so the plan survives a stats-less 100 TB fact scan;
+- aggregates sum in decimal (map-side combinable, order-independent —
+  see functions.exact) so results are reproducible at any parallelism;
+- top-k uses window row_number with a deterministic total order, never
+  a driver-side collect-and-sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+    stable_round,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    # Aggregation battery (SURVEY §2.4; TPC-H Q1 shape)
+    # ------------------------------------------------------------------
+    @register(
+        "q1_pricing_summary",
+        oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql('l_quantity')} AS sum_qty,
+       {exact_sum_sql('l_extendedprice')} AS sum_base_price,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {exact_sum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+       {exact_avg_sql('l_quantity')} AS avg_qty,
+       {exact_avg_sql('l_extendedprice')} AS avg_price,
+       {exact_avg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        doc="Partial-aggregate scan: grouped sums/averages with a pushed "
+        "ship-date predicate (TPC-H Q1 shape; exercises A2/A4 semantics "
+        "at scale — map-side combine + decimal determinism).",
+    )
+    def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                exact_sum("l_quantity", "sum_qty"),
+                exact_sum("l_extendedprice", "sum_base_price"),
+                exact_sum(disc_price, "sum_disc_price"),
+                exact_sum(charge, "sum_charge"),
+                exact_avg("l_quantity", "avg_qty"),
+                exact_avg("l_extendedprice", "avg_price"),
+                exact_avg("l_discount", "avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # Join battery (SURVEY §2.3)
+    # ------------------------------------------------------------------
+    @register(
+        "q3_shipping_priority",
+        oracle=f"""
+SELECT l_orderkey,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        doc="3-way equi-join + grouped revenue + deterministic top-k "
+        "(TPC-H Q3 shape). customer side broadcasts; lineitem never "
+        "shuffles more than once.",
+    )
+    def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        # Scale shape: customer (filtered to one segment) broadcasts into
+        # orders; lineitem⨝orders is the one big shuffle, on l_orderkey.
+        # orders is a fact table — never broadcast it; AQE may still
+        # downgrade to broadcast at small SF from runtime stats.
+        return (
+            li.join(
+                orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+                )
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    @register(
+        "q5_regional_revenue",
+        oracle=f"""
+SELECT n_name,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+        doc="6-way star join with a co-nation constraint (TPC-H Q5 "
+        "shape). All dimensions broadcast; the only shuffle is the "
+        "final small groupBy.",
+    )
+    def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = {n: load_table(spark, sf_dir, n) for n in
+             ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+        # region⨝nation is tiny → broadcast into customer; customer and
+        # orders are fact-sized at 100 TB, so they shuffle-join on
+        # custkey, then lineitem shuffle-joins on orderkey. supplier is
+        # the only other broadcast.
+        dims = (
+            t["region"].where(F.col("r_name") == "ASIA")
+            .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        cust = t["customer"].join(
+            F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        return (
+            t["lineitem"]
+            .join(t["orders"].join(cust, F.col("o_custkey") == F.col("c_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"]),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy("n_name")
+            .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        )
+
+    @register(
+        "join_left_outer",
+        oracle=f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       {exact_sum_sql('coalesce(o_totalprice, 0.0)')} AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+""",
+        doc="Left outer join preserving customers with zero orders "
+        "(P5/P7 null-handling semantics: coalesce over the null side).",
+    )
+    def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        return (
+            cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.count("o_orderkey").alias("n_orders"),
+                exact_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "total_spend"),
+            )
+        )
+
+    @register(
+        "join_semi_anti",
+        oracle="""
+SELECT 'with_urgent_order' AS cohort, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_orders' AS cohort, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+        doc="Semi-join and anti-join cohorts (P10's model-known-key "
+        "filter generalized — reference ml_model/predict_from_vm4.py:53-55). "
+        "Both execute as broadcast hash semi/anti joins.",
+    )
+    def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        semi = (
+            cust.join(F.broadcast(urgent), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("with_urgent_order").alias("cohort"), "n_customers")
+        )
+        anti = (
+            cust.join(F.broadcast(orders), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("no_orders").alias("cohort"), "n_customers")
+        )
+        return semi.unionByName(anti)
+
+    # ------------------------------------------------------------------
+    # Set operations (SURVEY §2.7)
+    # ------------------------------------------------------------------
+    @register(
+        "setops_customer_cohorts",
+        oracle="""
+WITH big_spenders AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+), urgent_buyers AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'union' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders UNION SELECT custkey FROM urgent_buyers)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent_buyers)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent_buyers)
+""",
+        doc="U1 generalized: union / intersect / except over customer "
+        "cohorts (reference only has pd.concat at kafka_producer.py:71,99).",
+    )
+    def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        big = orders.where(F.col("o_totalprice") > 150000).select(
+            F.col("o_custkey").alias("custkey")
+        ).distinct()
+        urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        ).distinct()
+
+        def count_as(df: DataFrame, op: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(op).alias("op"), "n"
+            )
+
+        return (
+            count_as(big.union(urgent).distinct(), "union")
+            .unionByName(count_as(big.intersect(urgent), "intersect"))
+            .unionByName(count_as(big.subtract(urgent), "except"))
+        )
+
+    # ------------------------------------------------------------------
+    # Grouping sets / rollup / cube (SURVEY §2.4 "free in Spark")
+    # ------------------------------------------------------------------
+    @register(
+        "rollup_order_priority",
+        oracle=f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grouping_id,
+       COUNT(*) AS n_orders,
+       {exact_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        doc="Hierarchical rollup with grouping-id disambiguation "
+        "(subtotals per status, grand total).",
+    )
+    def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        return (
+            orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                exact_sum("o_totalprice", "total_price"),
+                (
+                    F.grouping("o_orderstatus")
+                    + F.lit(2) * F.grouping("o_orderpriority")
+                ).cast("long").alias("grouping_id"),
+            )
+            .select(
+                F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+                "grouping_id",
+                "n_orders",
+                "total_price",
+            )
+        )
+
+    @register(
+        "cube_returnflag_status",
+        oracle=f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grouping_id,
+       COUNT(*) AS n_items,
+       {exact_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        doc="Full cube over (returnflag, linestatus).",
+    )
+    def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                exact_sum("l_quantity", "sum_qty"),
+                (
+                    F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+                ).cast("long").alias("grouping_id"),
+            )
+            .select(
+                F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+                F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+                "grouping_id",
+                "n_items",
+                "sum_qty",
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # Distinct / sorts / top-k per group (SURVEY §2.4 A1, §2.6)
+    # ------------------------------------------------------------------
+    @register(
+        "distinct_keys",
+        oracle="SELECT DISTINCT event_type FROM events",
+        doc="A1: distinct key extraction (reference "
+        "ml_model/predict_from_vm4.py:29 `unique()`).",
+    )
+    def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+    @register(
+        "topk_orders_per_status",
+        oracle="""
+SELECT orderstatus, o_orderkey, o_totalprice, rk
+FROM (
+    SELECT o_orderstatus AS orderstatus, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+)
+WHERE rk <= 3
+""",
+        doc="Top-k per group via ranked window — the distributed form of "
+        "ORDER BY ... LIMIT k per key (SURVEY §2.6); deterministic "
+        "tiebreak on the primary key.",
+    )
+    def topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        w = Window.partitionBy("o_orderstatus").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderstatus").alias("orderstatus"),
+                "o_orderkey",
+                "o_totalprice",
+                F.row_number().over(w).alias("rk"),
+            )
+            .where(F.col("rk") <= 3)
+        )
+
+    @register(
+        "global_topk",
+        oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+        doc="Global top-k: Spark compiles orderBy+limit to TakeOrderedAndProject "
+        "(per-partition heap + driver merge — no full sort at 100 TB).",
+    )
+    def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(25)
+        )
+
+    # ------------------------------------------------------------------
+    # Scalar function battery (SURVEY §2.8 F1-F10)
+    # ------------------------------------------------------------------
+    @register(
+        "scalar_function_battery",
+        oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_wire,
+       strftime(ts, '%Y%m%d') AS ts_path_token,
+       CAST(ts - INTERVAL 7 DAY AS TIMESTAMP) AS ts_minus_7d,
+       coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS event_type_clean,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       floor(value * 1.1 * 100.0 + 0.5) / 100.0 AS value_taxed,
+       CAST(value > 100 AS INT) AS is_big,
+       concat('evt_', event_type, '_', CAST(user_id AS VARCHAR)) AS routing_key
+FROM events
+""",
+        doc="F1-F10 battery: wire/path timestamp formats, date "
+        "arithmetic, coalesce/nullif defaults (P7), JSON field "
+        "extraction (F4/F5), arithmetic + round (F8/F9), boolean→int "
+        "cast (F7), identifier interpolation (F10).",
+    )
+    def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_wire"),
+            F.date_format("ts", "yyyyMMdd").alias("ts_path_token"),
+            (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("ts_minus_7d"),
+            F.coalesce(
+                F.nullif(F.col("event_type"), F.lit("error")), F.lit("UNKNOWN")
+            ).alias("event_type_clean"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+            stable_round(F.col("value") * 1.1, 2).alias("value_taxed"),
+            (F.col("value") > 100).cast("int").alias("is_big"),
+            F.concat(
+                F.lit("evt_"), F.col("event_type"), F.lit("_"),
+                F.col("user_id").cast("string"),
+            ).alias("routing_key"),
+        )
+
+    # ------------------------------------------------------------------
+    # Window analytics battery (SURVEY §2.5)
+    # ------------------------------------------------------------------
+    @register(
+        "window_rank_battery",
+        oracle="""
+SELECT event_id, user_id, value,
+       row_number()  OVER w AS rn,
+       rank()        OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk,
+       dense_rank()  OVER (PARTITION BY user_id ORDER BY event_type) AS drk,
+       lag(value)    OVER w AS prev_value,
+       lead(value)   OVER w AS next_value,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        doc="Ranking + analytic window battery over the event stream "
+        "(per-key deterministic total order on (ts, event_id)).",
+    )
+    def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w_val = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        w_type = Window.partitionBy("user_id").orderBy("event_type")
+        return ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w_val).alias("rk"),
+            F.dense_rank().over(w_type).alias("drk"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_user_events"),
+        )
+
+
+_register()

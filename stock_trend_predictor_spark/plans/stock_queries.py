@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stock_trend_predictor_spark.functions.exact import exact_avg, exact_avg_sql
+from stock_trend_predictor_spark.functions.exact import (
+    exact_avg,
+    exact_avg_sql,
+    stable_round,
+    stable_round_sql,
+)
 from stock_trend_predictor_spark.functions.stock import change_pct, movement
 from stock_trend_predictor_spark.sources.tables import TICKS_ORACLE_CTE, ticks
 
@@ -26,14 +31,14 @@ WITH {TICKS_ORACLE_CTE},
 labeled AS (
     SELECT symbol,
            CAST(close > open AS INT) AS movement,
-           round((close - open) / open * 100, 2) AS chg
+           {stable_round_sql('(close - open) / open * 100', 2)} AS chg
     FROM ticks WHERE open IS NOT NULL
 )
 SELECT symbol,
        COUNT(*) AS n_bars,
        CAST(SUM(movement) AS BIGINT) AS n_up,
-       round(CAST(SUM(movement) AS DOUBLE) / COUNT(*), 6) AS movement_rate,
-       round({exact_avg_sql('chg')}, 6) AS avg_change_pct
+       {stable_round_sql('CAST(SUM(movement) AS DOUBLE) / COUNT(*)', 6)} AS movement_rate,
+       {stable_round_sql(exact_avg_sql('chg'), 6)} AS avg_change_pct
 FROM labeled
 GROUP BY symbol
 """,
@@ -50,10 +55,10 @@ GROUP BY symbol
         return labeled.groupBy("symbol").agg(
             F.count(F.lit(1)).alias("n_bars"),
             F.sum("movement").cast("bigint").alias("n_up"),
-            F.round(
+            stable_round(
                 F.sum("movement").cast("double") / F.count(F.lit(1)), 6
             ).alias("movement_rate"),
-            F.round(exact_avg("chg"), 6).alias("avg_change_pct"),
+            stable_round(exact_avg("chg"), 6).alias("avg_change_pct"),
         )
 
     @register(
@@ -83,7 +88,7 @@ FROM ticks
 WITH {TICKS_ORACLE_CTE}
 SELECT symbol, ts, open, close,
        CAST(close > open AS INT) AS prediction,
-       round((close - open) / open * 100, 2) AS change_pct
+       {stable_round_sql('(close - open) / open * 100', 2)} AS change_pct
 FROM ticks
 WHERE open IS NOT NULL AND symbol IN ('click', 'view', 'purchase')
 """,

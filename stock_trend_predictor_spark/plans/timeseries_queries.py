@@ -1,0 +1,274 @@
+"""Time-series feature-engineering queries (SURVEY §7 phase 2) — the
+moving averages / returns / resampling / as-of alignment that the
+reference's features_engineering.py names but never implements, plus
+the per-key high-watermark state (A3, reference
+data_collection/fetch_stock.py:43,57,64) as a batch aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    DECIMAL_T,
+    exact_sum,
+    exact_sum_sql,
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.operators.windows import (
+    asof_join,
+    resample_bars,
+    sessionize,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "rolling_features",
+        oracle=f"""
+SELECT event_id, event_type AS symbol, value,
+       CAST(sum(CAST(value AS DECIMAL(27,6)))
+            OVER (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(value) OVER (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+       min(value) OVER (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_min20,
+       max(value) OVER (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_max20,
+       {stable_round_sql(
+           '(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts))'
+           ' / lag(value) OVER (PARTITION BY event_type ORDER BY ts) * 100', 6)}
+         AS return_pct
+FROM events
+""",
+        doc="Rolling window features per symbol: 5-row moving average "
+        "(decimal-exact), 20-row min/max channel, lag-1 return. The "
+        "canonical Window.partitionBy(symbol).orderBy(ts).rowsBetween "
+        "form (SURVEY §2.5); one shuffle, evaluated narrow.",
+    )
+    def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts")
+        w5 = w.rowsBetween(-4, 0)
+        w20 = w.rowsBetween(-19, 0)
+        prev = F.lag("value").over(w)
+        return ev.select(
+            "event_id",
+            F.col("event_type").alias("symbol"),
+            "value",
+            (
+                F.sum(F.col("value").cast(DECIMAL_T)).over(w5).cast("double")
+                / F.count("value").over(w5)
+            ).alias("ma5"),
+            F.min("value").over(w20).alias("roll_min20"),
+            F.max("value").over(w20).alias("roll_max20"),
+            stable_round((F.col("value") - prev) / prev * 100, 6).alias("return_pct"),
+        )
+
+    @register(
+        "resample_ohlc_bars",
+        oracle=f"""
+SELECT event_type AS symbol,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS n_ticks,
+       {exact_sum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+        doc="Resample the tick stream to daily OHLC bars via "
+        "min_by/max_by aggregates (SURVEY §7 phase 2; the batch twin of "
+        "groupBy(window(ts))). Deterministic because driver timestamps "
+        "are globally unique.",
+    )
+    def resample_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+            "event_type", "symbol"
+        )
+        return resample_bars(ev, key="symbol", ts="ts", value="value", bucket="1 day")
+
+    @register(
+        "high_watermark_per_key",
+        oracle="""
+SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+       max_by(value, ts) AS last_value
+FROM events
+GROUP BY user_id
+""",
+        doc="A3: the per-key high-watermark the reference keeps in a "
+        "driver dict (fetch_stock.py:43,64), as a distributed aggregate.",
+    )
+    def high_watermark_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.max_by("value", "ts").alias("last_value"),
+            )
+        )
+
+    @register(
+        "incremental_tick_filter",
+        oracle="""
+WITH wm AS (
+    SELECT user_id, max(ts) AS wm_ts
+    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.ts, e.value
+FROM events e JOIN wm ON e.user_id = wm.user_id
+WHERE e.ts > wm.wm_ts
+""",
+        doc="P4: the incremental high-watermark predicate "
+        "(fetch_stock.py:57) — keep only rows newer than each key's "
+        "watermark, computed distributed instead of in driver memory.",
+    )
+    def incremental_tick_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        wm = (
+            ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("wm_ts"))
+        )
+        return (
+            ev.join(F.broadcast(wm), "user_id")
+            .where(F.col("ts") > F.col("wm_ts"))
+            .select("event_id", "user_id", "ts", "value")
+        )
+
+    @register(
+        "asof_join_purchase_view",
+        oracle="""
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.ts AS ts_asof, v.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+        doc="As-of join: each purchase aligned to the user's latest "
+        "prior view. Spark has no ASOF JOIN; implemented as tagged "
+        "union + last(ignorenulls) over one per-key sort "
+        "(operators/windows.py::asof_join) — O(n log n), no range-join "
+        "explosion at 100 TB.",
+    )
+    def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join(
+            purchases, views, by=["user_id"], ts="ts", right_cols=["ts", "value"]
+        )
+
+    @register(
+        "sessionize_events",
+        oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts, value,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       {exact_sum_sql('value')} AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+        doc="Gap-based sessionization (30 min) + per-session rollup — "
+        "the batch twin of streaming session_window (ST5 gap the "
+        "reference lacks, SURVEY §2.9).",
+    )
+    def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+        s = sessionize(ev, key="user_id", ts="ts", gap="30 minutes")
+        return s.groupBy("user_id", "session_seq").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "session_value"),
+        )
+
+    @register(
+        "tumbling_window_agg",
+        oracle=f"""
+SELECT event_type,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+         AS window_start,
+       count(*) AS n_events,
+       {exact_sum_sql('value')} AS total_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+        doc="6-hour tumbling event-time windows per symbol — batch form "
+        "of the streaming groupBy(window(ts, '6 hours')) aggregation "
+        "(ST5); epoch-aligned buckets identical to Spark window().",
+    )
+    def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                exact_sum("value", "total_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "event_type",
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "total_value",
+                "max_value",
+            )
+        )
+
+    @register(
+        "vwap_per_supplier",
+        oracle=f"""
+SELECT l_suppkey,
+       {exact_sum_sql('l_extendedprice * l_quantity')}
+         / {exact_sum_sql('l_quantity')} AS vwap,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_suppkey
+""",
+        doc="Volume-weighted average price per supplier — ratio of two "
+        "exact decimal sums (deterministic at any parallelism).",
+    )
+    def vwap_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_suppkey").agg(
+            (
+                exact_sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / exact_sum("l_quantity")
+            ).alias("vwap"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+
+_register()
