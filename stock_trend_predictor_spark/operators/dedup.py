@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a `queries()` entry (see plans/dedup_queries.py):
+
+- exact:      hash-groupBy on content digest — one shuffle, linear.
+- MinHash+LSH: shingle → minhash signature → banded bucket join —
+              the scale path for near-dup detection (candidate
+              generation is linear + one shuffle per band; no O(n²)
+              pair enumeration).
+- SimHash:    64→28-bit bitwise fingerprint via per-token hash votes.
+- n-gram Jaccard: exact verification on candidate pairs only.
+
+Cross-engine determinism: all hashing is md5-hex based (functions/
+text.py::hash28/hash60) so DuckDB oracles reproduce signatures
+bit-for-bit; the permutation constants below are generated once from a
+fixed seed and injected into BOTH the Spark expressions and the oracle
+SQL.
+
+Scale notes: everything is expression-level (no Python UDFs); the LSH
+band join shuffles (band_id, band_key) — at 100 TB that is b small
+shuffles of (doc_id, 8-byte key) pairs, not documents; candidate
+verification joins shingle arrays back by doc_id (co-partitioned on
+doc_id).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.text import (
+    hash28_sql,
+    word_ngrams,
+    word_ngrams_sql,
+)
+
+#: MinHash parameters. p is the Mersenne prime 2^31-1; a,b < 2^30 keep
+#: a*h + b < 2^58 for 28-bit h — no BIGINT overflow in either engine.
+MINHASH_P = 2_147_483_647
+N_HASHES = 32
+N_BANDS = 8
+BAND_ROWS = N_HASHES // N_BANDS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(N_HASHES)]
+
+SIMHASH_BITS = 28
+
+
+def shingle_hashes(col: str = "text", n: int = 3) -> Column:
+    """Distinct word-n-gram shingles → 28-bit hash array (no explode)."""
+    toks = f"split({col}, ' ')"
+    concat = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    return F.expr(
+        f"transform(array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {concat}))), "
+        f"s -> cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+
+
+def shingle_hashes_sql(expr: str = "text", n: int = 3) -> str:
+    return f"list_transform({word_ngrams_sql(expr, n)}, s -> {hash28_sql('s')})"
+
+
+def minhash_signature_cols(hashes_col: str = "hs") -> list[Column]:
+    """One min-hash column per permutation: min((a*h + b) % p)."""
+    return [
+        F.expr(
+            f"array_min(transform({hashes_col}, "
+            f"h -> ({MINHASH_A[j]}L * h + {MINHASH_B[j]}L) % {MINHASH_P}L))"
+        ).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+
+
+def minhash_signature_sql(hashes_expr: str) -> list[str]:
+    return [
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(N_HASHES)
+    ]
+
+
+def band_key(band: int) -> Column:
+    """Concatenate one band's signature rows into a join key string."""
+    cols = [f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+    return F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: docs with an identical signature band become
+    candidate pairs (doc_a < doc_b, deduplicated across bands)."""
+    sigs = docs.select(
+        F.col(id_col), F.col("hs"), *minhash_signature_cols("hs")
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("band_id"), band_key(m).alias("bkey"))
+                    for m in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.bkey")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_of_hash_arrays(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard of two (distinct-element) hash arrays."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(F.array_union(ca, cb))
+    return inter.cast("double") / union
+
+
+def simhash(hashes_col: str = "hs") -> Column:
+    """28-bit SimHash from a token/shingle hash array.
+
+    Per bit: sum votes (+1 if the bit is set in a hash, else -1) over
+    all distinct hashes; bit is 1 when the vote sum is >= 0. Pure
+    integer arithmetic → order-independent and oracle-exact.
+    """
+    votes = (
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"i -> aggregate({hashes_col}, 0L, "
+        f"(acc, h) -> acc + ((shiftright(h, cast(i as int)) & 1) * 2 - 1)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(v, i) -> if(v >= 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def simhash_sql_cte(doc_table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB CTE computing the identical SimHash via unnest+sum."""
+    return f"""
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split({text_expr}, ' '))) AS tok
+    FROM {doc_table}
+), tokhash AS (
+    SELECT doc_id, {hash28_sql('tok')} AS h FROM toks
+), bitvotes AS (
+    SELECT doc_id, i.i AS i, SUM(((h >> i.i) & 1) * 2 - 1) AS v
+    FROM tokhash, (SELECT unnest(range({SIMHASH_BITS})) AS i) i
+    GROUP BY doc_id, i.i
+), simhashed AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+    FROM bitvotes GROUP BY doc_id
+)
+"""
+
+
+def token_hashes(col: str = "text") -> Column:
+    """Distinct token → 28-bit hash array (SimHash input)."""
+    return F.expr(
+        f"transform(array_distinct(split({col}, ' ')), "
+        f"t -> cast(conv(substr(md5(t), 1, 7), 16, 10) as bigint))"
+    )

@@ -1,7 +1,12 @@
 """Import every query module so the registry is fully populated."""
 
+from stock_trend_predictor_spark.plans import dedup_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import relational_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import similarity_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stock_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import text_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import timeseries_queries  # noqa: F401
 from stock_trend_predictor_spark.plans.registry import (
     REGISTRY,

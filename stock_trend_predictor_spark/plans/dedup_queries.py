@@ -1,0 +1,203 @@
+"""Deduplication queries over the documents table (north-star
+extensions for training-data pipelines; SURVEY §7 phase 5).
+
+Every query here carries a full DuckDB oracle — including MinHash+LSH
+and SimHash, whose md5-derived hashing was designed so both engines
+compute identical signatures (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import stable_round, stable_round_sql
+from stock_trend_predictor_spark.functions.text import (
+    hash60,
+    hash60_sql,
+    normalized_text,
+    normalized_text_sql,
+)
+from stock_trend_predictor_spark.operators import dedup as D
+from stock_trend_predictor_spark.sources.tables import load_table
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "dedup_exact",
+        oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+        doc="Exact dedup: hash-groupBy on the content digest, keeping "
+        "the lowest doc_id per content group. One shuffle on the "
+        "digest; at 100 TB the digest (16 bytes) shuffles, not the text.",
+    )
+    def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select(F.md5("text").alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
+
+    @register(
+        "dedup_fingerprint",
+        oracle=f"""
+SELECT doc_id,
+       md5({normalized_text_sql('text')}) AS fingerprint,
+       {hash60_sql(normalized_text_sql('text'))} % 1024 AS fp_bucket
+FROM documents
+""",
+        doc="Document fingerprinting: md5 over normalized text "
+        "(lowercase, alnum-only, collapsed whitespace) + a 1024-way "
+        "shard bucket for partitioned dedup at scale.",
+    )
+    def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        norm = normalized_text("text")
+        return docs.select(
+            "doc_id",
+            F.md5(norm).alias("fingerprint"),
+            (hash60(norm) % 1024).alias("fp_bucket"),
+        )
+
+    # ------------------------------------------------------------------
+    # MinHash + LSH near-dup with a full SQL oracle
+    # ------------------------------------------------------------------
+    sig_sql = D.minhash_signature_sql("hs")
+    sig_list = ", ".join(sig_sql)
+    band_keys_sql = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            f"CAST(sig[{m * D.BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(D.BAND_ROWS)
+        )
+        + f") AS bkey{m}"
+        for m in range(D.N_BANDS)
+    )
+    band_union_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {m} AS band_id, bkey{m} AS bkey FROM banded"
+        for m in range(D.N_BANDS)
+    )
+
+    @register(
+        "dedup_minhash_lsh",
+        oracle=f"""
+WITH shingled AS (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
+), sigs AS (
+    SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
+), banded AS (
+    SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
+), bands AS (
+    {band_union_sql}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       {stable_round_sql(
+           'CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)'
+           ' / len(list_distinct(list_concat(a.hs, b.hs)))', 6)} AS jaccard
+FROM cand
+JOIN shingled a ON a.doc_id = doc_a
+JOIN shingled b ON b.doc_id = doc_b
+WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5
+""",
+        doc="Near-duplicate detection: word-3-gram shingles → 32-hash "
+        "MinHash signature → 8-band LSH candidate join → exact shingle "
+        "Jaccard >= 0.5 verification. Candidate generation is linear "
+        "(explode 8 bands/doc, shuffle 8-byte keys); no O(n²) scan. "
+        "Full SQL oracle via shared md5-based permutation hashing.",
+    )
+    def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", D.shingle_hashes("text").alias("hs")
+        )
+        cand = D.lsh_candidate_pairs(docs)
+        a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+        b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+        jac = D.jaccard_of_hash_arrays("hs_a", "hs_b")
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(jac >= 0.5)
+            .select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
+        )
+
+    @register(
+        "dedup_simhash",
+        oracle=f"""
+WITH {D.simhash_sql_cte()}
+SELECT doc_id, simhash, simhash % 256 AS simhash_bucket
+FROM simhashed
+""",
+        doc="SimHash fingerprints: per-token 28-bit hash bit-votes "
+        "folded into one fingerprint per doc — integer-exact, "
+        "order-independent, identical in both engines. Bucketed for "
+        "banded near-dup grouping at scale.",
+    )
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", D.token_hashes("text").alias("hs")
+        )
+        sh = D.simhash("hs")
+        return docs.select(
+            "doc_id", sh.alias("simhash"), (sh % 256).alias("simhash_bucket")
+        )
+
+    @register(
+        "dedup_ngram_jaccard_blocked",
+        oracle=f"""
+WITH shingled AS (
+    SELECT doc_id, lang, n_chars, {D.shingle_hashes_sql('text')} AS hs
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {stable_round_sql(
+           'CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)'
+           ' / len(list_distinct(list_concat(a.hs, b.hs)))', 6)} AS jaccard
+FROM shingled a
+JOIN shingled b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+""",
+        doc="Blocked exact n-gram Jaccard: candidate pairs restricted "
+        "to identical (lang, n_chars) blocks — the classic blocking "
+        "strategy that keeps exact-similarity affordable; each block "
+        "is a co-partitioned self-join, no global cross product.",
+    )
+    def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", D.shingle_hashes("text").alias("hs")
+        )
+        a = docs.alias("a")
+        b = docs.alias("b")
+        jac = D.jaccard_of_hash_arrays(F.col("a.hs"), F.col("b.hs"))
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.n_chars") == F.col("b.n_chars"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                stable_round(jac, 6).alias("jaccard"),
+            )
+        )
+
+
+_register()

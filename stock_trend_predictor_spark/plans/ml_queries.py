@@ -1,0 +1,99 @@
+"""ML queries: per-key model fit (applyInPandas, oracle-exact closed
+form) and model scoring (broadcast join + native expressions).
+
+The MLlib RandomForest pipeline (ml/pipeline.py) is covered by
+tests/test_ml.py — RF predictions are not SQL-expressible, so it is
+not an oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import stable_round_sql
+from stock_trend_predictor_spark.ml.pergroup import (
+    score_with_models,
+    train_linreg_per_key,
+)
+from stock_trend_predictor_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+
+_MODEL_AGG_CTE = f"""
+{TICKS_ORACLE_CTE},
+clean AS (
+    SELECT symbol, ts, open, close FROM ticks
+    WHERE open IS NOT NULL AND close IS NOT NULL
+), agg AS (
+    SELECT symbol,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(open AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(open * close AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(open * open AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+    FROM clean GROUP BY symbol
+), models AS (
+    SELECT symbol,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM agg
+)
+"""
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "pergroup_linreg_models",
+        oracle=f"""
+WITH {_MODEL_AGG_CTE}
+SELECT symbol, n_rows,
+       {stable_round_sql('slope', 6)} AS slope,
+       {stable_round_sql('intercept', 6)} AS intercept
+FROM models
+""",
+        doc="M3 per-key model fit, parallelized: groupBy(symbol)."
+        "applyInPandas replaces the reference's sequential driver loop "
+        "(predict_from_vm4.py:29-39). Closed-form OLS with decimal-"
+        "quantized sums makes the fitted coefficients themselves "
+        "oracle-checkable — the Arrow round trip and group partitioning "
+        "are verified end-to-end, not just row counts.",
+    )
+    def pergroup_linreg_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import stable_round
+
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & F.col("close").isNotNull()
+        )
+        m = train_linreg_per_key(t)
+        return m.select(
+            "symbol",
+            "n_rows",
+            stable_round(F.col("slope"), 6).alias("slope"),
+            stable_round(F.col("intercept"), 6).alias("intercept"),
+        )
+
+    @register(
+        "pergroup_model_scoring",
+        oracle=f"""
+WITH {_MODEL_AGG_CTE}
+SELECT t.symbol, t.ts, t.open, t.close,
+       {stable_round_sql('m.intercept + m.slope * t.open', 6)} AS predicted_close,
+       CAST(m.intercept + m.slope * t.open > t.open AS INT) AS prediction,
+       {stable_round_sql('(t.close - t.open) / t.open * 100', 2)} AS change_pct
+FROM clean t JOIN models m ON t.symbol = m.symbol
+""",
+        doc="M5/ST7 scoring, set-oriented: ticks broadcast-joined to "
+        "the models table, prediction + change% as native expressions "
+        "(replaces one-doc-at-a-time predict, predict_from_vm4.py:57-65).",
+    )
+    def pergroup_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & F.col("close").isNotNull()
+        ).select("symbol", "ts", "open", "close")
+        models = train_linreg_per_key(t)
+        return score_with_models(t, models)
+
+
+_register()

@@ -1,0 +1,71 @@
+"""Multimodal-column queries: binary payload metadata extraction via
+Arrow-batched mapInPandas, oracle-checked end-to-end (the fake decode
+kernel is md5-derived, so DuckDB reproduces it in SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.operators.multimodal import (
+    attach_payload,
+    decode_metadata,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "multimodal_decode_metadata",
+        oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 + 1 AS INTEGER) AS width,
+       CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 + 1 AS INTEGER) AS height,
+       CAST(CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 64 + 1 AS INTEGER) AS n_frames
+FROM documents
+""",
+        doc="Multimodal metadata extraction: BinaryType payload → "
+        "mapInPandas (Arrow-batched) decode stub → typed metadata. "
+        "The Python decode kernel is md5-derived and deterministic, so "
+        "the whole Arrow round-trip is oracle-checked. Real codecs "
+        "would replace fake_decode (operators/multimodal.py) 1:1.",
+    )
+    def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return decode_metadata(attach_payload(docs))
+
+    @register(
+        "multimodal_size_profile",
+        oracle="""
+SELECT CAST(octet_length(encode(text)) // 100 AS BIGINT) AS size_bucket_100b,
+       count(*) AS n_payloads,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+        doc="Payload size profiling over the binary column — the "
+        "storage-planning rollup of a media pipeline (pure expression, "
+        "no decode).",
+    )
+    def multimodal_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        payload_len = F.octet_length(F.encode("text", "UTF-8")).cast("bigint")
+        return (
+            docs.select(payload_len.alias("pl"))
+            .groupBy(F.floor(F.col("pl") / 100).cast("bigint").alias("size_bucket_100b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_payloads"),
+                F.sum("pl").cast("bigint").alias("total_bytes"),
+                F.min("pl").cast("bigint").alias("min_bytes"),
+                F.max("pl").cast("bigint").alias("max_bytes"),
+            )
+        )
+
+
+_register()

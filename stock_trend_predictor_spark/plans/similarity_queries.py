@@ -1,0 +1,112 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import stable_round, stable_round_sql
+from stock_trend_predictor_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+_COS_SQL = (
+    "list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"
+)
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "knn_bruteforce_cosine",
+        oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL} AS sim
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+      ON c.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {stable_round_sql('sim', 6)} AS sim, rank
+FROM ranked WHERE rank <= 10
+""",
+        doc="Exact brute-force cosine top-10 for 8 query vectors: "
+        "broadcast queries against the corpus (single narrow corpus "
+        "scan), sequential-fold dot product (bit-identical to DuckDB's "
+        "list_inner_product), per-query ranked window. The exact "
+        "baseline that the LSH path is recall-checked against.",
+    )
+    def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        res = brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+        return res.select(
+            "query_id",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("sim"),
+            "rank",
+        )
+
+    @register(
+        "ann_lsh_cosine",
+        oracle=None,  # approximate by design; recall-tested vs brute force
+        doc="Approximate top-10 via 12-plane random-hyperplane LSH "
+        "buckets — candidate scoring only within matching sign-pattern "
+        "buckets (sublinear probe, linear build). No SQL oracle "
+        "(approximate); tests/test_similarity.py checks recall vs the "
+        "brute-force baseline.",
+    )
+    def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        res = lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+        return res.select(
+            "query_id",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("sim"),
+            "rank",
+        )
+
+    @register(
+        "embedding_norm_stats",
+        oracle=f"""
+SELECT label,
+       count(*) AS n_vectors,
+       {stable_round_sql(
+           'min(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),'
+           ' CAST(embedding AS DOUBLE[]))))', 6)} AS min_norm,
+       {stable_round_sql(
+           'max(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),'
+           ' CAST(embedding AS DOUBLE[]))))', 6)} AS max_norm
+FROM embeddings
+GROUP BY label
+""",
+        doc="Per-label L2-norm stats — vector math entirely in "
+        "codegen'd higher-order expressions; min/max are order-"
+        "independent so no decimal trick needed.",
+    )
+    def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import as_double, l2norm
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        norm = l2norm(as_double("embedding"))
+        return (
+            emb.select("label", norm.alias("norm"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                stable_round(F.min("norm"), 6).alias("min_norm"),
+                stable_round(F.max("norm"), 6).alias("max_norm"),
+            )
+        )
+
+
+_register()

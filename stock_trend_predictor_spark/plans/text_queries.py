@@ -1,0 +1,180 @@
+"""Text-analysis queries over the documents table: quality scoring,
+language-ID heuristic, token counting, fingerprint stats
+(north-star extensions; SURVEY §7 phase 5).
+
+All pure Catalyst expressions — split/filter/aggregate higher-order
+functions, no Python UDFs — so the same plan vectorizes over a 100 TB
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import stable_round, stable_round_sql
+from stock_trend_predictor_spark.functions.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    marker_score,
+    marker_score_sql,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "text_quality_stats",
+        oracle=f"""
+SELECT doc_id, lang, n_chars,
+       length(text) AS measured_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       {stable_round_sql(
+           "CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+           " / len(string_split(text, ' '))", 6)} AS avg_token_len,
+       {stable_round_sql(
+           "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+           " / len(string_split(text, ' '))", 6)} AS lexical_diversity,
+       {stable_round_sql(marker_score_sql('text', LANG_MARKERS['en']), 6)}
+         AS stopword_ratio
+FROM documents
+""",
+        doc="Per-document quality scoring: token counts, average token "
+        "length, lexical diversity (type/token ratio), stopword ratio "
+        "— the standard LLM-corpus quality filters, all as codegen'd "
+        "expressions.",
+    )
+    def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        return docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.length("text").alias("measured_chars"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            stable_round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                .cast("double") / F.size(toks),
+                6,
+            ).alias("avg_token_len"),
+            stable_round(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            ).alias("lexical_diversity"),
+            stable_round(marker_score("text", LANG_MARKERS["en"]), 6).alias(
+                "stopword_ratio"
+            ),
+        )
+
+    lang_score_sql = {
+        lang: marker_score_sql("text", markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # Deterministic argmax with fixed priority order (ties → first).
+    best_sql = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case_sql = "CASE " + " ".join(
+        f"WHEN s_{l} = {best_sql} THEN '{l}'" for l in langs
+    ) + " END"
+
+    @register(
+        "lang_id_heuristic",
+        oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {', '.join(f'{expr} AS s_{l}' for l, expr in lang_score_sql.items())}
+    FROM documents
+)
+SELECT doc_id, labeled_lang,
+       {case_sql} AS predicted_lang,
+       {stable_round_sql(best_sql, 6)} AS best_score,
+       CAST({case_sql} = labeled_lang AS INT) AS agrees
+FROM scored
+""",
+        doc="Language-ID heuristic: per-language marker-token scores, "
+        "deterministic argmax (fixed priority on ties) — the n-gram "
+        "language filter of a corpus pipeline. (The synthetic corpus "
+        "is English-vocab for every label, so 'agrees' measures label "
+        "noise, not model quality — the mechanism is what's tested.)",
+    )
+    def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            *[
+                marker_score("text", LANG_MARKERS[l]).alias(f"s_{l}")
+                for l in langs
+            ],
+        )
+        best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+        predicted = F.coalesce(
+            *[F.when(F.col(f"s_{l}") == best, F.lit(l)) for l in langs]
+        )
+        return scored.select(
+            "doc_id",
+            "labeled_lang",
+            predicted.alias("predicted_lang"),
+            stable_round(best, 6).alias("best_score"),
+            (predicted == F.col("labeled_lang")).cast("int").alias("agrees"),
+        )
+
+    @register(
+        "token_count_bpe",
+        oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_char_est_tokens
+FROM documents
+""",
+        doc="Token counting three ways: BPE-ish regex segmentation "
+        "(letter runs / digit runs / punctuation), whitespace split, "
+        "and the chars/4 estimator — the cost accounting of an LLM "
+        "data pipeline.",
+    )
+    def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
+                "n_bpe_tokens"
+            ),
+            F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_char_est_tokens"),
+        )
+
+    @register(
+        "corpus_source_profile",
+        oracle=f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {stable_round_sql('CAST(sum(n_chars) AS DOUBLE) / count(*)', 6)}
+         AS avg_chars
+FROM documents
+GROUP BY source, lang
+""",
+        doc="Corpus profiling rollup per (source, lang) — integer "
+        "sums, fully order-independent.",
+    )
+    def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            stable_round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+
+
+_register()

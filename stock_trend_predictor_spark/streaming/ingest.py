@@ -1,0 +1,106 @@
+"""Streaming ingest: JSON tick envelope → validated OHLCV stream.
+
+Re-expresses the reference's only Spark job
+(streaming_processing/features_engineering.py:30-46: Kafka source →
+from_json → console) with the parts it was missing:
+
+- the OHLCV *superset* schema (§1.4) instead of the close-only struct
+  (features_engineering.py:23-27) that silently nulled producer fields;
+- corrupt-record capture (the reference's schema_validation.py is an
+  empty stub; malformed JSON was silently nulled);
+- watermark + dropDuplicates replacing the in-driver-memory
+  `last_timestamps` dict (fetch_stock.py:43,57,64) that loses state on
+  restart and silently drops late rows;
+- checkpointed durable sinks instead of console.
+
+Sources are pluggable: the same parse/dedup pipeline runs over a Kafka
+source in production or a file/rate source in tests (the Kafka wire
+format — a binary `value` column of JSON — is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: §1.4 canonical tick schema — superset of the close-only shape
+#: (fetch_stock.py:54-58) and the full OHLCV bar
+#: (kafka_producer.py:107-115), plus the `source` routing field
+#: (mongo_stream_etl.py:23-32).
+TICK_SCHEMA = StructType(
+    [
+        StructField("timestamp", TimestampType(), True),
+        StructField("symbol", StringType(), True),
+        StructField("open", DoubleType(), True),
+        StructField("high", DoubleType(), True),
+        StructField("low", DoubleType(), True),
+        StructField("close", DoubleType(), True),
+        StructField("close_price", DoubleType(), True),  # close-only variant
+        StructField("volume", DoubleType(), True),
+        StructField("source", StringType(), True),
+        StructField("_corrupt_record", StringType(), True),
+    ]
+)
+
+
+def parse_tick_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-style binary JSON `value` → typed tick rows.
+
+    PERMISSIVE parse with corrupt-record capture; the close-only tick
+    variant is folded into the superset by coalescing close_price into
+    close. Malformed rows survive with `is_corrupt = true` so a DLQ
+    sink can route them (instead of the reference's silent nulls).
+    """
+    parsed = raw.select(
+        F.from_json(
+            F.col(value_col).cast("string"),
+            TICK_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("t"),
+        F.col(value_col).cast("string").alias("_raw"),
+    )
+    return parsed.select(
+        F.col("t.symbol").alias("symbol"),
+        F.col("t.timestamp").alias("ts"),
+        F.col("t.open").alias("open"),
+        F.col("t.high").alias("high"),
+        F.col("t.low").alias("low"),
+        F.coalesce(F.col("t.close"), F.col("t.close_price")).alias("close"),
+        F.col("t.volume").alias("volume"),
+        F.coalesce(F.col("t.source"), F.lit("realtime")).alias("source"),
+        F.col("t._corrupt_record").isNotNull().alias("is_corrupt"),
+        F.col("_raw"),
+    )
+
+
+def dedup_ticks(ticks: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+    """Exactly-once-per-(symbol, ts) semantics under replay and late
+    data: event-time watermark bounds state; dropDuplicates makes
+    re-delivered ticks idempotent. This is the durable replacement for
+    the reference's at-least-once producer + driver-memory watermark
+    (ST4). State size = distinct keys within the watermark horizon —
+    bounded, executor-distributed, checkpointed."""
+    return ticks.withWatermark("ts", watermark_delay).dropDuplicates(
+        ["symbol", "ts"]
+    )
+
+
+def read_tick_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stream of Kafka-envelope JSON lines (test/dev source;
+    swap for spark.readStream.format('kafka') in production — the
+    downstream pipeline is identical)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+    )
+    raw = reader.load(path).select(F.col("value").cast("binary").alias("value"))
+    return parse_tick_envelope(raw)

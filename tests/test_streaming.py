@@ -1,0 +1,176 @@
+"""Streaming semantics tests (SURVEY §5.3): file source +
+availableNow/maxFilesPerTrigger + memory sink — deterministic, no
+Kafka broker needed; the production pipeline differs only in the
+source format string.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.streaming.ingest import (
+    dedup_ticks,
+    parse_tick_envelope,
+    read_tick_file_stream,
+)
+from stock_trend_predictor_spark.streaming.routing import route_by_source
+from stock_trend_predictor_spark.streaming.windows import (
+    incremental_new_ticks,
+    windowed_ohlc,
+)
+
+TICKS = [
+    # full OHLCV bar (kafka_producer.py wire shape)
+    {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "open": 10.0,
+     "high": 12.0, "low": 9.5, "close": 11.0, "volume": 100.0, "source": "history"},
+    # close-only tick (fetch_stock.py wire shape)
+    {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close_price": 11.5},
+    # duplicate of the first (producer at-least-once redelivery)
+    {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "open": 10.0,
+     "high": 12.0, "low": 9.5, "close": 11.0, "volume": 100.0, "source": "history"},
+    # second symbol, realtime
+    {"timestamp": "2024-01-01 09:30:30", "symbol": "MSFT", "open": 20.0,
+     "high": 21.0, "low": 19.0, "close": 20.5, "volume": 50.0, "source": "realtime"},
+]
+MALFORMED = '{"timestamp": "2024-01-01 09:32:00", "symbol": "AAPL", "close": '
+
+
+def _write_jsonl(path, records, extra_raw=()):
+    lines = [json.dumps(r) for r in records] + list(extra_raw)
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", TICKS, extra_raw=[MALFORMED])
+
+    raw = spark.read.text(str(src)).select(F.col("value").cast("binary").alias("value"))
+    parsed = parse_tick_envelope(raw)
+    rows = {(r["symbol"], str(r["ts"])): r for r in parsed.collect()}
+
+    # close-only variant folded into `close`; default source applied
+    close_only = rows[("AAPL", "2024-01-01 09:31:00")]
+    assert close_only["close"] == 11.5
+    assert close_only["source"] == "realtime"
+    # corrupt row captured, not silently dropped
+    corrupt = [r for r in parsed.collect() if r["is_corrupt"]]
+    assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
+
+
+def test_streaming_dedup_idempotent(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", TICKS)
+
+    stream = dedup_ticks(read_tick_file_stream(spark, str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT symbol, ts FROM dedup_test").collect()
+    # 4 input rows, 1 duplicate (symbol, ts) removed
+    assert len(out) == 3
+    assert len({(r["symbol"], r["ts"]) for r in out}) == 3
+    spark.catalog.dropTempView("dedup_test")
+
+
+def test_route_by_source_split_is_partition(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", TICKS, extra_raw=[MALFORMED])
+    hist, rt, dlq = (str(tmp_path / d) for d in ("hist", "rt", "dlq"))
+
+    stream = read_tick_file_stream(spark, str(src))
+    q = route_by_source(
+        stream, hist, rt, checkpoint=str(tmp_path / "ckpt"), corrupt_path=dlq
+    )
+    q.awaitTermination(120)
+
+    hist_rows = spark.read.parquet(hist).collect()
+    rt_rows = spark.read.parquet(rt).collect()
+    dlq_rows = spark.read.parquet(dlq).collect()
+    # disjoint split: 2 history copies (dup not deduped here), 2 realtime, 1 DLQ
+    assert len(hist_rows) == 2
+    assert len(rt_rows) == 2
+    assert len(dlq_rows) == 1
+    assert all(r["source"] == "history" for r in hist_rows)
+    assert all(r["source"] != "history" for r in rt_rows)
+
+
+def test_windowed_ohlc_bars(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ticks = [
+        {"timestamp": f"2024-01-01 09:{m:02d}:00", "symbol": "AAPL",
+         "close": float(c), "source": "realtime"}
+        for m, c in [(30, 10.0), (31, 12.0), (33, 9.0), (36, 15.0)]
+    ]
+    _write_jsonl(src / "batch0.jsonl", ticks)
+
+    stream = windowed_ohlc(read_tick_file_stream(spark, str(src)), bucket="5 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ohlc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    bars = {
+        str(r["bar_start"]): r
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    b1 = bars["2024-01-01 09:30:00"]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"], b1["n_ticks"]) == (
+        10.0, 12.0, 9.0, 9.0, 3)
+    b2 = bars["2024-01-01 09:35:00"]
+    assert b2["n_ticks"] == 1 and b2["close"] == 15.0
+    spark.catalog.dropTempView("ohlc_test")
+
+
+def test_incremental_new_ticks_stateful(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    # file 0: two ticks; file 1: one replayed (older) + one new tick.
+    # FileStreamSource orders files by mtime — set them explicitly so
+    # batch0 is guaranteed to be the first trigger.
+    _write_jsonl(src / "batch0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 11.0},
+    ])
+    _write_jsonl(src / "batch1.jsonl", [
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 11.0},
+        {"timestamp": "2024-01-01 09:32:00", "symbol": "AAPL", "close": 12.0},
+    ])
+    now = time.time()
+    os.utime(src / "batch0.jsonl", (now - 60, now - 60))
+    os.utime(src / "batch1.jsonl", (now, now))
+
+    stream = incremental_new_ticks(
+        read_tick_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hwm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = sorted(
+        spark.sql("SELECT ts, close FROM hwm_test").collect(),
+        key=lambda r: r["ts"],
+    )
+    # replayed 09:31 tick suppressed by per-key state across triggers
+    assert [r["close"] for r in out] == [10.0, 11.0, 12.0]
+    spark.catalog.dropTempView("hwm_test")
