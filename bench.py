@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs one representative query per operator family from the registry at
+the bench scale factor (default sf0.1) on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced to full execution with the `noop` sink (distributed
+materialization of every output row — no driver collect, no disk write),
+so the measured time is scan + shuffle + compute, exactly what scales to
+a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+#: One headline query per operator family (SURVEY.md §2 / §7 phases).
+HEADLINE = [
+    "q1_pricing_summary",        # wide agg scan (TPC-H Q1 shape)
+    "q3_shipping_priority",      # 3-way join + agg + top-k
+    "q5_regional_revenue",       # 6-way join (broadcast dims)
+    "window_rank_battery",       # ranking/analytic window functions
+    "rolling_features",          # rows-window moving aggregates
+    "resample_ohlc_bars",        # event-time bucket agg
+    "vwap_per_supplier",         # weighted agg + join
+    "dedup_exact",               # content-hash exact dedup
+    "dedup_minhash_lsh",         # shingle→minhash→band→bucket join
+    "knn_bruteforce_cosine",     # embedding top-k similarity
+    "text_quality_stats",        # text scalar-function battery
+    "pergroup_model_scoring",    # applyInPandas train + broadcast score
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+
+    from stock_trend_predictor_spark import get_spark
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    spark = get_spark(
+        app_name="stp-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        # Warm the JVM/catalog on the first query only via a cheap plan.
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,13 +30,15 @@ def change_pct(
     """Percent change of close vs open, rounded (F8/F9).
 
     Rounded via exact.stable_round so the value is reproducible
-    bit-for-bit across engines and partitionings.
+    bit-for-bit across engines and partitionings. A zero open yields
+    NULL (nullif guard) — the one semantics Spark-ANSI and DuckDB
+    share for division by zero.
     """
     from stock_trend_predictor_spark.functions.exact import stable_round
 
     c = F.col(close) if isinstance(close, str) else close
     o = F.col(open_) if isinstance(open_, str) else open_
-    return stable_round((c - o) / o * 100, scale)
+    return stable_round((c - o) / F.nullif(o, F.lit(0.0)) * 100, scale)
 
 
 def wire_timestamp(ts: Column | str = "ts") -> Column:

@@ -81,7 +81,7 @@ WITH {_MODEL_AGG_CTE}
 SELECT t.symbol, t.ts, t.open, t.close,
        {stable_round_sql('m.intercept + m.slope * t.open', 6)} AS predicted_close,
        CAST(m.intercept + m.slope * t.open > t.open AS INT) AS prediction,
-       {stable_round_sql('(t.close - t.open) / t.open * 100', 2)} AS change_pct
+       {stable_round_sql('(t.close - t.open) / nullif(t.open, 0) * 100', 2)} AS change_pct
 FROM clean t JOIN models m ON t.symbol = m.symbol
 """,
         doc="M5/ST7 scoring, set-oriented: ticks broadcast-joined to "

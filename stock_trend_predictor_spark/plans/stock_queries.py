@@ -31,7 +31,7 @@ WITH {TICKS_ORACLE_CTE},
 labeled AS (
     SELECT symbol,
            CAST(close > open AS INT) AS movement,
-           {stable_round_sql('(close - open) / open * 100', 2)} AS chg
+           {stable_round_sql('(close - open) / nullif(open, 0) * 100', 2)} AS chg
     FROM ticks WHERE open IS NOT NULL
 )
 SELECT symbol,
@@ -88,7 +88,7 @@ FROM ticks
 WITH {TICKS_ORACLE_CTE}
 SELECT symbol, ts, open, close,
        CAST(close > open AS INT) AS prediction,
-       {stable_round_sql('(close - open) / open * 100', 2)} AS change_pct
+       {stable_round_sql('(close - open) / nullif(open, 0) * 100', 2)} AS change_pct
 FROM ticks
 WHERE open IS NOT NULL AND symbol IN ('click', 'view', 'purchase')
 """,

@@ -44,7 +44,8 @@ SELECT event_id, event_type AS symbol, value,
                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_max20,
        {stable_round_sql(
            '(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts))'
-           ' / lag(value) OVER (PARTITION BY event_type ORDER BY ts) * 100', 6)}
+           ' / nullif(lag(value) OVER (PARTITION BY event_type ORDER BY ts), 0)'
+           ' * 100', 6)}
          AS return_pct
 FROM events
 """,
@@ -69,7 +70,11 @@ FROM events
             ).alias("ma5"),
             F.min("value").over(w20).alias("roll_min20"),
             F.max("value").over(w20).alias("roll_max20"),
-            stable_round((F.col("value") - prev) / prev * 100, 6).alias("return_pct"),
+            # nullif guard: a 0 prior value yields NULL return (not an
+            # ANSI divide-by-zero error) — identical semantics in DuckDB.
+            stable_round(
+                (F.col("value") - prev) / F.nullif(prev, F.lit(0.0)) * 100, 6
+            ).alias("return_pct"),
         )
 
     @register(
