@@ -58,10 +58,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: exercise JVM codegen, parquet reader, and the
+    # Arrow/Python-worker pool on tiny data so per-query timings are
+    # steady-state compute, not first-call initialization.
+    warm = REGISTRY["flagship_movement_rate"]
+    warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        # Warm the JVM/catalog on the first query only via a cheap plan.
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -50,15 +50,29 @@ MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(N_HASHES)]
 SIMHASH_BITS = 28
 
 
-def shingle_hashes(col: str = "text", n: int = 3) -> Column:
-    """Distinct word-n-gram shingles → 28-bit hash array (no explode)."""
-    toks = f"split({col}, ' ')"
-    concat = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
-    return F.expr(
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", out: str = "hs", n: int = 3
+) -> DataFrame:
+    """Add a distinct word-n-gram shingle → 28-bit hash array column.
+
+    Two-phase on purpose: the token array is bound to a real column
+    first, then the n-gram lambda references it. Inlining the split()
+    into the lambda would re-split the text once per n-gram element
+    (O(tokens²) parsing — measured 3.5× slower); a bound column is
+    evaluated once per row, and CollapseProject keeps it that way
+    because the alias is referenced many times.
+    """
+    concat = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
+    expr = F.expr(
         f"transform(array_distinct(transform("
-        f"sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', {concat}))), "
         f"s -> cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint))"
+    )
+    return (
+        df.withColumn("_toks", F.split(text_col, " "))
+        .withColumn(out, expr)
+        .drop("_toks")
     )
 
 
@@ -93,10 +107,18 @@ def band_key(band: int) -> Column:
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded LSH: docs with an identical signature band become
-    candidate pairs (doc_a < doc_b, deduplicated across bands)."""
-    sigs = docs.select(
-        F.col(id_col), F.col("hs"), *minhash_signature_cols("hs")
-    )
+    candidate pairs (doc_a < doc_b, deduplicated across bands).
+
+    Shaped as groupBy(band) + in-bucket pair expansion rather than a
+    band self-join: the signature computation is evaluated once (a
+    self-join would evaluate the md5 shingle pipeline on both sides),
+    and the shuffle moves only (band_key, doc_id) pairs — at 100 TB
+    that is b small shuffles of 8-byte keys, never document text.
+    Bucket pair expansion is quadratic per bucket by nature of LSH;
+    skewed (very common) band keys are the salting candidate if a
+    corpus has giant near-dup clusters.
+    """
+    sigs = docs.select(F.col(id_col), *minhash_signature_cols("hs"))
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -108,19 +130,15 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.bkey")
-    left = bands.alias("l")
-    right = bands.alias("r")
+    buckets = (
+        bands.groupBy("band_id", "bkey")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 

@@ -123,8 +123,18 @@ WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
         "Full SQL oracle via shared md5-based permutation hashing.",
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", D.shingle_hashes("text").alias("hs")
+        # Persist the shingled arrays: they feed candidate generation
+        # plus both sides of the verification join, and the md5 shingle
+        # pipeline is the dominant per-row cost. At cluster scale this
+        # is the standard "materialize signatures once" LSH stage.
+        docs = (
+            D.with_shingle_hashes(
+                load_table(spark, sf_dir, "documents").repartition(
+                    spark.sparkContext.defaultParallelism, "doc_id"
+                )
+            )
+            .select("doc_id", "hs")
+            .persist()
         )
         cand = D.lsh_candidate_pairs(docs)
         a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
@@ -179,9 +189,11 @@ JOIN shingled b
         "is a co-partitioned self-join, no global cross product.",
     )
     def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "n_chars", D.shingle_hashes("text").alias("hs")
-        )
+        docs = D.with_shingle_hashes(
+            load_table(spark, sf_dir, "documents").repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            )
+        ).select("doc_id", "lang", "n_chars", "hs")
         a = docs.alias("a")
         b = docs.alias("b")
         jac = D.jaccard_of_hash_arrays(F.col("a.hs"), F.col("b.hs"))
