@@ -67,6 +67,47 @@ def fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
     return len(payload), digest, width, height, n_frames
 
 
+def thumbnail_dims(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning: integer thumbnail dims that fit ``max_side``,
+    preserving aspect ratio. Pure expression over the decoded metadata
+    (the actual pixel resample would live in the same mapInPandas
+    kernel as the decode — this is the partition-friendly math that
+    surrounds it)."""
+    longest = F.greatest("width", "height")
+    return decoded.withColumns(
+        {
+            "thumb_w": F.greatest(
+                F.lit(1), F.floor(F.col("width") * max_side / longest)
+            ).cast("int"),
+            "thumb_h": F.greatest(
+                F.lit(1), F.floor(F.col("height") * max_side / longest)
+            ).cast("int"),
+        }
+    )
+
+
+def sample_frames(decoded: DataFrame, every_k: int = 7) -> DataFrame:
+    """Frame sampling: one row per sampled frame index (0, k, 2k, ...).
+
+    explode(sequence(...)) is a narrow generator — no shuffle, output
+    co-partitioned with the input video rows, which is exactly what a
+    real frame-extraction kernel (ffmpeg in the mapInPandas stage)
+    needs. The per-frame fingerprint is md5(payload_md5, idx) — a
+    deterministic stand-in for a frame content hash.
+    """
+    return decoded.withColumn(
+        "frame_idx",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ),
+    ).withColumn(
+        "frame_fingerprint",
+        F.md5(
+            F.concat_ws("_", F.col("payload_md5"), F.col("frame_idx"))
+        ),
+    )
+
+
 def decode_metadata(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched 'decode': mapInPandas over the binary column."""
 

@@ -168,6 +168,57 @@ FROM simhashed
             "doc_id", sh.alias("simhash"), (sh % 256).alias("simhash_bucket")
         )
 
+    _PAIR_COS = (
+        "list_inner_product(a.v, b.v)"
+        " / (sqrt(list_inner_product(a.v, a.v))"
+        " * sqrt(list_inner_product(b.v, b.v)))"
+    )
+
+    @register(
+        "dedup_embedding_cosine",
+        oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {stable_round_sql(_PAIR_COS, 6)} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_PAIR_COS} >= 0.35
+""",
+        doc="Embedding-cosine near-dup detection: candidate pairs "
+        "blocked by label (the cluster/shard key), exact cosine >= "
+        "threshold within blocks. The blocked self-join shuffles once "
+        "on the block key; vector math is codegen'd sequential-fold "
+        "(bit-identical to DuckDB list_inner_product). At 100 TB the "
+        "block key would be an ANN-assigned coarse centroid "
+        "(IVF-style) instead of a label — same plan shape.",
+    )
+    def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            cosine,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+        a, b = e.alias("a"), e.alias("b")
+        cos = cosine(F.col("a.v"), F.col("b.v"))
+        return (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .where(cos >= 0.35)
+            .select(
+                F.col("a.label").alias("label"),
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                stable_round(cos, 6).alias("cos_sim"),
+            )
+        )
+
     @register(
         "dedup_ngram_jaccard_blocked",
         oracle=f"""

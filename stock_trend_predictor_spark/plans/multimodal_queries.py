@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from stock_trend_predictor_spark.operators.multimodal import (
     attach_payload,
     decode_metadata,
+    sample_frames,
+    thumbnail_dims,
 )
 from stock_trend_predictor_spark.sources.tables import load_table
 
@@ -37,6 +39,44 @@ FROM documents
     def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return decode_metadata(attach_payload(docs))
+
+    @register(
+        "multimodal_frame_sample",
+        oracle="""
+WITH decoded AS (
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 + 1 AS INTEGER) AS width,
+           CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 + 1 AS INTEGER) AS height,
+           CAST(CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 64 + 1 AS INTEGER) AS n_frames
+    FROM documents
+)
+SELECT doc_id,
+       CAST(f.f AS INTEGER) AS frame_idx,
+       md5(payload_md5 || '_' || CAST(f.f AS VARCHAR)) AS frame_fingerprint,
+       CAST(greatest(1, floor(width * 256.0 / greatest(width, height))) AS INTEGER) AS thumb_w,
+       CAST(greatest(1, floor(height * 256.0 / greatest(width, height))) AS INTEGER) AS thumb_h
+FROM decoded, unnest(range(0, n_frames, 7)) f(f)
+""",
+        doc="Frame sampling + resize planning over decoded video "
+        "metadata: every-7th frame index via a narrow explode "
+        "(co-partitioned with the payload — where a real ffmpeg "
+        "mapInPandas kernel would extract frames), aspect-preserving "
+        "256px thumbnail dims as pure integer expressions. The decode "
+        "stub is md5-deterministic so the whole pipeline is "
+        "oracle-checked.",
+    )
+    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        decoded = thumbnail_dims(decode_metadata(attach_payload(docs)))
+        frames = sample_frames(
+            decoded.select(
+                "doc_id", "payload_md5", "n_frames", "thumb_w", "thumb_h"
+            )
+        )
+        return frames.select(
+            "doc_id", "frame_idx", "frame_fingerprint", "thumb_w", "thumb_h"
+        )
 
     @register(
         "multimodal_size_profile",

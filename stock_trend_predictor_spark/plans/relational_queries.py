@@ -339,6 +339,45 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
             )
         )
 
+    @register(
+        "join_range_bands",
+        oracle=f"""
+SELECT b.band AS band,
+       count(*) AS n_orders,
+       {exact_sum_sql('o.o_totalprice')} AS band_revenue
+FROM orders o
+JOIN (VALUES ('small', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('large', 250000.0, 1e12)) b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+        doc="Range (theta) join: orders against a tiny band dimension "
+        "on a non-equi interval condition. Catalyst executes this as a "
+        "BroadcastNestedLoopJoin — correct here because the build side "
+        "is 3 rows; with a large band table the scale path is binning "
+        "both sides to an equi-key (width_bucket) first. Completes the "
+        "join surface of SURVEY §2.3 beyond equi/semi/anti/as-of.",
+    )
+    def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bands = spark.createDataFrame(
+            [("small", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+             ("large", 250000.0, 1e12)],
+            "band string, lo double, hi double",
+        )
+        o = load_table(spark, sf_dir, "orders")
+        return (
+            o.join(
+                F.broadcast(bands),
+                (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+            )
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                exact_sum("o_totalprice").alias("band_revenue"),
+            )
+        )
+
     # ------------------------------------------------------------------
     # Distinct / sorts / top-k per group (SURVEY §2.4 A1, §2.6)
     # ------------------------------------------------------------------
