@@ -87,14 +87,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def marker_score(col: str | Column, markers: tuple[str, ...]) -> Column:
-    """Fraction of a doc's tokens that are in the marker list."""
+def marker_score(tokens_col: str, markers: tuple[str, ...]) -> Column:
+    """Fraction of a doc's tokens that are in the marker list.
+
+    Takes the NAME of a bound token-array column (not raw text): the
+    caller splits once into a projected column and every language's
+    score references it — inlining split() here would re-tokenize the
+    document once per score term (see with_shingle_hashes for the
+    measured cost of that anti-pattern).
+    """
     in_list = ", ".join(f"'{m}'" for m in markers)
-    colname = col if isinstance(col, str) else None
-    assert colname is not None, "marker_score takes a column name"
     return F.expr(
-        f"size(filter(split({colname}, ' '), t -> t IN ({in_list})))"
-        f" / size(split({colname}, ' '))"
+        f"size(filter({tokens_col}, t -> t IN ({in_list})))"
+        f" / size({tokens_col})"
     )
 
 

@@ -48,8 +48,12 @@ FROM documents
         "expressions.",
     )
     def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = F.split(F.col("text"), " ")
+        # Tokenize once into a bound column; every derived stat
+        # references it (inlining the split would re-tokenize per stat).
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split(F.col("text"), " ")
+        )
+        toks = F.col("_toks")
         return docs.select(
             "doc_id",
             "lang",
@@ -65,7 +69,7 @@ FROM documents
             stable_round(
                 F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
             ).alias("lexical_diversity"),
-            stable_round(marker_score("text", LANG_MARKERS["en"]), 6).alias(
+            stable_round(marker_score("_toks", LANG_MARKERS["en"]), 6).alias(
                 "stopword_ratio"
             ),
         )
@@ -102,12 +106,14 @@ FROM scored
         "noise, not model quality — the mechanism is what's tested.)",
     )
     def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split(F.col("text"), " ")
+        )
         scored = docs.select(
             "doc_id",
             F.col("lang").alias("labeled_lang"),
             *[
-                marker_score("text", LANG_MARKERS[l]).alias(f"s_{l}")
+                marker_score("_toks", LANG_MARKERS[l]).alias(f"s_{l}")
                 for l in langs
             ],
         )

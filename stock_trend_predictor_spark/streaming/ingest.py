@@ -92,6 +92,27 @@ def dedup_ticks(ticks: DataFrame, watermark_delay: str = "10 minutes") -> DataFr
     )
 
 
+def read_tick_kafka_stream(
+    spark: SparkSession,
+    topic: str = "stock-prices",
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source → parsed tick stream (SURVEY §2.1 S4; the
+    reference's subscribe at features_engineering.py:30-35, with the
+    superset schema and corrupt capture it lacked). Construct-only in
+    this container (no broker); the file-stream twin below runs the
+    identical downstream pipeline in tests."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_tick_envelope(raw)
+
+
 def read_tick_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
