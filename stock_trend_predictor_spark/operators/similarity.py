@@ -51,22 +51,50 @@ def cosine(a: Column, b: Column) -> Column:
 #: Deterministic random hyperplanes for the LSH path (seeded; the same
 #: constants could be injected into an oracle, but ANN output is
 #: recall-checked against brute force in tests instead).
-N_PLANES = 12
+#:
+#: Multi-table LSH: L independent tables of k planes each. One table
+#: of many planes has near-zero collision probability for anything but
+#: exact duplicates (p_collide = (1 - θ/π)^k per table); L smaller
+#: tables trade probe cost for recall — the standard construction.
+N_TABLES = 4
+PLANES_PER_TABLE = 4
 _rng = random.Random(7)
-PLANES: list[list[float]] = [
-    [_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(N_PLANES)
+PLANES: list[list[list[float]]] = [
+    [
+        [_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)]
+        for _ in range(PLANES_PER_TABLE)
+    ]
+    for _ in range(N_TABLES)
 ]
 
 
-def hyperplane_bucket(vec: Column) -> Column:
-    """Sign-pattern bucket id of a vector against the fixed planes."""
+def hyperplane_bucket(vec: Column, table: int) -> Column:
+    """Sign-pattern bucket id of a vector against table t's planes."""
     bucket = F.lit(0)
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(PLANES[table]):
         plane_col = F.array(*[F.lit(v) for v in plane])
         bucket = bucket + F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
     return bucket
+
+
+def with_lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Explode each vector into (table, bucket) rows — the LSH index.
+    Narrow generator; the downstream join shuffles only
+    (id, table, bucket) triples, never the vectors themselves."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(F.col(vec_col), t).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.withColumn("e", F.explode(entries)).select(
+        *[c for c in df.columns], F.col("e.tbl"), F.col("e.bucket")
+    )
 
 
 def brute_force_topk(
@@ -109,24 +137,34 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: score only within matching
-    hyperplane-sign buckets. Sublinear probe; recall measured in tests
-    against brute_force_topk."""
+    """Approximate cosine top-k: candidates are vectors sharing a
+    bucket with the query in ANY of the L hash tables (union,
+    deduplicated), then exact-scored. Probe cost ≈ L × bucket size —
+    sublinear in corpus size; recall measured in tests against
+    brute_force_topk."""
     from pyspark.sql.window import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("qv")))
+    c = with_lsh_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        ),
+        "cv",
+    )
+    q = with_lsh_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        ),
+        "qv",
+    )
     sim = cosine(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in several tables scores once
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

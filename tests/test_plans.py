@@ -1,0 +1,52 @@
+"""Plan-shape regression tests: lock in the physical properties the
+100 TB design depends on — filter pushdown to the parquet scan,
+broadcast joins for dimensions, no shuffle where none is needed.
+A refactor that silently loses one of these still passes value checks
+at test SF but regresses at scale; these tests catch it."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_trend_predictor_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return str(REGISTRY[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan())
+
+
+def test_q1_filter_reaches_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    plan = _plan(spark, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # all dims fit the threshold here
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the lineitem scan must not read join keys it doesn't need
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_knn_corpus_not_shuffled(spark):
+    plan = _plan(spark, "knn_bruteforce_cosine")
+    # queries broadcast; corpus side stays narrow (single stage scan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    plan = _plan(spark, "dedup_exact")
+    # map-side combine before the exchange: two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2
