@@ -1,0 +1,73 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew
+for sort-merge joins; salting is the explicit fallback for the cases
+AQE can't fix — a shuffled join or aggregation where one key holds an
+outsized share of rows (the '3-symbol universe' shape of the reference
+is exactly this: partitionBy(symbol) with 3 symbols puts a third of
+100 TB in one task).
+
+Construction: the skewed (fact) side gets a uniform random salt in
+[0, n); the small (dim) side is exploded n× so every (key, salt)
+combination exists; the join key becomes (key, salt). Equality with
+the unsalted join is a law tested in tests/test_skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col: str = "_salt") -> DataFrame:
+    """Uniform salt in [0, n_salts) — spreads one hot key over
+    n_salts shuffle partitions. rand() is fine here: the salt never
+    affects results, only placement."""
+    return df.withColumn(col, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def explode_salts(df: DataFrame, n_salts: int, col: str = "_salt") -> DataFrame:
+    """Replicate the small side once per salt value (n_salts× rows —
+    only acceptable for broadcast-sized or dimension tables)."""
+    return df.withColumn(
+        col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key pressure spread over n_salts tasks.
+
+    Result is row-identical to fact.join(dim, on, how); only the
+    shuffle placement changes. Use when one fact key dominates and the
+    dim side is small enough to replicate (else: AQE skew split or
+    broadcast).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    f = with_salt(fact, n_salts)
+    d = explode_salts(dim, n_salts)
+    joined = f.join(d, [*keys, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, key: str, value: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase distinct count per key: partial distinct within
+    (key, salt), then merge — the manual form of what
+    spark.sql.adaptive + partial aggregation do for plain counts, for
+    the distinct case where a single hot key would otherwise hold the
+    whole value set in one task."""
+    salted = df.withColumn(
+        "_salt", (F.hash(F.col(value)) % n_salts + n_salts) % n_salts
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.countDistinct(value).alias("_part")
+    )
+    # value-hash partitioned salts are disjoint value sets → sum merges
+    return partial.groupBy(key).agg(F.sum("_part").cast("bigint").alias("n_distinct"))

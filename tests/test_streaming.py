@@ -174,3 +174,45 @@ def test_incremental_new_ticks_stateful(spark, tmp_path):
     # replayed 09:31 tick suppressed by per-key state across triggers
     assert [r["close"] for r in out] == [10.0, 11.0, 12.0]
     spark.catalog.dropTempView("hwm_test")
+
+
+def test_streaming_inference_foreachbatch(spark, tmp_path):
+    """ST7: train once on history, score the stream set-oriented in
+    foreachBatch, per-symbol partitioned sink (S9)."""
+    from stock_trend_predictor_spark.ml.pergroup import train_linreg_per_key
+    from stock_trend_predictor_spark.streaming.scoring import streaming_score
+
+    history = spark.createDataFrame(
+        [("AAPL", float(o), 2.0 * o + 1.0) for o in range(1, 21)]
+        + [("MSFT", float(o), 0.5 * o + 3.0) for o in range(1, 21)],
+        "symbol string, open double, close double",
+    )
+    models = train_linreg_per_key(history)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL",
+         "open": 10.0, "close": 30.0},
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "MSFT",
+         "open": 10.0, "close": 7.0},
+        # no trained model for GOOGL → dropped by the P10 join filter
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "GOOGL",
+         "open": 1.0, "close": 2.0},
+    ])
+    out = str(tmp_path / "scored")
+    q = streaming_score(
+        read_tick_file_stream(spark, str(src)),
+        models,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = {r["symbol"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"AAPL", "MSFT"}  # GOOGL filtered (no model)
+    # linreg recovered close = 2*open + 1 → predicted 21.0 for open=10
+    assert abs(rows["AAPL"]["predicted_close"] - 21.0) < 1e-6
+    assert rows["AAPL"]["prediction"] == 1  # predicted above open
+    assert rows["MSFT"]["prediction"] == 0  # 0.5*10+3=8 < 10
+    assert abs(rows["AAPL"]["change_pct"] - 200.0) < 1e-9
