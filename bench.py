@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_minhash_lsh",         # shingle→minhash→band→bucket join
     "knn_bruteforce_cosine",     # embedding top-k similarity
     "text_quality_stats",        # text scalar-function battery
+    "lang_id_heuristic",         # per-language marker scoring
+    "dedup_embedding_cosine",    # blocked exact-cosine near-dup
+    "asof_join_purchase_view",   # as-of temporal alignment
+    "multimodal_decode_metadata",  # Arrow mapInPandas decode path
     "pergroup_model_scoring",    # applyInPandas train + broadcast score
 ]
 

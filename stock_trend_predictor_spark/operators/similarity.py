@@ -112,13 +112,16 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
+    # Norms bound once per row (queries and corpus) — cosine per pair
+    # is then a single dot-product fold, bit-identical to computing
+    # the norms inline.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("cn", l2norm(F.col("cv")))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -147,16 +150,16 @@ def lsh_topk(
     c = with_lsh_buckets(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-        ),
+        ).withColumn("cn", l2norm(F.col("cv"))),
         "cv",
     )
     q = with_lsh_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-        ),
+        ).withColumn("qn", l2norm(F.col("qv"))),
         "qv",
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

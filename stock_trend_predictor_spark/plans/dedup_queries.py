@@ -196,26 +196,38 @@ WHERE {_PAIR_COS} >= 0.35
     def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         from stock_trend_predictor_spark.operators.similarity import (
             as_double,
-            cosine,
+            dot,
+            l2norm,
         )
 
+        # Norms precomputed once per vector, not once per pair: for
+        # B-row blocks that turns 3 O(dim) folds per pair into 1
+        # (bit-identical result — same inputs, same IEEE ops; the
+        # oracle's per-pair sqrt yields the same double).
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", as_double("embedding").alias("v")
         )
+        e = e.withColumn("nrm", l2norm(F.col("v")))
         a, b = e.alias("a"), e.alias("b")
-        cos = cosine(F.col("a.v"), F.col("b.v"))
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
         return (
             a.join(
                 b,
                 (F.col("a.label") == F.col("b.label"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
-            .where(cos >= 0.35)
             .select(
                 F.col("a.label").alias("label"),
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                stable_round(cos, 6).alias("cos_sim"),
+                cos.alias("cos_raw"),
+            )
+            .where(F.col("cos_raw") >= 0.35)
+            .select(
+                "label",
+                "vec_a",
+                "vec_b",
+                stable_round(F.col("cos_raw"), 6).alias("cos_sim"),
             )
         )
 

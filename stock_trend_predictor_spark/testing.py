@@ -84,12 +84,23 @@ def compare_frames(name: str, spark_df: DataFrame, oracle_rows, oracle_cols) -> 
         res.ok = False
         res.mismatches.append("row count differs")
 
+    def _sort_key(t):
+        # None-safe, mixed-type-safe canonical order: Python can't
+        # compare None < float (NULL cells are legitimate output, e.g.
+        # nullif-guarded divisions), so order by (is-null, type, str).
+        return tuple((v is None, type(v).__name__, str(v)) for v in t)
+
     s_multiset = sorted(
-        tuple(_norm_cell(row[c]) for c in s_cols) for row in s_rows
+        (tuple(_norm_cell(row[c]) for c in s_cols) for row in s_rows),
+        key=_sort_key,
     )
     o_index = {c: i for i, c in enumerate(oracle_cols)}
     o_multiset = sorted(
-        tuple(_norm_cell(row[o_index[c]]) for c in s_cols) for row in oracle_rows
+        (
+            tuple(_norm_cell(row[o_index[c]]) for c in s_cols)
+            for row in oracle_rows
+        ),
+        key=_sort_key,
     )
     if s_multiset != o_multiset:
         res.ok = False

@@ -17,8 +17,8 @@ print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s, schema={df.schema.si
 assert len(rows) > 0
 
 # 2. correctness at sf0.01 vs DuckDB oracle
-import duckdb
-SF = "/root/testdata/sf0.01"
+import duckdb, os
+SF = os.environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
