@@ -1,0 +1,150 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-
+quantizer scale path next to the hyperplane-LSH variant in
+operators/similarity.py.
+
+Build: a few Lloyd iterations of k-means over the corpus, expressed as
+DataFrame ops — assignment is a broadcast of k centroid literals
+(distance folds in codegen), the update step is a posexplode →
+groupBy(cluster, dim) mean → array rebuild. Per iteration the only
+driver traffic is the k×dim centroid matrix itself (a model, not
+data) — the corpus never leaves the executors.
+
+Search: a query probes its nprobe nearest centroids and exact-scores
+only those clusters' members. Probe cost ≈ nprobe/k of the corpus —
+the IVF trade dial. At 100 TB the assignment column would be written
+back partitioned by cluster id so a probe prunes whole files.
+
+Approximate by construction → no SQL oracle; recall is measured
+against brute_force_topk in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.operators.similarity import as_double, dot, l2norm
+
+
+def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(vec_col, c, lambda a, b: a - b)
+    return F.aggregate(
+        F.zip_with(diff, diff, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Nearest-centroid id per row. Centroids ship as literals inside
+    the plan (k×dim floats) — a narrow map, no join, no shuffle."""
+    dists = F.array(
+        *[_sq_dist_to(F.col(vec_col), c) for c in centroids]
+    )
+    return (
+        corpus.withColumn("_d", dists)
+        .withColumn(
+            "cid",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_d")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Deterministic Lloyd's: seeds are the k lowest-id vectors; each
+    iteration re-assigns (broadcast literals) and re-averages
+    (posexplode + groupBy mean). Only k×dim floats cross the driver
+    boundary per iteration."""
+    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, centroids, vec_col)
+        means = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["centroid"]] for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        assert all(len(c) == dim for c in centroids)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: exact cosine top-k within the nprobe nearest
+    clusters of each query."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2norm(F.col("cv")))
+    centroids = kmeans_centroids(c, k=n_clusters, iters=iters,
+                                 id_col="neighbor_id", vec_col="cv")
+    c = assign_clusters(c, centroids, "cv")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2norm(F.col("qv")))
+    qd = q.withColumn(
+        "_d", F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in centroids])
+    )
+    # nprobe nearest centroid ids per query
+    probe = qd.select(
+        "query_id", "qv", "qn",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("_d"),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("cid"),
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(probe), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -76,6 +76,30 @@ FROM ranked WHERE rank <= 10
         )
 
     @register(
+        "ann_ivf_cosine",
+        oracle=None,  # approximate by design; recall-tested vs brute force
+        doc="IVF approximate top-10: deterministic Lloyd's k-means "
+        "coarse quantizer (DataFrame-native iterations — only the "
+        "k x dim centroid matrix crosses the driver per round), then "
+        "exact cosine within each query's nprobe=2 nearest clusters. "
+        "Probe cost ~ nprobe/k of the corpus; at scale the cluster id "
+        "becomes the partition column so probes prune files. No SQL "
+        "oracle (approximate); recall measured in "
+        "tests/test_similarity.py.",
+    )
+    def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.ivf import ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        res = ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+        return res.select(
+            "query_id",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("sim"),
+            "rank",
+        )
+
+    @register(
         "embedding_norm_stats",
         oracle=f"""
 SELECT label,

@@ -44,6 +44,28 @@ def test_ann_recall_vs_bruteforce(spark, emb):
             assert abs(r["sim"] - exact_sim[key]) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from stock_trend_predictor_spark.operators.ivf import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 4)
+    exact = brute_force_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, k=5, n_clusters=4, nprobe=2, iters=2)
+
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ivf_rows = ivf.collect()
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall {recall} collapsed"
+    # every IVF sim must equal the exact sim where pairs overlap
+    exact_sim = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
+    }
+    for r in ivf_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9
+
+
 def test_vectorized_matches_expression(spark, emb):
     qrow = emb.where(F.col("vec_id") == 0).collect()[0]
     qvec = [float(x) for x in qrow["embedding"]]
