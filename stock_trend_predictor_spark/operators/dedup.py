@@ -80,15 +80,21 @@ def shingle_hashes_sql(expr: str = "text", n: int = 3) -> str:
     return f"list_transform({word_ngrams_sql(expr, n)}, s -> {hash28_sql('s')})"
 
 
-def minhash_signature_cols(hashes_col: str = "hs") -> list[Column]:
-    """One min-hash column per permutation: min((a*h + b) % p)."""
-    return [
-        F.expr(
-            f"array_min(transform({hashes_col}, "
-            f"h -> ({MINHASH_A[j]}L * h + {MINHASH_B[j]}L) % {MINHASH_P}L))"
-        ).alias(f"mh{j}")
+def minhash_signature(hashes_col: str = "hs") -> Column:
+    """All 32 min-hashes as ONE array column: min((a*h + b) % p) per
+    permutation, iterated with a literal (a, b) constant array inside
+    a single nested transform. One expression instead of 32 sibling
+    columns — ~30× less generated code to JIT, same values.
+    """
+    ab = ", ".join(
+        f"named_struct('a', {MINHASH_A[j]}L, 'b', {MINHASH_B[j]}L)"
         for j in range(N_HASHES)
-    ]
+    )
+    return F.expr(
+        f"transform(array({ab}), p -> "
+        f"array_min(transform({hashes_col}, "
+        f"h -> (p.a * h + p.b) % {MINHASH_P}L)))"
+    )
 
 
 def minhash_signature_sql(hashes_expr: str) -> list[str]:
@@ -99,10 +105,15 @@ def minhash_signature_sql(hashes_expr: str) -> list[str]:
     ]
 
 
-def band_key(band: int) -> Column:
-    """Concatenate one band's signature rows into a join key string."""
-    cols = [f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-    return F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+def band_key(band: int, sig_col: str = "sig") -> Column:
+    """Concatenate one band's signature slice into a join key string."""
+    return F.concat_ws(
+        "_",
+        *[
+            F.element_at(F.col(sig_col), band * BAND_ROWS + r + 1).cast("string")
+            for r in range(BAND_ROWS)
+        ],
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -118,7 +129,7 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     skewed (very common) band keys are the salting candidate if a
     corpus has giant near-dup clusters.
     """
-    sigs = docs.select(F.col(id_col), *minhash_signature_cols("hs"))
+    sigs = docs.select(F.col(id_col), minhash_signature("hs").alias("sig"))
     bands = sigs.select(
         F.col(id_col),
         F.explode(
