@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stock_trend_predictor_spark.functions.exact import (
+    DECIMAL_T,
     exact_avg,
     exact_avg_sql,
     exact_sum,
     exact_sum_sql,
     stable_round,
+    stable_round_sql,
 )
 from stock_trend_predictor_spark.sources.tables import load_table
 
@@ -438,6 +440,99 @@ LIMIT 25
             .select("o_orderkey", "o_custkey", "o_totalprice")
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .limit(25)
+        )
+
+    @register(
+        "stats_battery",
+        oracle=f"""
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           {exact_sum_sql('l_quantity')} AS sx,
+           {exact_sum_sql('l_extendedprice')} AS sy,
+           {exact_sum_sql('l_quantity * l_quantity')} AS sxx,
+           {exact_sum_sql('l_extendedprice * l_extendedprice')} AS syy,
+           {exact_sum_sql('l_quantity * l_extendedprice')} AS sxy,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, p50_price, p95_price,
+       {stable_round_sql('sqrt((n * sxx - sx * sx) / (n * (n - 1)))', 6)}
+         AS stddev_qty,
+       {stable_round_sql(
+           '(n * sxy - sx * sy)'
+           ' / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
+         AS corr_qty_price
+FROM sums
+""",
+        doc="Statistical aggregate battery: exact interpolated "
+        "percentiles (Spark percentile() and DuckDB quantile_cont "
+        "produce bit-identical doubles on the same multiset), and "
+        "stddev/correlation derived from decimal-exact sufficient "
+        "sums rather than the engines' streaming moment algorithms "
+        "(which are partition-order dependent). All map-side "
+        "combinable; percentile is the one full-sort-per-group "
+        "aggregate (use approx_percentile at 100 TB when exactness "
+        "isn't contractual).",
+    )
+    def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        qd = F.col("l_quantity").cast(DECIMAL_T)
+        pd_ = F.col("l_extendedprice").cast(DECIMAL_T)
+        sums = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qd).cast("double").alias("sx"),
+            F.sum(pd_).cast("double").alias("sy"),
+            F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DECIMAL_T))
+            .cast("double").alias("sxx"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                    DECIMAL_T
+                )
+            ).cast("double").alias("syy"),
+            F.sum(
+                (F.col("l_quantity") * F.col("l_extendedprice")).cast(DECIMAL_T)
+            ).cast("double").alias("sxy"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        )
+        n = F.col("n")
+        sx, sy = F.col("sx"), F.col("sy")
+        sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+        return sums.select(
+            "l_returnflag",
+            "n",
+            "p50_price",
+            "p95_price",
+            stable_round(
+                F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1)))), 6
+            ).alias("stddev_qty"),
+            stable_round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr_qty_price"),
+        )
+
+    @register(
+        "sketch_cardinality",
+        oracle=None,  # approximate by design; error bound tested
+        doc="HyperLogLog++ cardinality sketch per order priority: "
+        "approx_count_distinct at rsd=0.02 — constant memory per "
+        "group vs the O(distinct) exact set, mergeable map-side; the "
+        "100 TB path for distinct-user / distinct-key profiling. "
+        "Approximate, so no value oracle; tests/test_oracle_parity "
+        "gate covers rows, tests/test_sketch.py asserts <=5% relative "
+        "error vs the exact count.",
+    )
+    def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,29 @@
+"""Approximate-aggregate error bounds (sketches have no value oracle;
+their contract is the error envelope)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.plans import REGISTRY
+from stock_trend_predictor_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_within_error_bound(spark):
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in REGISTRY["sketch_cardinality"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        rel_err = abs(approx[k] - e) / e
+        assert rel_err <= 0.05, f"{k}: approx {approx[k]} vs exact {e}"
