@@ -155,6 +155,72 @@ FROM documents
         )
 
     @register(
+        "corpus_clean_pipeline",
+        oracle=f"""
+WITH quality AS (
+    SELECT doc_id, lang, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS diversity
+    FROM documents
+), kept AS (
+    SELECT q.* FROM quality q
+    WHERE n_tokens >= 20 AND diversity >= 0.3
+), keepers AS (
+    SELECT md5(text) AS h, min(doc_id) AS keeper FROM kept GROUP BY md5(text)
+), deduped AS (
+    SELECT k.* FROM kept k JOIN keepers ON k.doc_id = keepers.keeper
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {stable_round_sql(
+           'CAST(SUM(CAST(diversity AS DECIMAL(27,6))) AS DOUBLE)'
+           ' / COUNT(diversity)', 6)} AS avg_diversity
+FROM deduped GROUP BY lang
+""",
+        doc="End-to-end corpus cleaning — the composed form of the "
+        "LLM-pipeline operators: quality filter (token count + "
+        "lexical diversity thresholds) -> exact dedup keeping the "
+        "lowest doc_id per content hash -> per-language token "
+        "accounting. One narrow pass for scoring, one digest shuffle "
+        "for dedup, one rollup; text never shuffles (only digests and "
+        "doc_ids move).",
+    )
+    def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split(F.col("text"), " ")
+        )
+        quality = docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size("_toks").alias("n_tokens"),
+            (
+                F.size(F.array_distinct(F.col("_toks"))).cast("double")
+                / F.size("_toks")
+            ).alias("diversity"),
+        )
+        kept = quality.where(
+            (F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.3)
+        )
+        keepers = (
+            kept.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keeper"))
+            .select("keeper")
+        )
+        deduped = kept.join(
+            keepers, kept.doc_id == keepers.keeper, "inner"
+        ).drop("keeper")
+        from stock_trend_predictor_spark.functions.exact import exact_avg
+
+        return deduped.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            stable_round(exact_avg("diversity"), 6).alias("avg_diversity"),
+        )
+
+    @register(
         "corpus_source_profile",
         oracle=f"""
 SELECT source, lang,

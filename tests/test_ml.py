@@ -70,6 +70,25 @@ def test_rf_pipeline_beats_baseline_and_is_deterministic(separable_ticks, tmp_pa
     assert a == b
 
 
+def test_mllib_stream_batch_scoring(spark, separable_ticks):
+    """ST7 MLlib variant: score_stream_batch applies the trained
+    pipeline to a micro-batch set-oriented."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.ml.pipeline import score_stream_batch
+
+    labeled = with_movement_label(separable_ticks)
+    res = train_and_evaluate(labeled)
+    batch = labeled.limit(50).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 09:30:00"))
+    )
+    scored = score_stream_batch(res.model, batch)
+    rows = scored.collect()
+    assert len(rows) == 50
+    assert set(scored.columns) == {"symbol", "ts", "prediction", "change_pct"}
+    assert all(r["prediction"] in (0, 1) for r in rows)
+
+
 def test_pergroup_linreg_recovers_slope(spark):
     # close = 2*open + 5 exactly → slope 2, intercept 5 per key
     rows = [
