@@ -257,6 +257,58 @@ def test_incremental_new_ticks_stateful(spark, tmp_path):
     spark.catalog.dropTempView("hwm_test")
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST4 late-data semantics. Spark guarantees bounded state, not
+    eager dropping: a late row is only dropped once the window's
+    state has been EVICTED, which happens one batch after the
+    watermark passes the window end (eviction uses the previous
+    batch's watermark). Hence three batches: (0) advance event time,
+    (1) evict+emit the old window, (2) the late row hits evicted
+    state and is dropped by the watermark predicate."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 10:30:00", "symbol": "AAPL", "close": 11.0},
+    ])
+    _write_jsonl(src / "b1.jsonl", [
+        {"timestamp": "2024-01-01 10:31:00", "symbol": "AAPL", "close": 11.5},
+    ])
+    _write_jsonl(src / "b2.jsonl", [
+        # one hour older than the watermark (10:21) by now
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 99.0},
+    ])
+    now = time.time()
+    for i, f in enumerate(["b0.jsonl", "b1.jsonl", "b2.jsonl"]):
+        os.utime(src / f, (now - 120 + i * 60, now - 120 + i * 60))
+
+    bars = windowed_ohlc(
+        read_tick_file_stream(spark, str(src), max_files_per_trigger=1),
+        bucket="5 minutes",
+        watermark_delay="10 minutes",
+    )
+    q = (
+        bars.writeStream.format("memory").queryName("late_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    rows = {
+        str(r["bar_start"]): r
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the finalized 09:30 window never saw the late 99.0 tick
+    assert rows["2024-01-01 09:30:00"]["n_ticks"] == 1
+    assert rows["2024-01-01 09:30:00"]["close"] == 10.0
+    spark.catalog.dropTempView("late_test")
+
+
 def test_streaming_inference_foreachbatch(spark, tmp_path):
     """ST7: train once on history, score the stream set-oriented in
     foreachBatch, per-symbol partitioned sink (S9)."""
