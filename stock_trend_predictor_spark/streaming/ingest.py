@@ -92,6 +92,64 @@ def dedup_ticks(ticks: DataFrame, watermark_delay: str = "10 minutes") -> DataFr
     )
 
 
+#: Change-event envelope (SURVEY §2.1 S6): the shape of a Mongo change
+#: stream event (streaming_processing/mongo_stream_etl.py:14-21,
+#: ml_model/predict_from_vm4.py:44-50) carried over a streaming table.
+CDC_SCHEMA = StructType(
+    [
+        StructField("operationType", StringType(), True),
+        StructField(
+            "fullDocument",
+            StructType(
+                [
+                    StructField("symbol", StringType(), True),
+                    StructField("open", DoubleType(), True),
+                    StructField("high", DoubleType(), True),
+                    StructField("low", DoubleType(), True),
+                    StructField("close", DoubleType(), True),
+                    StructField("volume", DoubleType(), True),
+                    StructField("time", StringType(), True),
+                    StructField("source", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def parse_cdc_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Change-event JSON → routed tick rows (S6 + P6/P7/P8).
+
+    Spark has no Mongo-CDC source, so the change feed is modeled as a
+    streaming table of envelope JSON (documented divergence, SURVEY §7
+    phase 3) — the routing semantics are preserved exactly:
+
+    - events without a fullDocument are skipped
+      (P6; mongo_stream_etl.py:19-21)
+    - symbol defaults to 'UNKNOWN', source to 'unknown'
+      (P7; mongo_stream_etl.py:23-31 `.get()` defaults)
+    - `time` renames to the canonical ts (P8; mongo_stream_etl.py:31)
+    """
+    doc = F.col("e.fullDocument")
+    return (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), CDC_SCHEMA).alias("e")
+        )
+        .where(doc.isNotNull())
+        .select(
+            F.coalesce(doc["symbol"], F.lit("UNKNOWN")).alias("symbol"),
+            F.to_timestamp(doc["time"]).alias("ts"),
+            doc["open"].alias("open"),
+            doc["high"].alias("high"),
+            doc["low"].alias("low"),
+            doc["close"].alias("close"),
+            doc["volume"].alias("volume"),
+            F.coalesce(doc["source"], F.lit("unknown")).alias("source"),
+        )
+    )
+
+
 def read_tick_kafka_stream(
     spark: SparkSession,
     topic: str = "stock-prices",

@@ -65,6 +65,32 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
 
 
+def test_cdc_envelope_routing_semantics(spark):
+    """S6 change-feed parse: fullDocument-less events skipped (P6),
+    .get()-style defaults applied (P7), time -> ts rename (P8) —
+    byte-for-byte the router's semantics from mongo_stream_etl.py."""
+    from stock_trend_predictor_spark.streaming.ingest import parse_cdc_envelope
+
+    events = [
+        {"operationType": "insert", "fullDocument": {
+            "symbol": "AAPL", "open": 1.0, "close": 2.0,
+            "time": "2024-01-01 09:30:00", "source": "history"}},
+        {"operationType": "insert", "fullDocument": {
+            "close": 5.0, "time": "2024-01-01 09:31:00"}},  # no symbol/source
+        {"operationType": "invalidate"},  # no fullDocument -> skipped
+    ]
+    raw = spark.createDataFrame(
+        [(json.dumps(e).encode(),) for e in events], "value binary"
+    )
+    rows = parse_cdc_envelope(raw).collect()
+    assert len(rows) == 2
+    by_ts = {str(r["ts"]): r for r in rows}
+    assert by_ts["2024-01-01 09:30:00"]["source"] == "history"
+    defaulted = by_ts["2024-01-01 09:31:00"]
+    assert defaulted["symbol"] == "UNKNOWN"
+    assert defaulted["source"] == "unknown"
+
+
 def test_streaming_dedup_idempotent(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
