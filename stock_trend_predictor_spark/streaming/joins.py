@@ -1,0 +1,54 @@
+"""Stream-stream joins (beyond the reference's surface; part of the
+complete Structured Streaming join story next to the static-broadcast
+join in streaming/scoring.py).
+
+The canonical market-data shape: align two live feeds (e.g. realtime
+ticks against the historical-replay feed, or trades against quotes)
+on key + bounded event-time proximity. Both sides carry watermarks so
+Spark can bound the join state: a buffered row is dropped once the
+other side's watermark passes its time + tolerance — without the time
+bound the state would grow forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_feeds_within(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Inner stream-stream join: rows of the two tick feeds with the
+    same symbol whose event times are within ``tolerance``
+    (right.ts in [left.ts - tolerance, left.ts]).
+
+    State bound: each side buffers at most watermark_delay + tolerance
+    of data per key — the exact condition Spark derives from the
+    watermark + time-range predicate.
+    """
+    l = (
+        left.withWatermark("ts", watermark_delay)
+        .select(
+            F.col("symbol"),
+            F.col("ts").alias("l_ts"),
+            F.col("close").alias("l_close"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark_delay)
+        .select(
+            F.col("symbol").alias("r_symbol"),
+            F.col("ts").alias("r_ts"),
+            F.col("close").alias("r_close"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("symbol") == F.col("r_symbol"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select("symbol", "l_ts", "l_close", "r_ts", "r_close")

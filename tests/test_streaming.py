@@ -245,6 +245,47 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert len({(r["symbol"], r["ts"]) for r in rt_rows}) == len(rt_rows)
 
 
+def test_stream_stream_join_within_tolerance(spark, tmp_path):
+    """Two live feeds joined on symbol + bounded event-time proximity
+    (watermarks on both sides bound the join state)."""
+    from stock_trend_predictor_spark.streaming.joins import join_feeds_within
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    _write_jsonl(lsrc / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 09:40:00", "symbol": "AAPL", "close": 11.0},
+    ])
+    _write_jsonl(rsrc / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:28:00", "symbol": "AAPL", "close": 9.8},
+        {"timestamp": "2024-01-01 09:29:00", "symbol": "MSFT", "close": 20.0},
+        {"timestamp": "2024-01-01 09:39:00", "symbol": "AAPL", "close": 10.9},
+    ])
+
+    joined = join_feeds_within(
+        read_tick_file_stream(spark, str(lsrc)),
+        read_tick_file_stream(spark, str(rsrc)),
+        tolerance="5 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["l_ts"]), r["r_close"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    # 09:30 matches the 09:28 right row (within 5m, same symbol; the
+    # MSFT row and the future 09:39 row do not); 09:40 matches 09:39
+    assert got == [
+        ("2024-01-01 09:30:00", 9.8),
+        ("2024-01-01 09:40:00", 10.9),
+    ]
+    spark.catalog.dropTempView("ss_join")
+
+
 def test_incremental_new_ticks_stateful(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
