@@ -516,6 +516,47 @@ FROM sums
         )
 
     @register(
+        "pivot_priority_by_status",
+        oracle=f"""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       {exact_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS rev_f,
+       {exact_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS rev_o,
+       {exact_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+        doc="Pivot: order counts and decimal-exact revenue per priority "
+        "x status, statuses widened to columns. Spark pivot with an "
+        "explicit value list compiles to one pass of filtered "
+        "aggregates (no second distinct-values job, deterministic "
+        "output schema) — always pass the values at 100 TB.",
+    )
+    def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        piv = (
+            o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                exact_sum("o_totalprice").alias("rev"),
+            )
+        )
+        # empty pivot cells count as 0 (matching FILTER semantics);
+        # empty revenue sums stay NULL in both engines
+        return piv.select(
+            "o_orderpriority",
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
+            F.coalesce("P_n", F.lit(0)).alias("n_p"),
+            F.col("F_rev").alias("rev_f"),
+            F.col("O_rev").alias("rev_o"),
+            F.col("P_rev").alias("rev_p"),
+        )
+
+    @register(
         "sketch_cardinality",
         oracle=None,  # approximate by design; error bound tested
         doc="HyperLogLog++ cardinality sketch per order priority: "
