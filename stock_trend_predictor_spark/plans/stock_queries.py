@@ -83,6 +83,42 @@ FROM ticks
         )
 
     @register(
+        "null_handling_battery",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE}
+SELECT tick_id,
+       symbol,
+       coalesce(open, 0.0) AS open_filled,
+       CAST(open IS NULL AS INT) AS is_series_head,
+       CAST(open IS NOT DISTINCT FROM close AS INT) AS flat_bar_nullsafe,
+       nullif(close, 0.0) AS close_nonzero,
+       ifnull(volume_missing.v, -1.0) AS volume_or_sentinel
+FROM ticks
+LEFT JOIN (SELECT NULL AS k, NULL::DOUBLE AS v) volume_missing ON FALSE
+""",
+        doc="Null-handling battery over the ticks view (whose lag()-"
+        "derived open IS NULL at each series head): coalesce fill, "
+        "null test, null-safe equality (Spark <=> / IS NOT DISTINCT "
+        "FROM), nullif, and sentinel default for a missing joined "
+        "column — the P5-P7 family generalized.",
+    )
+    def null_handling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        return t.select(
+            "tick_id",
+            "symbol",
+            F.coalesce("open", F.lit(0.0)).alias("open_filled"),
+            F.col("open").isNull().cast("int").alias("is_series_head"),
+            F.col("open").eqNullSafe(F.col("close")).cast("int").alias(
+                "flat_bar_nullsafe"
+            ),
+            F.nullif(F.col("close"), F.lit(0.0)).alias("close_nonzero"),
+            F.lit(None).cast("double").alias("_missing"),
+        ).withColumn(
+            "volume_or_sentinel", F.ifnull(F.col("_missing"), F.lit(-1.0))
+        ).drop("_missing")
+
+    @register(
         "prediction_frame",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE}

@@ -147,8 +147,11 @@ WHERE e.ts > wm.wm_ts
             .groupBy("user_id")
             .agg(F.max("ts").alias("wm_ts"))
         )
+        # No broadcast hint: wm's size is the distinct-user count, which
+        # only the optimizer can judge at runtime — AQE broadcasts it
+        # when it fits and shuffles both sides when it doesn't.
         return (
-            ev.join(F.broadcast(wm), "user_id")
+            ev.join(wm, "user_id")
             .where(F.col("ts") > F.col("wm_ts"))
             .select("event_id", "user_id", "ts", "value")
         )
