@@ -32,8 +32,10 @@ SCALE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast small dimension tables (region/nation/supplier-sized).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Columnar scan hygiene — on by default in Spark, pinned explicitly
-    # because the engine's scale story depends on them.
+    # Columnar scan hygiene — filter pushdown is on by default in
+    # Spark, pinned explicitly because the engine's scale story depends
+    # on it. (aggregatePushdown is also set but only takes effect under
+    # the v2 parquet reader; the default v1 path ignores it.)
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # Input split sizing: 128 MiB splits keep scan tasks uniform whether

@@ -171,6 +171,57 @@ def read_tick_kafka_stream(
     return parse_tick_envelope(raw)
 
 
+#: Symbols for the synthetic dev feed (the reference's 3-symbol
+#: universe, data_collection/fetch_stock.py:42).
+DEV_SYMBOLS = ("AAPL", "MSFT", "GOOGL")
+
+
+def synthetic_tick_columns(rate_df: DataFrame) -> DataFrame:
+    """Map a rate-source frame (timestamp, value) to synthetic ticks —
+    the S1 dev harness (SURVEY §2.1: rate source + synth mapping)
+    standing in for the yfinance poller. Deterministic in `value`, so
+    the mapping itself is batch-testable without a running stream."""
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in DEV_SYMBOLS]),
+        (F.col("value") % len(DEV_SYMBOLS) + 1).cast("int"),
+    )
+    base = (F.col("value") % 1000).cast("double")
+    return rate_df.select(
+        sym.alias("symbol"),
+        F.col("timestamp").alias("ts"),
+        (100.0 + base / 10.0).alias("open"),
+        (101.0 + base / 10.0).alias("high"),
+        (99.0 + base / 10.0).alias("low"),
+        (100.5 + base / 10.0).alias("close"),
+        (F.col("value") % 500 + 1).cast("double").alias("volume"),
+        F.lit("realtime").alias("source"),
+    )
+
+
+def synthetic_tick_stream(
+    spark: SparkSession, rows_per_second: int = 100
+) -> DataFrame:
+    """Unbounded synthetic tick stream from the built-in rate source."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return synthetic_tick_columns(rate)
+
+
+def stop_all_streams(spark: SparkSession) -> int:
+    """ST8 graceful shutdown: stop every active streaming query
+    (replaces the reference's SIGINT handlers,
+    data_collection/fetch_stock.py:13-18,
+    streaming_processing/features_engineering.py:8-13). Returns the
+    number of queries stopped; checkpoints make restart safe."""
+    active = list(spark.streams.active)
+    for q in active:
+        q.stop()
+    return len(active)
+
+
 def read_tick_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -65,6 +65,41 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
 
 
+def test_synthetic_tick_mapping_and_shutdown(spark, tmp_path):
+    """S1 dev harness: the rate→tick mapping applied to a batch frame
+    (deterministic in value); ST8: stop_all_streams drains actives."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.streaming.ingest import (
+        DEV_SYMBOLS,
+        stop_all_streams,
+        synthetic_tick_columns,
+    )
+
+    rate_like = spark.createDataFrame(
+        [(f"2024-01-01 09:30:{i:02d}", i) for i in range(9)],
+        "timestamp string, value long",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    ticks = synthetic_tick_columns(rate_like).collect()
+    assert len(ticks) == 9
+    assert {r["symbol"] for r in ticks} == set(DEV_SYMBOLS)
+    assert all(r["high"] >= r["close"] >= r["low"] for r in ticks)
+
+    # start a real stream, then stop it via the helper
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b0.jsonl", TICKS[:1])
+    q = (
+        read_tick_file_stream(spark, str(src))
+        .writeStream.format("memory").queryName("shutdown_test")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    assert stop_all_streams(spark) >= 1
+    assert not spark.streams.active
+    spark.catalog.dropTempView("shutdown_test")
+
+
 def test_cdc_envelope_routing_semantics(spark):
     """S6 change-feed parse: fullDocument-less events skipped (P6),
     .get()-style defaults applied (P7), time -> ts rename (P8) —
