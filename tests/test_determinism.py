@@ -1,0 +1,35 @@
+"""Partitioning-invariance: the engine's core exactness claim is that
+query results are bit-identical at ANY parallelism (decimal partial
+aggregation, stable rounding, deterministic tiebreaks). A cluster
+re-partitioning data must never change an answer — asserted here by
+running the same queries under different shuffle widths."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_trend_predictor_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "flagship_movement_rate",   # decimal avg of change%
+    "q1_pricing_summary",       # 8 decimal aggregates
+    "vwap_per_supplier",        # ratio of decimal sums
+    "pergroup_linreg_models",   # Arrow solve over decimal stats
+    "stats_battery",            # percentiles + sufficient-sum moments
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_invariant_to_shuffle_width(spark, name):
+    fn = REGISTRY[name].fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        narrow = sorted(map(tuple, fn(spark, SF_DIR).collect()), key=str)
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        wide = sorted(map(tuple, fn(spark, SF_DIR).collect()), key=str)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert narrow == wide  # bit-identical, not approximately equal
