@@ -83,6 +83,29 @@ FROM ticks
         )
 
     @register(
+        "unpivot_bar_fields",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE}
+SELECT tick_id, symbol, field, value
+FROM (
+    SELECT tick_id, symbol, open, close FROM ticks WHERE open IS NOT NULL
+) UNPIVOT (value FOR field IN (open, close))
+""",
+        doc="Unpivot (melt): wide OHLC fields to long (field, value) "
+        "rows — the inverse of pivot, used to feed per-field pipelines "
+        "(normalization, per-field stats) from one bar table. Narrow "
+        "generator, no shuffle.",
+    )
+    def unpivot_bar_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        return t.select("tick_id", "symbol", "open", "close").unpivot(
+            ids=["tick_id", "symbol"],
+            values=["open", "close"],
+            variableColumnName="field",
+            valueColumnName="value",
+        )
+
+    @register(
         "null_handling_battery",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE}
