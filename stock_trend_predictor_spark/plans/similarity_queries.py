@@ -100,6 +100,61 @@ FROM ranked WHERE rank <= 10
         )
 
     @register(
+        "array_function_battery",
+        oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, label,
+       len(v) AS dims,
+       len(list_filter(v, x -> x > 0)) AS n_positive,
+       CAST(list_max(v) AS DOUBLE) AS max_coord,
+       {stable_round_sql(
+           'list_aggregate(list_transform(v, x -> abs(x)), '
+           "'sum')", 6)} AS l1_norm,
+       CAST(list_contains(list_transform(v, x -> x > 0.5), true) AS INT)
+         AS any_gt_half,
+       {stable_round_sql('list_sort(v, ' + "'DESC'" + ')[1] + '
+                         'list_sort(v, ' + "'DESC'" + ')[2]', 6)}
+         AS top2_sum
+FROM e
+""",
+        doc="Array higher-order-function battery over the embedding "
+        "column: size, filter-count, max, transform+aggregate L1 norm, "
+        "exists, sort+slice — the ArrayType surface (SURVEY §1.2's "
+        "new-engine type additions), all codegen'd, mirrored by "
+        "DuckDB's list_* functions. Note: sequential-fold aggregate "
+        "keeps cross-engine bit-exactness for the L1 sum.",
+    )
+    def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import as_double
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+        v = F.col("v")
+        desc = F.reverse(F.array_sort(v))
+        return e.select(
+            "vec_id",
+            "label",
+            F.size(v).alias("dims"),
+            F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+            F.array_max(v).cast("double").alias("max_coord"),
+            stable_round(
+                F.aggregate(
+                    F.transform(v, F.abs),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l1_norm"),
+            F.exists(v, lambda x: x > 0.5).cast("int").alias("any_gt_half"),
+            stable_round(
+                F.element_at(desc, 1) + F.element_at(desc, 2), 6
+            ).alias("top2_sum"),
+        )
+
+    @register(
         "embedding_norm_stats",
         oracle=f"""
 SELECT label,
