@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from stock_trend_predictor_spark.functions.text import (
     hash28_sql,
-    word_ngrams,
     word_ngrams_sql,
 )
 

@@ -18,7 +18,6 @@ one.)
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from stock_trend_predictor_spark.functions.exact import stable_round, stable_round_sql
 from stock_trend_predictor_spark.functions.text import (
