@@ -27,12 +27,16 @@ from pyspark.sql.types import (
 def windowed_ohlc(
     ticks: DataFrame,
     bucket: str = "5 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: str | None = "10 minutes",
 ) -> DataFrame:
     """Tumbling event-time OHLC bars per symbol (append-able once the
-    watermark passes the window end)."""
+    watermark passes the window end). Pass ``watermark_delay=None``
+    when the input already carries a watermark (e.g. downstream of
+    dedup_ticks) — Spark disallows redefining it in one query."""
+    if watermark_delay is not None:
+        ticks = ticks.withWatermark("ts", watermark_delay)
     return (
-        ticks.withWatermark("ts", watermark_delay)
+        ticks
         .groupBy("symbol", F.window("ts", bucket).alias("w"))
         .agg(
             F.min_by("close", "ts").alias("open"),
