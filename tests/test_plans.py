@@ -46,6 +46,15 @@ def test_global_topk_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_no_cartesian(spark):
+    """The as-of join must stay union+window — a range-join fallback
+    (BroadcastNestedLoopJoin / CartesianProduct) explodes at scale."""
+    plan = _plan(spark, "asof_join_purchase_view")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
 def test_dedup_exact_partial_aggregation(spark):
     plan = _plan(spark, "dedup_exact")
     # map-side combine before the exchange: two HashAggregate levels
