@@ -576,6 +576,24 @@ GROUP BY o_orderpriority
             F.count(F.lit(1)).alias("n_orders"),
         )
 
+    @register(
+        "sketch_quantiles",
+        oracle=None,  # approximate by design; error bound tested
+        doc="approx_percentile quantile sketch (p50/p95/p99 of order "
+        "totals per priority): bounded-memory mergeable quantiles — "
+        "the 100 TB replacement for exact percentile's per-group full "
+        "sort. Accuracy parameter 10000 => rank error ~1e-4. Error "
+        "bound vs exact asserted in tests/test_sketch.py.",
+    )
+    def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("p_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
     # ------------------------------------------------------------------
     # Scalar function battery (SURVEY §2.8 F1-F10)
     # ------------------------------------------------------------------

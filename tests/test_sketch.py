@@ -11,6 +11,27 @@ from stock_trend_predictor_spark.sources.tables import load_table
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def test_approx_quantiles_within_error_bound(spark):
+    approx = {
+        r["o_orderpriority"]: r["p_approx"]
+        for r in REGISTRY["sketch_quantiles"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["p"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.5, 0.95, 0.99))"
+            ).alias("p")
+        )
+        .collect()
+    }
+    for k, ex in exact.items():
+        for a, e in zip(approx[k], ex):
+            assert abs(a - e) / e <= 0.02, f"{k}: {a} vs {e}"
+
+
 def test_hll_within_error_bound(spark):
     approx = {
         r["o_orderpriority"]: r["approx_customers"]
