@@ -65,6 +65,47 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
 
 
+def test_rocksdb_state_store_dedup(spark, tmp_path):
+    """At 100 TB streaming state must live off-heap: the RocksDB
+    provider keeps dedup/aggregation state on local disk with
+    changelog checkpointing, instead of the default in-heap HDFS
+    provider. Same query, same results — only the state backend
+    swaps."""
+    orig = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        _write_jsonl(src / "batch0.jsonl", TICKS)
+        stream = dedup_ticks(read_tick_file_stream(spark, str(src)))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocksdb_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT symbol, ts FROM rocksdb_dedup").collect()
+        assert len(out) == 3  # duplicate removed, same as default store
+        assert len({(r["symbol"], r["ts"]) for r in out}) == 3
+        spark.catalog.dropTempView("rocksdb_dedup")
+    finally:
+        if orig is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", orig
+            )
+
+
 def test_synthetic_tick_mapping_and_shutdown(spark, tmp_path):
     """S1 dev harness: the rate→tick mapping applied to a batch frame
     (deterministic in value); ST8: stop_all_streams drains actives."""
