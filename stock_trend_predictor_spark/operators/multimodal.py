@@ -67,6 +67,50 @@ def fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
     return len(payload), digest, width, height, n_frames
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def fake_probe_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB audio probe — deterministic fake of an ffprobe/soundfile
+    header read (the audio libs are not in this container). Derived
+    from md5 so the Arrow round trip is oracle-checkable."""
+    digest = hashlib.md5(payload).hexdigest()
+    sample_rate = _SAMPLE_RATES[int(digest[:4], 16) % len(_SAMPLE_RATES)]
+    n_samples = int(digest[4:12], 16) % 10_000_000 + 1
+    duration_ms = n_samples * 1000 // sample_rate
+    return len(payload), sample_rate, n_samples, duration_ms
+
+
+def probe_audio(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched audio header probe: mapInPandas over the binary
+    column — same plumbing as decode_metadata, audio-shaped output."""
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [fake_probe_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [p[0] for p in probed],
+                    "sample_rate": [p[1] for p in probed],
+                    "n_samples": [p[2] for p in probed],
+                    "duration_ms": [p[3] for p in probed],
+                }
+            )
+
+    return with_payload.mapInPandas(probe_batches, schema=AUDIO_SCHEMA)
+
+
 def thumbnail_dims(decoded: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize planning: integer thumbnail dims that fit ``max_side``,
     preserving aspect ratio. Pure expression over the decoded metadata

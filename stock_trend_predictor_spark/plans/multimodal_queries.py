@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from stock_trend_predictor_spark.operators.multimodal import (
     attach_payload,
     decode_metadata,
+    probe_audio,
     sample_frames,
     thumbnail_dims,
 )
@@ -77,6 +78,36 @@ FROM decoded, unnest(range(0, n_frames, 7)) f(f)
         return frames.select(
             "doc_id", "frame_idx", "frame_fingerprint", "thumb_w", "thumb_h"
         )
+
+    @register(
+        "multimodal_audio_probe",
+        oracle="""
+WITH rates(i, r) AS (VALUES (0, 8000), (1, 16000), (2, 22050),
+                            (3, 44100), (4, 48000)),
+probed AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           (SELECT r FROM rates
+            WHERE i = CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 5)
+             AS sample_rate,
+           CAST(('0x' || substr(md5(text), 5, 8)) AS BIGINT) % 10000000 + 1
+             AS n_samples
+    FROM documents
+)
+SELECT doc_id, n_bytes, CAST(sample_rate AS INTEGER) AS sample_rate,
+       n_samples,
+       n_samples * 1000 // sample_rate AS duration_ms
+FROM probed
+""",
+        doc="Audio header probe: BinaryType payload -> mapInPandas "
+        "(Arrow-batched) ffprobe-style stub -> sample rate / sample "
+        "count / duration. Same plumbing as the image decode, "
+        "audio-shaped; a real soundfile/ffprobe call replaces "
+        "fake_probe_audio 1:1 (operators/multimodal.py).",
+    )
+    def multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return probe_audio(attach_payload(docs))
 
     @register(
         "multimodal_size_profile",
