@@ -65,6 +65,40 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
 
 
+def test_update_mode_reemits_changed_windows(spark, tmp_path):
+    """ST3 update mode: a window re-emits each micro-batch that
+    changes it (vs append's emit-once-when-final) — the mode for
+    live dashboards reading partial aggregates."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+    ])
+    _write_jsonl(src / "b1.jsonl", [
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 12.0},
+    ])
+    now = time.time()
+    os.utime(src / "b0.jsonl", (now - 60, now - 60))
+    os.utime(src / "b1.jsonl", (now, now))
+
+    bars = windowed_ohlc(
+        read_tick_file_stream(spark, str(src), max_files_per_trigger=1),
+        bucket="5 minutes",
+    )
+    q = (
+        bars.writeStream.format("memory").queryName("upd_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emissions = sorted(
+        (r["n_ticks"], r["close"])
+        for r in spark.sql("SELECT * FROM upd_test").collect()
+    )
+    # same window emitted twice: once per batch that changed it
+    assert emissions == [(1, 10.0), (2, 12.0)]
+    spark.catalog.dropTempView("upd_test")
+
+
 def test_rocksdb_state_store_dedup(spark, tmp_path):
     """At 100 TB streaming state must live off-heap: the RocksDB
     provider keeps dedup/aggregation state on local disk with
