@@ -50,6 +50,46 @@ GROUP BY md5(text)
         )
 
     @register(
+        "dedup_keep_best",
+        oracle=f"""
+WITH normed AS (
+    SELECT doc_id, n_chars, lang,
+           md5({normalized_text_sql('text')}) AS norm_hash
+    FROM documents
+)
+SELECT norm_hash,
+       count(*) AS n_copies,
+       max_by(doc_id, n_chars * 10000000000 - doc_id) AS kept_doc_id,
+       max(n_chars) AS kept_n_chars
+FROM normed
+GROUP BY norm_hash
+""",
+        doc="Keep-best dedup: group by the normalized-text hash and "
+        "keep the highest-quality copy (longest; lowest doc_id as "
+        "tiebreak) — the keep policy real corpus pipelines use instead "
+        "of keep-first. max_by on a single (quality, -id)-encoded "
+        "bigint key is one map-side-combinable aggregate; no window, "
+        "no second pass.",
+    )
+    def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        normed = docs.select(
+            "doc_id",
+            "n_chars",
+            F.md5(normalized_text("text")).alias("norm_hash"),
+        )
+        # single sortable key: quality major, lowest-id tiebreak
+        best = F.max_by(
+            "doc_id",
+            F.col("n_chars") * F.lit(10_000_000_000) - F.col("doc_id"),
+        )
+        return normed.groupBy("norm_hash").agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            best.alias("kept_doc_id"),
+            F.max("n_chars").alias("kept_n_chars"),
+        )
+
+    @register(
         "dedup_fingerprint",
         oracle=f"""
 SELECT doc_id,
