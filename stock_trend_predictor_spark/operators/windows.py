@@ -71,6 +71,51 @@ def asof_join(
     return filled.where(F.col(tag) == 1).drop(tag)
 
 
+def bucketed_lag(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    bucket: str = "1 day",
+    out: str = "prev_value",
+) -> DataFrame:
+    """lag(value) over (partition by key order by ts) — computed
+    scalably for LOW-cardinality keys.
+
+    A plain per-key window caps parallelism at #keys (the reference's
+    3-symbol universe would put a third of 100 TB in one sort task).
+    Two passes fix it:
+
+    1. lag within (key, time-bucket) — shuffle on (key, bucket), so
+       parallelism is #keys × #buckets;
+    2. each bucket's head row takes the previous bucket's last value,
+       carried by a window over the tiny per-(key, bucket) aggregate
+       (#keys × #buckets rows) joined back.
+
+    Requires globally unique ``ts`` per key (true for the driver data;
+    add a tiebreak column otherwise). Result is row-identical to the
+    plain window — asserted by the rolling_lag_bucketed oracle.
+    """
+    with_bucket = df.withColumn("__bucket", F.window(ts, bucket)["start"])
+    w_in = Window.partitionBy(key, "__bucket").orderBy(ts)
+    in_bucket = with_bucket.withColumn(out, F.lag(value).over(w_in))
+
+    per_bucket = (
+        with_bucket.groupBy(key, "__bucket")
+        .agg(F.max_by(value, ts).alias("__last"))
+    )
+    w_b = Window.partitionBy(key).orderBy("__bucket")
+    carry = per_bucket.withColumn(
+        "__prev_last", F.lag("__last").over(w_b)
+    ).select(key, "__bucket", "__prev_last")
+
+    return (
+        in_bucket.join(carry, [key, "__bucket"], "left")
+        .withColumn(out, F.coalesce(F.col(out), F.col("__prev_last")))
+        .drop("__bucket", "__prev_last")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

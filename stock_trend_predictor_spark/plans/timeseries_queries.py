@@ -78,6 +78,37 @@ FROM events
         )
 
     @register(
+        "rolling_lag_bucketed",
+        oracle="""
+SELECT event_id, event_type AS symbol, value,
+       lag(value) OVER (PARTITION BY event_type ORDER BY ts)
+         AS prev_value
+FROM events
+""",
+        doc="Scalable lag for LOW-cardinality keys: lag within "
+        "(key, day-bucket) + previous-bucket last-value carry — "
+        "parallelism #keys x #buckets instead of #keys (a plain "
+        "per-symbol window puts a third of 100 TB in one sort task "
+        "for a 3-symbol universe). Oracle is the PLAIN per-key lag: "
+        "the two-pass form must be row-identical.",
+    )
+    def rolling_lag_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.windows import bucketed_lag
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        out = bucketed_lag(
+            ev, key="event_type", ts="ts", value="value", bucket="1 day"
+        )
+        return out.select(
+            "event_id",
+            F.col("event_type").alias("symbol"),
+            "value",
+            "prev_value",
+        )
+
+    @register(
         "resample_ohlc_bars",
         oracle=f"""
 SELECT event_type AS symbol,
