@@ -73,7 +73,10 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the lag() shuffles once on symbol. Symbol is the natural
     partition key downstream too (per-key training, per-key sinks), so
-    this one shuffle is reused by every consumer of the view.
+    this one shuffle is reused by every consumer of the view. With a
+    low-cardinality symbol universe at 100 TB, swap the plain window
+    for operators/windows.py::bucketed_lag (oracle-proven identical,
+    parallelism #keys × #buckets — see query rolling_lag_bucketed).
     """
     from pyspark.sql.window import Window
 
