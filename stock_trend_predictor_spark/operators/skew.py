@@ -55,6 +55,52 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def pair_parallel_self_join(
+    df: DataFrame,
+    block: str,
+    id_col: str,
+    n_splits: int = 4,
+) -> DataFrame:
+    """All unordered within-block pairs, with parallelism
+    #blocks × n_splits(n_splits+1)/2 instead of #blocks.
+
+    A blocked self-join shuffles on the block key alone, so a
+    low-cardinality block column caps the pair enumeration at #blocks
+    tasks. Triangle decomposition fixes it: rows hash into n_splits
+    sub-buckets; the left side replicates to every combo (sb, j>=sb),
+    the right to every (i<=sb, sb); joining on (block, i, j) lands
+    each unordered pair in exactly one combo partition (same-bucket
+    combos deduplicate by id order). Replication factor is
+    (n_splits+1)/2 per side — the standard cost of pair-parallelism.
+
+    Returns columns of both sides aliased ``a``/``b`` (access via
+    F.col("a.x") / F.col("b.x")); every a-row/b-row pair is a distinct
+    unordered pair of the input (a.id < b.id within equal sub-buckets;
+    across sub-buckets orientation is by bucket, not id).
+    """
+    d = df.withColumn(
+        "_sb", (F.pmod(F.hash(F.col(id_col)), n_splits)).cast("int")
+    )
+    left = d.withColumn(
+        "_cj", F.explode(F.sequence(F.col("_sb"), F.lit(n_splits - 1)))
+    ).alias("a")
+    right = d.withColumn(
+        "_ci", F.explode(F.sequence(F.lit(0), F.col("_sb")))
+    ).alias("b")
+    return (
+        left.join(
+            right,
+            (F.col(f"a.{block}") == F.col(f"b.{block}"))
+            & (F.col("a._sb") == F.col("b._ci"))
+            & (F.col("a._cj") == F.col("b._sb")),
+        )
+        .where(
+            (F.col("a._sb") != F.col("b._sb"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    )
+
+
 def salted_count_distinct(
     df: DataFrame, key: str, value: str, n_salts: int = 8
 ) -> DataFrame:

@@ -238,27 +238,27 @@ WHERE {_PAIR_COS} >= 0.35
             dot,
             l2norm,
         )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
 
         # Norms precomputed once per vector, not once per pair: for
         # B-row blocks that turns 3 O(dim) folds per pair into 1
         # (bit-identical result — same inputs, same IEEE ops; the
-        # oracle's per-pair sqrt yields the same double).
+        # oracle's per-pair sqrt yields the same double). Pair
+        # enumeration via the triangle decomposition: 10 labels alone
+        # would cap the CPU-bound scoring at 10 tasks.
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", as_double("embedding").alias("v")
         )
         e = e.withColumn("nrm", l2norm(F.col("v")))
-        a, b = e.alias("a"), e.alias("b")
+        pairs = pair_parallel_self_join(e, block="label", id_col="vec_id")
         cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
         return (
-            a.join(
-                b,
-                (F.col("a.label") == F.col("b.label"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
+            pairs.select(
                 F.col("a.label").alias("label"),
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
                 cos.alias("cos_raw"),
             )
             .where(F.col("cos_raw") >= 0.35)

@@ -54,6 +54,33 @@ def test_salted_count_distinct_exact(spark):
     assert plain == salted
 
 
+def test_pair_parallel_self_join_is_exact_pair_set(spark):
+    """Triangle decomposition must enumerate every unordered
+    within-block pair exactly once."""
+    from itertools import combinations
+
+    from stock_trend_predictor_spark.operators.skew import (
+        pair_parallel_self_join,
+    )
+
+    rows = [(i, f"b{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, blk string")
+    got = sorted(
+        (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+        for r in pair_parallel_self_join(df, "blk", "id", n_splits=4)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .collect()
+    )
+    want = sorted(
+        (a, b)
+        for blk in ("b0", "b1", "b2")
+        for a, b in combinations(
+            sorted(i for i, bl in rows if bl == blk), 2
+        )
+    )
+    assert got == want
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed co-partitioned tables sort-merge-join with zero
     shuffle — the 100 TB co-location strategy, demonstrated on the
