@@ -21,6 +21,7 @@ from stock_trend_predictor_spark.streaming.ingest import (
 from stock_trend_predictor_spark.streaming.routing import route_by_source
 from stock_trend_predictor_spark.streaming.windows import (
     incremental_new_ticks,
+    incremental_new_ticks_tws,
     session_activity,
     sliding_volume,
     windowed_ohlc,
@@ -63,6 +64,46 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     # corrupt row captured, not silently dropped
     corrupt = [r for r in parsed.collect() if r["is_corrupt"]]
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
+
+
+def test_incremental_new_ticks_transform_with_state(spark, tmp_path):
+    """Same high-watermark semantics on the transformWithStateInPandas
+    API (RocksDB-backed named ValueState). The API's state-server
+    protocol needs protobuf, which this container lacks — skip there
+    (the applyInPandasWithState twin above covers the semantics)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 11.0},
+    ])
+    _write_jsonl(src / "batch1.jsonl", [
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 11.0},
+        {"timestamp": "2024-01-01 09:32:00", "symbol": "AAPL", "close": 12.0},
+    ])
+    now = time.time()
+    os.utime(src / "batch0.jsonl", (now - 60, now - 60))
+    os.utime(src / "batch1.jsonl", (now, now))
+
+    stream = incremental_new_ticks_tws(
+        read_tick_file_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = sorted(
+        spark.sql("SELECT ts, close FROM tws_test").collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [r["close"] for r in out] == [10.0, 11.0, 12.0]
+    spark.catalog.dropTempView("tws_test")
 
 
 def test_update_mode_reemits_changed_windows(spark, tmp_path):
