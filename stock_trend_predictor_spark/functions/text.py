@@ -50,11 +50,13 @@ def word_ngrams(col: str = "text", n: int = 3) -> Column:
     ``transform(sequence(...))`` over the token array — the classic
     shingle expansion without an explode, so no row blow-up before the
     MinHash reduction. Documents shorter than n words yield one
-    shingle of all their words (concat_ws skips the null slots — same
-    behavior as DuckDB's concat_ws with out-of-range list indexes).
+    shingle of all their words: ``try_element_at`` yields NULL out of
+    range even under ANSI mode (plain element_at would throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT), and concat_ws skips the null
+    slots — same behavior as DuckDB's out-of-range list indexing.
     """
     toks = f"split({col}, ' ')"
-    concat = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    concat = ", ".join(f"try_element_at({toks}, i + {j})" for j in range(n))
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', {concat})))"

@@ -60,8 +60,14 @@ def with_shingle_hashes(
     (O(tokens²) parsing — measured 3.5× slower); a bound column is
     evaluated once per row, and CollapseProject keeps it that way
     because the alias is referenced many times.
+
+    ``try_element_at`` (not element_at): documents shorter than n
+    tokens index past the array, which under ANSI mode would throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT; try_element_at yields NULL and
+    concat_ws skips the null slots, matching DuckDB's out-of-range
+    list indexing.
     """
-    concat = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
+    concat = ", ".join(f"try_element_at(_toks, i + {j})" for j in range(n))
     expr = F.expr(
         f"transform(array_distinct(transform("
         f"sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
@@ -193,8 +199,12 @@ toks AS (
     FROM tokhash, (SELECT unnest(range({SIMHASH_BITS})) AS i) i
     GROUP BY doc_id, i.i
 ), simhashed AS (
+    -- CAST the SUM: DuckDB widens SUM(BIGINT) to HUGEINT (int128),
+    -- which the driver's type-sensitive value hash would flag against
+    -- Spark's BIGINT even when values are identical.
     SELECT doc_id,
-           SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bitvotes GROUP BY doc_id
 )
 """

@@ -583,15 +583,27 @@ GROUP BY o_orderpriority
         "totals per priority): bounded-memory mergeable quantiles — "
         "the 100 TB replacement for exact percentile's per-group full "
         "sort. Accuracy parameter 10000 => rank error ~1e-4. Error "
-        "bound vs exact asserted in tests/test_sketch.py.",
+        "bound vs exact asserted in tests/test_sketch.py. Scalar "
+        "p50/p95/p99 columns (one sketch, element_at projections) — "
+        "array output columns crash the driver's canonicalizer.",
     )
     def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = load_table(spark, sf_dir, "orders")
-        return o.groupBy("o_orderpriority").agg(
-            F.expr(
-                "approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("p_approx"),
-            F.count(F.lit(1)).alias("n_orders"),
+        return (
+            o.groupBy("o_orderpriority")
+            .agg(
+                F.expr(
+                    "approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
+                ).alias("_p"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .select(
+                "o_orderpriority",
+                F.element_at("_p", 1).alias("p50"),
+                F.element_at("_p", 2).alias("p95"),
+                F.element_at("_p", 3).alias("p99"),
+                "n_orders",
+            )
         )
 
     # ------------------------------------------------------------------

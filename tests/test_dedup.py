@@ -1,0 +1,89 @@
+"""Dedup operator unit tests — short-document edge cases.
+
+Documents shorter than the shingle width n used to throw
+INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode
+(element_at past the token array). try_element_at yields NULL out of
+range, concat_ws skips the nulls, and the doc contributes one shingle
+of all its words — identical to DuckDB's out-of-range list indexing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from stock_trend_predictor_spark.functions.text import (
+    word_ngrams,
+    word_ngrams_sql,
+)
+from stock_trend_predictor_spark.operators.dedup import (
+    simhash,
+    token_hashes,
+    with_shingle_hashes,
+)
+
+SHORT_DOCS = [
+    (1, "solitary"),
+    (2, "two words"),
+    (3, "exactly three tokens"),
+    (4, "a document with plenty of words to shingle"),
+]
+
+
+def _short_df(spark):
+    return spark.createDataFrame(SHORT_DOCS, "doc_id int, text string")
+
+
+def test_word_ngrams_short_docs_no_ansi_crash(spark):
+    rows = (
+        _short_df(spark)
+        .select("doc_id", word_ngrams("text", 3).alias("ng"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    got = {r["doc_id"]: sorted(r["ng"]) for r in rows}
+    assert got[1] == ["solitary"]
+    assert got[2] == ["two words"]
+    assert got[3] == ["exactly three tokens"]
+    assert len(got[4]) == 6  # 8 tokens -> 6 trigrams, all distinct
+
+
+def test_word_ngrams_matches_duckdb_on_short_docs(spark):
+    spark_rows = {
+        r["doc_id"]: sorted(r["ng"])
+        for r in _short_df(spark)
+        .select("doc_id", word_ngrams("text", 3).alias("ng"))
+        .collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in SHORT_DOCS)
+    duck_rows = con.execute(
+        f"SELECT doc_id, {word_ngrams_sql('text', 3)} AS ng "
+        f"FROM (VALUES {values}) AS d(doc_id, text)"
+    ).fetchall()
+    con.close()
+    assert {i: sorted(ng) for i, ng in duck_rows} == spark_rows
+
+
+def test_with_shingle_hashes_short_docs(spark):
+    rows = (
+        with_shingle_hashes(_short_df(spark), "text", out="hs", n=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    sizes = {r["doc_id"]: len(r["hs"]) for r in rows}
+    assert sizes == {1: 1, 2: 1, 3: 1, 4: 6}
+    # hashes are 28-bit non-null bigints
+    for r in rows:
+        for h in r["hs"]:
+            assert h is not None and 0 <= h < (1 << 28)
+
+
+def test_simhash_short_docs(spark):
+    rows = (
+        _short_df(spark)
+        .select("doc_id", token_hashes("text").alias("hs"))
+        .select("doc_id", simhash("hs").alias("sh"))
+        .collect()
+    )
+    for r in rows:
+        assert r["sh"] is not None and 0 <= r["sh"] < (1 << 28)

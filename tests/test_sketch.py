@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def test_approx_quantiles_within_error_bound(spark):
     approx = {
-        r["o_orderpriority"]: r["p_approx"]
+        r["o_orderpriority"]: (r["p50"], r["p95"], r["p99"])
         for r in REGISTRY["sketch_quantiles"].fn(spark, SF_DIR).collect()
     }
     exact = {
