@@ -121,7 +121,12 @@ def band_key(band: int, sig_col: str = "sig") -> Column:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int = 64,
+    n_splits: int = 8,
+) -> DataFrame:
     """Banded LSH: docs with an identical signature band become
     candidate pairs (doc_a < doc_b, deduplicated across bands).
 
@@ -130,10 +135,22 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     self-join would evaluate the md5 shingle pipeline on both sides),
     and the shuffle moves only (band_key, doc_id) pairs — at 100 TB
     that is b small shuffles of 8-byte keys, never document text.
-    Bucket pair expansion is quadratic per bucket by nature of LSH;
-    skewed (very common) band keys are the salting candidate if a
-    corpus has giant near-dup clusters.
+
+    Bucket pair expansion is quadratic per bucket by nature of LSH,
+    so a giant near-dup cluster (boilerplate pages in a web corpus)
+    would put one bucket's entire O(n²) expansion — and its
+    collect_list array — in a single task. Mega-buckets (> bucket_cap
+    members) are therefore routed through the triangle decomposition
+    (operators/skew.py::pair_parallel_self_join) instead: their pair
+    enumeration spreads over n_splits(n_splits+1)/2 tasks per bucket
+    and no task ever materializes a whole bucket. Pair output is
+    identical either way (law tested in
+    tests/test_dedup.py::test_lsh_mega_bucket_cap_same_pairs).
     """
+    from stock_trend_predictor_spark.operators.skew import (
+        pair_parallel_self_join,
+    )
+
     sigs = docs.select(F.col(id_col), minhash_signature("hs").alias("sig"))
     bands = sigs.select(
         F.col(id_col),
@@ -146,17 +163,35 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.bkey")
-    buckets = (
-        bands.groupBy("band_id", "bkey")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .where(F.size("ids") > 1)
+    # Bucket sizes via a window count over ONE shuffle of bands: the
+    # expensive part (minhash signatures) sits below that exchange and
+    # is computed once — Spark's ReuseExchange dedups the shuffle for
+    # both the small and mega branches. collect_list then runs ONLY on
+    # <= bucket_cap buckets: the giant array of a mega-bucket is never
+    # built anywhere (collect_list on an uncapped bucket is itself the
+    # OOM being defended against, so splitting after the fact would be
+    # too late).
+    from pyspark.sql import Window
+
+    sized = bands.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "bkey"))
     )
-    return (
-        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+    small_pairs = (
+        sized.where((F.col("_n") > 1) & (F.col("_n") <= bucket_cap))
+        .groupBy("band_id", "bkey")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    mega_rows = sized.where(F.col("_n") > bucket_cap).drop("_n")
+    mega_pairs = pair_parallel_self_join(
+        mega_rows, block=["band_id", "bkey"], id_col=id_col, n_splits=n_splits
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+    )
+    return small_pairs.unionByName(mega_pairs).distinct()
 
 
 def jaccard_of_hash_arrays(a: Column | str, b: Column | str) -> Column:

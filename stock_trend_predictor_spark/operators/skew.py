@@ -48,6 +48,18 @@ def salted_join(
     dim side is small enough to replicate (else: AQE skew split or
     broadcast).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        # right/full outer would keep every exploded replica of an
+        # unmatched dim row, duplicating it n_salts-fold; the law
+        # "row-identical to the unsalted join" only holds when
+        # unmatched *dim* rows never survive.
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — unmatched dim rows "
+            f"are replicated {n_salts}x by explode_salts, so only "
+            f"inner/left/semi/anti preserve unsalted-join semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     f = with_salt(fact, n_salts)
     d = explode_salts(dim, n_salts)
@@ -57,12 +69,13 @@ def salted_join(
 
 def pair_parallel_self_join(
     df: DataFrame,
-    block: str,
+    block: str | list[str],
     id_col: str,
     n_splits: int = 4,
 ) -> DataFrame:
     """All unordered within-block pairs, with parallelism
     #blocks × n_splits(n_splits+1)/2 instead of #blocks.
+    ``block`` may be one column name or a list (composite block key).
 
     A blocked self-join shuffles on the block key alone, so a
     low-cardinality block column caps the pair enumeration at #blocks
@@ -78,6 +91,7 @@ def pair_parallel_self_join(
     unordered pair of the input (a.id < b.id within equal sub-buckets;
     across sub-buckets orientation is by bucket, not id).
     """
+    blocks = [block] if isinstance(block, str) else list(block)
     d = df.withColumn(
         "_sb", (F.pmod(F.hash(F.col(id_col)), n_splits)).cast("int")
     )
@@ -87,10 +101,14 @@ def pair_parallel_self_join(
     right = d.withColumn(
         "_ci", F.explode(F.sequence(F.lit(0), F.col("_sb")))
     ).alias("b")
+    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocks]
+    cond = block_eq[0]
+    for c in block_eq[1:]:
+        cond = cond & c
     return (
         left.join(
             right,
-            (F.col(f"a.{block}") == F.col(f"b.{block}"))
+            cond
             & (F.col("a._sb") == F.col("b._ci"))
             & (F.col("a._cj") == F.col("b._sb")),
         )

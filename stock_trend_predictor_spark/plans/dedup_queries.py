@@ -287,30 +287,31 @@ JOIN shingled b
 """,
         doc="Blocked exact n-gram Jaccard: candidate pairs restricted "
         "to identical (lang, n_chars) blocks — the classic blocking "
-        "strategy that keeps exact-similarity affordable; each block "
-        "is a co-partitioned self-join, no global cross product.",
+        "strategy that keeps exact-similarity affordable; no global "
+        "cross product. Pair enumeration via the triangle "
+        "decomposition (pair_parallel_self_join): a plain blocked "
+        "self-join shuffles on the block key alone, so the CPU-bound "
+        "Jaccard scoring would be capped at #(lang, n_chars) tasks — "
+        "the same treatment dedup_embedding_cosine already has.",
     )
     def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
         docs = D.with_shingle_hashes(
             load_table(spark, sf_dir, "documents").repartition(
                 spark.sparkContext.defaultParallelism, "doc_id"
             )
         ).select("doc_id", "lang", "n_chars", "hs")
-        a = docs.alias("a")
-        b = docs.alias("b")
+        pairs = pair_parallel_self_join(
+            docs, block=["lang", "n_chars"], id_col="doc_id"
+        )
         jac = D.jaccard_of_hash_arrays(F.col("a.hs"), F.col("b.hs"))
-        return (
-            a.join(
-                b,
-                (F.col("a.lang") == F.col("b.lang"))
-                & (F.col("a.n_chars") == F.col("b.n_chars"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                stable_round(jac, 6).alias("jaccard"),
-            )
+        return pairs.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            stable_round(jac, 6).alias("jaccard"),
         )
 
 

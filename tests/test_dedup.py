@@ -78,6 +78,36 @@ def test_with_shingle_hashes_short_docs(spark):
             assert h is not None and 0 <= h < (1 << 28)
 
 
+def test_lsh_mega_bucket_cap_same_pairs(spark):
+    """A near-dup cluster larger than bucket_cap must route through
+    the triangle decomposition and yield EXACTLY the pairs the plain
+    in-bucket expansion yields — the cap changes placement, never
+    output. 120 identical docs -> every band has one 120-member
+    bucket, > the cap of 64."""
+    from stock_trend_predictor_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_shingle_hashes,
+    )
+
+    cluster = [(i, "the same boilerplate page text repeated everywhere")
+               for i in range(120)]
+    distinct = [(1000 + i, f"unique document number {i} with its own words {i * 7}")
+                for i in range(30)]
+    docs = with_shingle_hashes(
+        spark.createDataFrame(cluster + distinct, "doc_id int, text string")
+    ).select("doc_id", "hs").persist()
+    capped = sorted(
+        map(tuple, lsh_candidate_pairs(docs, bucket_cap=64).collect())
+    )
+    uncapped = sorted(
+        map(tuple, lsh_candidate_pairs(docs, bucket_cap=1 << 30).collect())
+    )
+    docs.unpersist()
+    assert capped == uncapped
+    # the 120-doc cluster alone contributes C(120,2) pairs
+    assert len(capped) >= 120 * 119 // 2
+
+
 def test_simhash_short_docs(spark):
     rows = (
         _short_df(spark)

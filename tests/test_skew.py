@@ -81,6 +81,66 @@ def test_pair_parallel_self_join_is_exact_pair_set(spark):
     assert got == want
 
 
+def test_pair_parallel_composite_block_and_spread(spark):
+    """Composite (multi-column) block keys enumerate exactly the
+    within-block pairs, and a single hot block's pairs land on more
+    than one shuffle partition (the whole point of the triangle
+    decomposition)."""
+    from itertools import combinations
+
+    from stock_trend_predictor_spark.operators.skew import (
+        pair_parallel_self_join,
+    )
+
+    rows = [(i, f"l{i % 2}", i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, lang string, nc int")
+    pairs = pair_parallel_self_join(
+        df, block=["lang", "nc"], id_col="id", n_splits=4
+    )
+    got = sorted(
+        (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+        for r in pairs.select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
+        ).collect()
+    )
+    want = sorted(
+        pair
+        for lg in ("l0", "l1")
+        for nc in (0, 1, 2)
+        for pair in combinations(
+            sorted(i for i, l, n in rows if l == lg and n == nc), 2
+        )
+    )
+    assert got == want
+
+    # AQE coalesces the tiny test shuffle into one partition; disable
+    # coalescing so the assertion sees the raw key distribution.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        hot = spark.createDataFrame(
+            [(i, "only") for i in range(200)], "id long, blk string"
+        )
+        n_parts = (
+            pair_parallel_self_join(hot, "blk", "id", n_splits=4)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert n_parts > 1, "hot block's pair enumeration stayed on one task"
+    finally:
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    with pytest.raises(ValueError, match="not supported"):
+        salted_join(fact, dim, "key", how="full")
+    with pytest.raises(ValueError, match="not supported"):
+        salted_join(fact, dim, "key", how="right")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed co-partitioned tables sort-merge-join with zero
     shuffle — the 100 TB co-location strategy, demonstrated on the
