@@ -88,14 +88,77 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # ANN quality evidence (untimed): recall@10 of each approximate
+    # index vs the exact brute-force top-10, on the same sf. Emitted in
+    # the bench JSON and mirrored to RECALL.json so the number is
+    # visible per round, not just floor-asserted in tests. The LSH
+    # candidate (probe) fraction is reported alongside — recall without
+    # its probe cost would be half the story.
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).collect()
+    }
+    recall: dict[str, float] = {}
+    for ann in ("ann_lsh_cosine", "ann_ivf_cosine"):
+        pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in REGISTRY[ann].fn(spark, sf_dir).collect()
+        }
+        recall[ann] = round(len(exact & pairs) / len(exact), 3)
+
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.similarity import (
+        as_double,
+        with_lsh_buckets,
+    )
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    c = with_lsh_buckets(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   as_double("embedding").alias("cv")), "cv")
+    q = with_lsh_buckets(
+        emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv")), "qv")
+    n_queries = 8
+    n_cand = (
+        c.join(F.broadcast(q.select("query_id", "tbl", "bucket")),
+               ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .count()
+    )
+    probe_fraction = round(n_cand / n_queries / n_corpus, 3)
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "recall_at_10": recall,
+        "lsh_probe_fraction": probe_fraction,
+    }
+    print(json.dumps(result))
+    try:
+        Path(_REPO, "RECALL.json").write_text(
+            json.dumps(
+                {
+                    "sf": sf,
+                    "k": 10,
+                    "recall_at_10": recall,
+                    "lsh_probe_fraction": probe_fraction,
+                },
+                indent=2,
+            )
+            + "\n"
+        )
+    except OSError:
+        pass  # bench result is the primary artifact
     spark.stop()
 
 

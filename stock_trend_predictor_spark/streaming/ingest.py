@@ -150,6 +150,21 @@ def parse_cdc_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_source_options(
+    topic: str = "stock-prices",
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option set the kafka source is wired with — exposed
+    as a pure function so S4 plumbing is unit-assertable without a
+    broker (tests/test_streaming.py::test_kafka_source_wiring)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_tick_kafka_stream(
     spark: SparkSession,
     topic: str = "stock-prices",
@@ -163,9 +178,9 @@ def read_tick_kafka_stream(
     identical downstream pipeline in tests."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_source_options(topic, bootstrap_servers, starting_offsets)
+        )
         .load()
     )
     return parse_tick_envelope(raw)

@@ -52,6 +52,36 @@ def to_kafka_frame(ticks: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def kafka_sink_options(
+    topic: str, bootstrap_servers: str, checkpoint: str
+) -> dict[str, str]:
+    """The exact option set the kafka sink is wired with — exposed as
+    a pure function so S3 plumbing is unit-assertable without a broker
+    (tests/test_streaming.py::test_kafka_sink_wiring)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def kafka_sink_writer(
+    ticks: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    trigger_seconds: int = 60,
+):
+    """Fully-configured (unstarted) DataStreamWriter for the tick
+    producer — construction needs no broker; only ``start()`` does."""
+    return (
+        to_kafka_frame(ticks)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(topic, bootstrap_servers, checkpoint))
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+
+
 def kafka_sink(
     ticks: DataFrame,
     topic: str,
@@ -63,12 +93,6 @@ def kafka_sink(
     poll-sleep produce loop, fetch_stock.py:47-69; the 60s cadence maps
     to a processingTime trigger). Returns the started StreamingQuery.
     """
-    return (
-        to_kafka_frame(ticks)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+    return kafka_sink_writer(
+        ticks, topic, bootstrap_servers, checkpoint, trigger_seconds
+    ).start()

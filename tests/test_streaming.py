@@ -48,6 +48,72 @@ def _write_jsonl(path, records, extra_raw=()):
     path.write_text("\n".join(lines) + "\n")
 
 
+def test_kafka_source_wiring(spark):
+    """S4: assert the constructed Kafka reader options (no broker in
+    the container — the option set IS the contract; the file-stream
+    twin exercises the downstream pipeline)."""
+    from stock_trend_predictor_spark.streaming.ingest import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        topic="stock-prices",
+        bootstrap_servers="broker-1:9092,broker-2:9092",
+        starting_offsets="earliest",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "stock-prices",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_kafka_sink_wiring(spark, tmp_path):
+    """S3: the producer sink's option set, wire serialization
+    (to_json(struct(...)) in the reference's exact field order), and
+    that the full writer — format, options, trigger — constructs
+    without a broker (only start() needs one)."""
+    from stock_trend_predictor_spark.streaming.ingest import (
+        synthetic_tick_stream,
+    )
+    from stock_trend_predictor_spark.streaming.kafka import (
+        WIRE_COLUMNS,
+        kafka_sink_options,
+        kafka_sink_writer,
+        to_kafka_frame,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    opts = kafka_sink_options("stock-prices", "broker-1:9092", ckpt)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092",
+        "topic": "stock-prices",
+        "checkpointLocation": ckpt,
+    }
+
+    # wire bytes: batch-evaluate the same expression the sink uses
+    batch = spark.createDataFrame(
+        [("AAPL", "2024-01-01 09:30:00", 10.0, 12.0, 9.5, 11.0, 100.0)],
+        "symbol string, ts string, open double, high double, low double,"
+        " close double, volume double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    kf = to_kafka_frame(batch)
+    assert [f.name for f in kf.schema.fields] == ["key", "value"]
+    assert all(f.dataType.simpleString() == "binary" for f in kf.schema.fields)
+    row = kf.collect()[0]
+    assert bytes(row["key"]) == b"AAPL"
+    wire = json.loads(bytes(row["value"]).decode())
+    assert tuple(wire) == WIRE_COLUMNS  # field ORDER matches reference
+    assert wire["timestamp"] == "2024-01-01 09:30:00"
+    assert wire["close"] == 11.0
+
+    # full writer constructs (format+options+trigger) with no broker
+    writer = kafka_sink_writer(
+        synthetic_tick_stream(spark), "stock-prices", "broker-1:9092", ckpt
+    )
+    assert writer is not None
+
+
 def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
