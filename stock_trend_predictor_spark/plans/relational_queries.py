@@ -342,6 +342,99 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
         )
 
     @register(
+        "grouping_sets_status_priority",
+        oracle=f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grouping_id,
+       COUNT(*) AS n_orders,
+       {exact_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+        doc="Explicit GROUPING SETS beyond rollup/cube: per-status and "
+        "per-priority marginals plus the grand total, WITHOUT the "
+        "(status, priority) cross cells a rollup/cube would add — the "
+        "shape reporting pipelines actually want. One shuffle; Spark "
+        "expands the sets map-side (Expand operator), so partial "
+        "aggregation still applies.",
+    )
+    def grouping_sets_status_priority(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        return (
+            orders.groupingSets(
+                [["o_orderstatus"], ["o_orderpriority"], []],
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                exact_sum("o_totalprice", "total_price"),
+                (
+                    F.grouping("o_orderstatus")
+                    + F.lit(2) * F.grouping("o_orderpriority")
+                ).cast("long").alias("grouping_id"),
+            )
+            .select(
+                F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias(
+                    "orderstatus"
+                ),
+                F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                    "orderpriority"
+                ),
+                "grouping_id",
+                "n_orders",
+                "total_price",
+            )
+        )
+
+    @register(
+        "setops_multiset_cohorts",
+        oracle="""
+WITH big_spenders AS (
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+), urgent_buyers AS (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders UNION ALL SELECT custkey FROM urgent_buyers)
+UNION ALL
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders INTERSECT ALL SELECT custkey FROM urgent_buyers)
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+    SELECT custkey FROM big_spenders EXCEPT ALL SELECT custkey FROM urgent_buyers)
+""",
+        doc="Multiset (bag) set operations — intersectAll / exceptAll "
+        "preserve duplicate multiplicity (SQL INTERSECT ALL / EXCEPT "
+        "ALL), completing the §2.4 set-op surface next to the "
+        "distinct-set forms in setops_customer_cohorts. Each ALL "
+        "variant is one shuffle on the value with per-key count "
+        "min/subtraction — no row explosion.",
+    )
+    def setops_multiset_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        big = orders.where(F.col("o_totalprice") > 150000).select(
+            F.col("o_custkey").alias("custkey")
+        )
+        urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+        def count_as(df: DataFrame, op: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(op).alias("op"), "n"
+            )
+
+        return (
+            count_as(big.unionAll(urgent), "union_all")
+            .unionByName(count_as(big.intersectAll(urgent), "intersect_all"))
+            .unionByName(count_as(big.exceptAll(urgent), "except_all"))
+        )
+
+    @register(
         "join_range_bands",
         oracle=f"""
 SELECT b.band AS band,
