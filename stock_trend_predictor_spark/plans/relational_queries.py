@@ -197,6 +197,56 @@ GROUP BY c_custkey, c_name
         )
 
     @register(
+        "join_full_outer",
+        oracle="""
+WITH big AS (
+    SELECT o_custkey AS custkey, COUNT(*) AS n_big
+    FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+), urgent AS (
+    SELECT o_custkey AS custkey, COUNT(*) AS n_urgent
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT coalesce(big.custkey, urgent.custkey) AS custkey,
+       big.n_big AS n_big, urgent.n_urgent AS n_urgent
+FROM big FULL OUTER JOIN urgent ON big.custkey = urgent.custkey
+""",
+        doc="Full outer join of two order cohorts keyed by customer — "
+        "unmatched keys survive from BOTH sides with NULL counts, "
+        "completing the outer-join surface next to join_left_outer. "
+        "Full outer cannot broadcast either side (both preserve "
+        "unmatched rows), so it is the one join shape that is always "
+        "shuffle(SMJ) — both inputs here are pre-aggregated to one "
+        "row per key first, shrinking the shuffle to #keys.",
+    )
+    def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        big = (
+            orders.where(F.col("o_totalprice") > 150000)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_big"))
+        )
+        urgent = (
+            orders.where(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_urgent"))
+        )
+        return (
+            big.alias("b")
+            .join(
+                urgent.alias("u"),
+                F.col("b.custkey") == F.col("u.custkey"),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("b.custkey"), F.col("u.custkey")).alias(
+                    "custkey"
+                ),
+                "n_big",
+                "n_urgent",
+            )
+        )
+
+    @register(
         "join_semi_anti",
         oracle="""
 SELECT 'with_urgent_order' AS cohort, COUNT(*) AS n_customers

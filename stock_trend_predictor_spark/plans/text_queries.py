@@ -248,5 +248,74 @@ GROUP BY source, lang
             ).alias("avg_chars"),
         )
 
+    @register(
+        "vocab_topk_tokens",
+        oracle="""
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+""",
+        doc="Corpus vocabulary: top-50 tokens by global frequency — the "
+        "vocab-building pass of a tokenizer-training pipeline. explode "
+        "shuffles (token) with map-side partial counts (bytes ~ "
+        "#distinct tokens, not #tokens); the top-k is "
+        "TakeOrderedAndProject (per-partition heap + driver merge of "
+        "50-row heaps, never a global sort). Ties broken by token for "
+        "determinism.",
+    )
+    def vocab_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "token")
+            .limit(50)
+        )
+
+    @register(
+        "doc_token_repetition",
+        oracle=f"""
+WITH tc AS (
+    SELECT doc_id, token, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS top_token_count,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       {stable_round_sql('CAST(max(n) AS DOUBLE) / sum(n)', 6)}
+         AS top_token_ratio
+FROM tc GROUP BY doc_id
+""",
+        doc="Per-document token repetition (Gopher-style quality rule: "
+        "fraction of the document that is its single most frequent "
+        "token). explode -> (doc_id, token) partial counts -> per-doc "
+        "max/sum: two map-side-combinable aggregations on the same "
+        "key prefix, so the second groupBy reuses the first shuffle's "
+        "partitioning. The all-expression alternative (count each "
+        "distinct token via filter()) is O(distinct x tokens) per row "
+        "— the explode form is the scalable idiom.",
+    )
+    def doc_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tc = (
+            docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return tc.groupBy("doc_id").agg(
+            F.max("n").alias("top_token_count"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            stable_round(
+                F.max("n").cast("double") / F.sum("n"), 6
+            ).alias("top_token_ratio"),
+        )
+
 
 _register()

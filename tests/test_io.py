@@ -76,12 +76,32 @@ def test_kafka_wire_roundtrip(spark):
 def test_partitioned_parquet_sink(spark, tmp_path):
     """S9: per-key partitioned sink replaces the reference's
     predicted_output_{symbol} dynamic collection names."""
+    from stock_trend_predictor_spark.sources.parquet_io import (
+        read_partitioned,
+        write_partitioned,
+    )
+
     ticks = _ticks(spark)
     out = str(tmp_path / "by_symbol")
-    ticks.write.partitionBy("symbol").parquet(out)
+    write_partitioned(ticks, out, partition_by=["symbol"], sort_within=["ts"])
 
-    # partition pruning: reading one symbol touches only its directory
-    one = spark.read.parquet(out).where(F.col("symbol") == "AAPL")
+    # roundtrip: partition column restored, all rows intact
+    back = read_partitioned(spark, out)
+    assert back.count() == ticks.count()
+
+    # partition pruning: the symbol predicate must land in
+    # PartitionFilters (directory-level skip, before any IO) ...
+    one = back.where(F.col("symbol") == "AAPL")
     assert one.count() == 2
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or one.rdd.getNumPartitions() >= 1
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "symbol" in pf, f"symbol filter not pruned to partitions: {pf}"
+
+    # ... and an ordinary column predicate must push to row-group
+    # stats (PushedFilters), not evaluate post-scan only
+    narrow = back.where(F.col("close") > 10.5)
+    plan2 = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan2
+    pushed = plan2.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "close" in pushed, f"close filter not pushed: {pushed}"
