@@ -720,6 +720,57 @@ GROUP BY o_orderpriority
         )
 
     @register(
+        "sketch_cardinality_rollup",
+        oracle=None,  # binary sketches have no SQL oracle; error bound tested
+        doc="Two-level mergeable cardinality rollup (Apache DataSketches "
+        "HLL): per-(status, priority) sketches built in one pass, then "
+        "MERGED — not recounted — to per-status and grand-total levels "
+        "with hll_union_agg. THE reason sketches matter at 100 TB: "
+        "every rollup level is derived from the finest sketches "
+        "without touching the raw data again. Estimates within ~2% of "
+        "exact (tests/test_sketch.py::test_hll_rollup_merge_consistent).",
+    )
+    def sketch_cardinality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        per_status = fine.groupBy("o_orderstatus").agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        total = fine.groupBy().agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        est = F.hll_sketch_estimate("sk").alias("approx_customers")
+        return (
+            fine.select(
+                F.col("o_orderstatus").alias("orderstatus"),
+                F.col("o_orderpriority").alias("orderpriority"),
+                est,
+                "n_orders",
+            )
+            .unionByName(
+                per_status.select(
+                    F.col("o_orderstatus").alias("orderstatus"),
+                    F.lit("ALL").alias("orderpriority"),
+                    est,
+                    "n_orders",
+                )
+            )
+            .unionByName(
+                total.select(
+                    F.lit("ALL").alias("orderstatus"),
+                    F.lit("ALL").alias("orderpriority"),
+                    est,
+                    "n_orders",
+                )
+            )
+        )
+
+    @register(
         "sketch_quantiles",
         oracle=None,  # approximate by design; error bound tested
         doc="approx_percentile quantile sketch (p50/p95/p99 of order "

@@ -293,12 +293,15 @@ FROM tc GROUP BY doc_id
 """,
         doc="Per-document token repetition (Gopher-style quality rule: "
         "fraction of the document that is its single most frequent "
-        "token). explode -> (doc_id, token) partial counts -> per-doc "
-        "max/sum: two map-side-combinable aggregations on the same "
-        "key prefix, so the second groupBy reuses the first shuffle's "
-        "partitioning. The all-expression alternative (count each "
-        "distinct token via filter()) is O(distinct x tokens) per row "
-        "— the explode form is the scalable idiom.",
+        "token). explode -> (doc_id, token) counts -> per-doc max/sum: "
+        "two shuffles, both map-side combinable — shuffle 1 moves "
+        "~#distinct (doc_id, token) partials (not #tokens), shuffle 2 "
+        "one row per (doc_id, token). Deliberately NOT pre-partitioned "
+        "by doc_id to save the second exchange: that would shuffle raw "
+        "exploded tokens without combining, which is strictly more "
+        "bytes on repetitive corpora. The all-expression alternative "
+        "(count each distinct token via filter()) is O(distinct x "
+        "tokens) per row — the explode form is the scalable idiom.",
     )
     def doc_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")

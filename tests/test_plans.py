@@ -59,3 +59,37 @@ def test_dedup_exact_partial_aggregation(spark):
     plan = _plan(spark, "dedup_exact")
     # map-side combine before the exchange: two HashAggregate levels
     assert plan.count("HashAggregate") >= 2
+
+
+def test_grouping_sets_expand_keeps_partial_agg(spark):
+    """GROUPING SETS must execute as Expand + two-level aggregate —
+    one shuffle carrying partials, not one pass per set."""
+    plan = _plan(spark, "grouping_sets_status_priority")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_vocab_topk_is_heap_not_sort(spark):
+    plan = _plan(spark, "vocab_topk_tokens")
+    assert "TakeOrderedAndProject" in plan
+    # the token counts still combine map-side before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_full_outer_is_smj_not_broadcast(spark):
+    """Full outer preserves unmatched rows from BOTH sides, so neither
+    side may broadcast; the correct shape is a sort-merge join."""
+    plan = _plan(spark, "join_full_outer")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the aggregate exchanges already hash on custkey, so the join
+    # itself adds NO exchange: 2 total (one per aggregated input)
+    assert plan.count("Exchange") == 2
+
+
+def test_int8_quantize_is_narrow(spark):
+    """Quantization is a pure per-row map — any Exchange means a
+    shuffle crept into a narrow pipeline."""
+    plan = _plan(spark, "embedding_int8_quantize")
+    assert "Exchange" not in plan

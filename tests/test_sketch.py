@@ -32,6 +32,34 @@ def test_approx_quantiles_within_error_bound(spark):
             assert abs(a - e) / e <= 0.02, f"{k}: {a} vs {e}"
 
 
+def test_hll_rollup_merge_consistent(spark):
+    """Merged sketches (union of per-group sketches) must estimate the
+    SAME population as a sketch built directly over the raw data — the
+    mergeability law the 100 TB rollup depends on. <=2% of exact."""
+    rows = REGISTRY["sketch_cardinality_rollup"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["orderstatus"], r["orderpriority"]): r["approx_customers"]
+        for r in rows
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    exact_total = orders.select("o_custkey").distinct().count()
+    merged_total = got[("ALL", "ALL")]
+    assert abs(merged_total - exact_total) / exact_total <= 0.02
+    # every per-status merged estimate within 2% of its exact count
+    exact_status = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for status, exact in exact_status.items():
+        est = got[(status, "ALL")]
+        assert abs(est - exact) / exact <= 0.02, f"{status}: {est} vs {exact}"
+    # row count: fine cells + one per status + grand total
+    n_fine = orders.select("o_orderstatus", "o_orderpriority").distinct().count()
+    assert len(rows) == n_fine + len(exact_status) + 1
+
+
 def test_hll_within_error_bound(spark):
     approx = {
         r["o_orderpriority"]: r["approx_customers"]
