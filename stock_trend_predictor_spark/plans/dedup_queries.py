@@ -110,6 +110,96 @@ FROM documents
             (hash60(norm) % 1024).alias("fp_bucket"),
         )
 
+    @register(
+        "dataset_split_assignment",
+        oracle=f"""
+SELECT doc_id,
+       {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS split_bucket,
+       CASE
+         WHEN {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'train'
+         WHEN {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 95 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+        doc="Deterministic train/val/test assignment (90/5/5) by "
+        "md5-derived bucket of the stable document id — the split "
+        "survives re-partitioning, re-runs, and engine changes, unlike "
+        "rand()-based sampling (whose draw depends on partition "
+        "layout). Narrow, zero-shuffle; at 100 TB the split column "
+        "doubles as a partition column so each split is "
+        "directory-addressable.",
+    )
+    def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        bucket = hash60(F.col("doc_id").cast("string")) % 100
+        return docs.select(
+            "doc_id",
+            bucket.alias("split_bucket"),
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
+    @register(
+        "decontaminate_ngram_overlap",
+        oracle=f"""
+WITH bench AS (
+    SELECT DISTINCT unnest({D.shingle_hashes_sql('text')}) AS h
+    FROM documents WHERE doc_id < 5
+), shingled AS (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs
+    FROM documents WHERE doc_id >= 5
+), counted AS (
+    SELECT s.doc_id,
+           len(s.hs) AS n_shingles,
+           (SELECT COUNT(*) FROM bench b
+            WHERE list_contains(s.hs, b.h)) AS n_contaminated
+    FROM shingled s
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       {stable_round_sql(
+           'CAST(n_contaminated AS DOUBLE) / n_shingles', 6)}
+         AS contamination
+FROM counted
+WHERE n_contaminated > 0
+""",
+        doc="Benchmark decontamination: flag corpus documents sharing "
+        "word-3-gram shingles with a held-out benchmark set (docs 0-4 "
+        "stand in for an eval suite). The benchmark's distinct shingle "
+        "hashes BROADCAST (eval suites are tiny vs the corpus); each "
+        "corpus doc joins against them by exploded 8-byte hash and "
+        "aggregates matches — one narrow pass over the corpus, one "
+        "shuffle of (doc_id, count) partials, text never moves. The "
+        "standard pre-training hygiene pass (arXiv:2005.14165 §4 "
+        "style).",
+    )
+    def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = D.with_shingle_hashes(load_table(spark, sf_dir, "documents"))
+        bench = (
+            docs.where(F.col("doc_id") < 5)
+            .select(F.explode("hs").alias("h"))
+            .distinct()
+        )
+        corpus = docs.where(F.col("doc_id") >= 5).select(
+            "doc_id", "hs", F.size("hs").alias("n_shingles")
+        )
+        hits = (
+            corpus.select("doc_id", "n_shingles", F.explode("hs").alias("h"))
+            .join(F.broadcast(bench), "h")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+        return hits.select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            stable_round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+
     # ------------------------------------------------------------------
     # MinHash + LSH near-dup with a full SQL oracle
     # ------------------------------------------------------------------
