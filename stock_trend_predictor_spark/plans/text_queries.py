@@ -16,6 +16,8 @@ from stock_trend_predictor_spark.functions.exact import stable_round, stable_rou
 from stock_trend_predictor_spark.functions.text import (
     BPE_PATTERN,
     LANG_MARKERS,
+    hash60,
+    hash60_sql,
     marker_score,
     marker_score_sql,
 )
@@ -273,6 +275,64 @@ LIMIT 50
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.col("n_occurrences").desc(), "token")
             .limit(50)
+        )
+
+    @register(
+        "corpus_lang_rebalance",
+        oracle=f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+), sampled AS (
+    SELECT d.lang
+    FROM documents d JOIN counts c ON d.lang = c.lang
+    WHERE {hash60_sql("'rebal:' || CAST(doc_id AS VARCHAR)")} % 1000
+          < CAST(floor(least(1.0, 300.0 / c.n_before) * 1000) AS BIGINT)
+)
+SELECT c.lang AS lang, c.n_before AS n_before,
+       CAST(floor(least(1.0, 300.0 / c.n_before) * 1000) AS BIGINT)
+         AS keep_per_mille,
+       COUNT(s.lang) AS n_kept
+FROM counts c LEFT JOIN sampled s ON s.lang = c.lang
+GROUP BY c.lang, c.n_before
+""",
+        doc="Language rebalancing by deterministic hash-threshold "
+        "sampling: per-language keep-fraction = min(1, target/count), "
+        "applied as hash(doc_id) per-mille < threshold — the same doc "
+        "is kept or dropped on every run and engine (rand() sampling "
+        "is partition-layout-dependent). The per-language count table "
+        "BROADCASTS (one row per language); the corpus pass stays "
+        "narrow. Approximate cap (hash uniformity), which is the "
+        "correct 100 TB tradeoff — an exact cap needs a per-language "
+        "total order (row_number), a low-cardinality-key window.",
+    )
+    def corpus_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+        # explicit floor: Spark's double->bigint cast truncates while
+        # DuckDB's rounds — floor is the one shared semantics
+        threshold = F.floor(
+            F.least(F.lit(1.0), F.lit(300.0) / F.col("n_before")) * 1000
+        ).cast("bigint")
+        bucket = (
+            hash60(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string")))
+            % 1000
+        )
+        sampled = (
+            docs.join(F.broadcast(counts), "lang")
+            .withColumn("keep_per_mille", threshold)
+            .where(bucket < F.col("keep_per_mille"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+        )
+        return (
+            counts.withColumn("keep_per_mille", threshold)
+            .join(sampled, "lang", "left")
+            .select(
+                "lang",
+                "n_before",
+                "keep_per_mille",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            )
         )
 
     @register(

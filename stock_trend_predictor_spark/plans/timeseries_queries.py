@@ -253,6 +253,63 @@ GROUP BY user_id, session_seq
         )
 
     @register(
+        "funnel_view_click_purchase",
+        oracle="""
+WITH stages AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT 'viewed' AS stage, COUNT(*) AS n_users FROM stages
+WHERE t_view IS NOT NULL
+UNION ALL
+SELECT 'clicked_after_view' AS stage, COUNT(*) AS n_users FROM stages
+WHERE t_view IS NOT NULL AND t_click > t_view
+UNION ALL
+SELECT 'purchased_after_click' AS stage, COUNT(*) AS n_users FROM stages
+WHERE t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+""",
+        doc="Event-sequence funnel (first view -> later first click -> "
+        "later first purchase): ONE shuffle on user_id computing all "
+        "per-stage first-times as conditional min aggregates "
+        "(map-side combinable), then three filters over the one-row-"
+        "per-user frame. The naive form — one self-join per funnel "
+        "stage — shuffles the event log per stage; this shape is flat "
+        "in the number of stages.",
+    )
+    def funnel_view_click_purchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        stages = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "t_click"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_purchase"),
+        )
+
+        def stage(df: DataFrame, name: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(name).alias("stage"), "n_users"
+            )
+
+        viewed = stages.where(F.col("t_view").isNotNull())
+        clicked = viewed.where(F.col("t_click") > F.col("t_view"))
+        purchased = clicked.where(F.col("t_purchase") > F.col("t_click"))
+        return (
+            stage(viewed, "viewed")
+            .unionByName(stage(clicked, "clicked_after_view"))
+            .unionByName(stage(purchased, "purchased_after_click"))
+        )
+
+    @register(
         "tumbling_window_agg",
         oracle=f"""
 SELECT event_type,
