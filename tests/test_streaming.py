@@ -48,6 +48,44 @@ def _write_jsonl(path, records, extra_raw=()):
     path.write_text("\n".join(lines) + "\n")
 
 
+def test_progress_listener_records_batches(spark, tmp_path):
+    """ST8/ST9 observability: the ProgressRecorder must see every
+    microbatch with its input-row count and state metrics — the
+    numbers an operator alerts on."""
+    from stock_trend_predictor_spark.streaming.monitor import attach_recorder
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch0.jsonl", TICKS)
+
+    rec = attach_recorder(spark)
+    try:
+        stream = dedup_ticks(read_tick_file_stream(spark, str(src)))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("mon_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and rec.total_input_rows("mon_test") < len(TICKS):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+        spark.catalog.dropTempView("mon_test")
+
+    assert rec.started, "no start event recorded"
+    got = [e for e in rec.events if e.query_name == "mon_test"]
+    assert got, "no progress events recorded"
+    assert sum(e.num_input_rows for e in got) == len(TICKS)
+    # dedup is stateful: state rows must be visible to the monitor
+    assert any(e.state_rows_total > 0 for e in got)
+    assert all("triggerExecution" in e.duration_ms for e in got)
+
+
 def test_kafka_source_wiring(spark):
     """S4: assert the constructed Kafka reader options (no broker in
     the container — the option set IS the contract; the file-stream
