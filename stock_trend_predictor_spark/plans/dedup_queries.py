@@ -111,6 +111,49 @@ FROM documents
         )
 
     @register(
+        "dedup_source_attribution",
+        oracle="""
+WITH keepers AS (
+    SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text)
+)
+SELECT d.source AS source,
+       COUNT(*) AS n_docs,
+       COUNT(k.keeper) AS n_novel,
+       CAST(COUNT(*) - COUNT(k.keeper) AS BIGINT) AS n_duplicate
+FROM documents d
+LEFT JOIN keepers k ON d.doc_id = k.keeper
+GROUP BY d.source
+""",
+        doc="Duplication attribution: which SOURCE contributes "
+        "duplicate content (its docs losing the min-doc_id keeper "
+        "election). The operational follow-up to dedup_exact — at "
+        "corpus scale this table decides which crawls/feeds to "
+        "de-prioritize. One digest shuffle for the keeper election, "
+        "one keeper join on doc_id, one rollup on source; text never "
+        "shuffles.",
+    )
+    def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        keepers = (
+            docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keeper"))
+            .select("keeper")
+        )
+        return (
+            docs.join(
+                keepers, docs["doc_id"] == keepers["keeper"], "left"
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("keeper").alias("n_novel"),
+                (F.count(F.lit(1)) - F.count("keeper"))
+                .cast("bigint")
+                .alias("n_duplicate"),
+            )
+        )
+
+    @register(
         "dataset_split_assignment",
         oracle=f"""
 SELECT doc_id,

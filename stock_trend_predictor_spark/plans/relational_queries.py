@@ -720,6 +720,56 @@ GROUP BY o_orderpriority
         )
 
     @register(
+        "feature_decile_binning",
+        oracle="""
+WITH bounds AS (
+    SELECT quantile_cont(o_totalprice,
+                         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+    FROM orders
+), binned AS (
+    SELECT o.o_orderpriority,
+           1 + len(list_filter(b.qs, q -> o.o_totalprice > q)) AS decile
+    FROM orders o, bounds b
+)
+SELECT o_orderpriority, decile, COUNT(*) AS n_orders
+FROM binned GROUP BY o_orderpriority, decile
+""",
+        doc="Decile feature binning the scalable way: the 9 global "
+        "cut points are computed ONCE (exact percentile — a "
+        "model-sized driver artifact, like IVF centroids) and "
+        "broadcast into a narrow per-row bucket assignment; the "
+        "naive alternative — ntile() over a global ORDER BY — is a "
+        "single-partition total sort that cannot scale. Interpolated "
+        "percentile (Spark percentile == DuckDB quantile_cont, same "
+        "lower+(higher-lower)*frac formula) keeps the cut points "
+        "bit-identical cross-engine.",
+    )
+    def feature_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        bounds = o.agg(
+            F.expr(
+                "percentile(o_totalprice, "
+                "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("qs")
+        )
+        return (
+            o.join(F.broadcast(bounds))
+            .select(
+                "o_orderpriority",
+                (
+                    F.lit(1)
+                    + F.size(
+                        F.filter(
+                            F.col("qs"), lambda q: F.col("o_totalprice") > q
+                        )
+                    )
+                ).cast("bigint").alias("decile"),
+            )
+            .groupBy("o_orderpriority", "decile")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    @register(
         "sketch_cardinality_rollup",
         oracle=None,  # binary sketches have no SQL oracle; error bound tested
         doc="Two-level mergeable cardinality rollup (Apache DataSketches "
