@@ -253,6 +253,43 @@ GROUP BY user_id, session_seq
         )
 
     @register(
+        "rolling_time_range_features",
+        oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_30m,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+""",
+        doc="Time-RANGE window frame (vs rolling_features' ROWS "
+        "frames): trailing 30-minute event count and decimal-exact "
+        "value sum per user — the frame is defined by event-time "
+        "distance, so sparse and bursty activity windows are correct "
+        "where a fixed row count is not. Millisecond epoch as the "
+        "range key (unix_millis == DuckDB epoch_ms, both floor); one "
+        "shuffle on user_id, evaluated narrow.",
+    )
+    def rolling_time_range_features(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_millis("ts"))
+            .rangeBetween(-1_800_000, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_30m"),
+            F.sum(F.col("value").cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+            .alias("sum_30m"),
+        )
+
+    @register(
         "funnel_view_click_purchase",
         oracle="""
 WITH stages AS (

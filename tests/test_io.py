@@ -73,6 +73,26 @@ def test_kafka_wire_roundtrip(spark):
     assert parsed.where(F.col("is_corrupt")).count() == 0
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse reality: a corpus written over months gains columns.
+    mergeSchema reads old + new files as the superset schema with
+    NULLs for pre-evolution rows — no rewrite of historical data."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "gamma", 0.9)], "doc_id long, text string, quality double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert {f.name for f in merged.schema.fields} == {
+        "doc_id", "text", "quality"
+    }
+    rows = {r["doc_id"]: r["quality"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.9}
+
+
 def test_partitioned_parquet_sink(spark, tmp_path):
     """S9: per-key partitioned sink replaces the reference's
     predicted_output_{symbol} dynamic collection names."""
