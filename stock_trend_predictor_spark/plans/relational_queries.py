@@ -720,6 +720,44 @@ GROUP BY o_orderpriority
         )
 
     @register(
+        "map_function_battery",
+        oracle="""
+SELECT event_id,
+       len(json_keys(props)) AS n_keys,
+       list_aggregate(list_sort(json_keys(props)), 'string_agg', ',')
+         AS keys_sorted,
+       CAST(props->>'k' AS BIGINT) AS k_value,
+       len(json_keys(props)) + 1 AS merged_n_keys,
+       CAST(props->>'k' AS BIGINT) % 10 AS k_bucket
+FROM events
+""",
+        doc="MapType surface battery (SURVEY 1.2's new-engine type "
+        "additions, next to array_function_battery): parse the props "
+        "JSON into map<string,bigint> ONCE into a bound column, then "
+        "map_keys / element_at / map_concat / size over it — all "
+        "codegen, mirrored by DuckDB's json_keys / ->> extraction. "
+        "Keys sorted before concat so output is order-independent "
+        "(map iteration order is not a contract in either engine).",
+    )
+    def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "m", F.from_json("props", "map<string,bigint>")
+        )
+        merged = F.map_concat(
+            F.col("m"), F.create_map(F.lit("extra"), F.lit(1).cast("bigint"))
+        )
+        return ev.select(
+            "event_id",
+            F.size("m").alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias(
+                "keys_sorted"
+            ),
+            F.element_at(F.col("m"), "k").alias("k_value"),
+            F.size(merged).alias("merged_n_keys"),
+            (F.element_at(F.col("m"), "k") % 10).alias("k_bucket"),
+        )
+
+    @register(
         "feature_decile_binning",
         oracle="""
 WITH bounds AS (

@@ -73,6 +73,22 @@ def test_kafka_wire_roundtrip(spark):
     assert parsed.where(F.col("is_corrupt")).count() == 0
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """Second columnar format: ORC write/read with predicate pushdown
+    — format choice is a config, not an architecture change."""
+    ticks = _ticks(spark)
+    out = str(tmp_path / "orc")
+    ticks.write.partitionBy("symbol").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == ticks.count()
+    one = back.where((F.col("symbol") == "AAPL") & (F.col("close") > 10.5))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "symbol" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "PushedFilters: [" in plan
+    assert "close" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Lakehouse reality: a corpus written over months gains columns.
     mergeSchema reads old + new files as the superset schema with
