@@ -18,6 +18,10 @@ QUERIES = [
     "vwap_per_supplier",        # ratio of decimal sums
     "pergroup_linreg_models",   # Arrow solve over decimal stats
     "stats_battery",            # percentiles + sufficient-sum moments
+    "dedup_minhash_lsh",        # mega-bucket cap must not alter pairs
+    "feature_decile_binning",   # broadcast percentile cut points
+    "rolling_time_range_features",  # range-frame decimal window sums
+    "dataset_split_assignment",     # hash split is layout-independent
 ]
 
 
