@@ -111,6 +111,57 @@ FROM documents
         )
 
     @register(
+        "dedup_incremental_batch",
+        oracle="""
+WITH history AS (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 4000
+), arrivals AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 4000
+), fresh AS (
+    SELECT a.doc_id, a.h FROM arrivals a
+    WHERE NOT EXISTS (SELECT 1 FROM history x WHERE x.h = a.h)
+), kept AS (
+    SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h
+)
+SELECT 'arrived' AS stage, COUNT(*) AS n FROM arrivals
+UNION ALL
+SELECT 'novel_vs_history' AS stage, COUNT(*) AS n FROM fresh
+UNION ALL
+SELECT 'admitted' AS stage, COUNT(*) AS n FROM kept
+""",
+        doc="Incremental dedup — the daily-crawl shape: a new arrival "
+        "batch is admitted only if its content digest is (a) absent "
+        "from the historical corpus (anti join on the 16-byte digest; "
+        "at scale the history side is a bucketed digest table so the "
+        "probe is co-partitioned, no rescan of history text) and (b) "
+        "unique within the batch (min-doc_id keeper election). "
+        "Stage counts returned as the admission funnel.",
+    )
+    def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        history = (
+            docs.where(F.col("doc_id") < 4000)
+            .select(F.md5("text").alias("h"))
+            .distinct()
+        )
+        arrivals = docs.where(F.col("doc_id") >= 4000).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        fresh = arrivals.join(history, "h", "left_anti")
+        kept = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+
+        def stage(df: DataFrame, name: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("stage"), "n"
+            )
+
+        return (
+            stage(arrivals, "arrived")
+            .unionByName(stage(fresh, "novel_vs_history"))
+            .unionByName(stage(kept, "admitted"))
+        )
+
+    @register(
         "dedup_source_attribution",
         oracle="""
 WITH keepers AS (
