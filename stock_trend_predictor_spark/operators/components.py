@@ -1,0 +1,113 @@
+"""Connected components over a pair graph — the step that turns
+near-duplicate PAIRS into duplicate CLUSTERS (one keeper per cluster).
+
+Pairwise dedup output (MinHash/LSH, embedding-cosine, blocked Jaccard)
+is a graph; transitive closure is what defines a duplicate group:
+if A~B and B~C, then {A,B,C} is one cluster even when A~C was never
+scored. The standard scale algorithm is iterative min-label
+propagation (the hashing-free core of the small-star/large-star
+map-reduce CC construction, cf. Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14):
+
+    label(v) := v
+    repeat: label(v) := min(label(v), min_{(u,v) in E} label(u))
+    until no label changes
+
+Each round is one join + one min-aggregate — all DataFrame ops, one
+shuffle each on the node id. Rounds needed = graph diameter; near-dup
+clusters are star-like (diameter 2-4), so convergence is fast. The
+only driver-side action per round is a single boolean "did any label
+change" count — a convergence flag, never data (same policy as the
+IVF Lloyd iterations in operators/ivf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns (node, component) where component = the smallest node id
+    reachable from ``node`` — deterministic, partition-layout
+    independent. Nodes appearing only as isolated endpoints of no edge
+    are the caller's concern (a pair graph has no isolated nodes).
+    """
+    # undirect once; labels seeded with each node's own id.
+    # localCheckpoint (NOT plain persist) after every round: an
+    # iterative DataFrame loop otherwise accumulates the whole
+    # iteration history in one logical plan — analysis cost grows
+    # superlinearly and the plan alone can OOM the driver after a few
+    # rounds (observed at round ~4 on this graph). Checkpointing
+    # truncates lineage so every round optimizes a constant-size plan.
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among each node's neighbors
+        neighbor_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("n_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.select("node", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def components_recursive_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`connected_components`: min reachable
+    node via recursive transitive closure over the same edge set.
+    ``edges_cte`` must define a relation ``edges(src, dst)``.
+    Quadratic in cluster size — fine for oracle scales, which is why
+    the engine side uses label propagation instead.
+    """
+    return f"""
+WITH RECURSIVE {edges_cte},
+und AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS node,
+       least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""

@@ -454,6 +454,60 @@ WHERE {_PAIR_COS} >= 0.35
             )
         )
 
+    _EDGES_CTE = f"""e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), edges AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS} >= 0.35
+)"""
+
+    from stock_trend_predictor_spark.operators.components import (
+        components_recursive_sql,
+    )
+
+    @register(
+        "dedup_cluster_assignment",
+        oracle=components_recursive_sql(_EDGES_CTE),
+        doc="Near-duplicate CLUSTERS from the pairwise graph: "
+        "transitive closure of the embedding-cosine pairs via "
+        "iterative min-label propagation "
+        "(operators/components.py::connected_components — one "
+        "join+min shuffle per round, rounds = graph diameter, only a "
+        "convergence boolean reaches the driver). Pairwise output "
+        "alone under-deduplicates: A~B and B~C form one cluster even "
+        "when A~C was never scored. component = min reachable vec_id "
+        "= the cluster keeper. Oracle: DuckDB recursive-CTE "
+        "transitive closure over the identical edge set.",
+    )
+    def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.components import (
+            connected_components,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+        e = e.withColumn("nrm", l2norm(F.col("v")))
+        pairs = pair_parallel_self_join(e, block="label", id_col="vec_id")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        edges = (
+            pairs.where(cos >= 0.35)
+            .select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("src"),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("dst"),
+            )
+        )
+        return connected_components(edges, "src", "dst")
+
     @register(
         "dedup_ngram_jaccard_blocked",
         oracle=f"""

@@ -108,6 +108,30 @@ def test_lsh_mega_bucket_cap_same_pairs(spark):
     assert len(capped) >= 120 * 119 // 2
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must close transitive chains (diameter >> 1,
+    forcing multiple rounds) and keep disjoint components apart."""
+    from stock_trend_predictor_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 12-node path graph (diameter 11), a triangle, and a 2-cycle
+    chain = [(i, i + 1) for i in range(100, 111)]
+    triangle = [(1, 2), (2, 3), (1, 3)]
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(
+        chain + triangle + pair, "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert all(got[n] == 100 for n in range(100, 112))
+    assert all(got[n] == 1 for n in (1, 2, 3))
+    assert got[50] == 50 and got[51] == 50
+    assert len(got) == 12 + 3 + 2
+
+
 def test_simhash_short_docs(spark):
     rows = (
         _short_df(spark)
