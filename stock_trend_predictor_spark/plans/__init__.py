@@ -1,5 +1,6 @@
 """Import every query module so the registry is fully populated."""
 
+from stock_trend_predictor_spark.plans import analytics_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import dedup_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401

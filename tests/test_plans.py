@@ -93,3 +93,55 @@ def test_int8_quantize_is_narrow(spark):
     shuffle crept into a narrow pipeline."""
     plan = _plan(spark, "embedding_int8_quantize")
     assert "Exchange" not in plan
+
+
+def test_q6_all_filters_pushed(spark):
+    """Q6's value is the selective scan: every predicate must reach
+    the parquet reader, and the only exchange is the single-row
+    final-aggregate combine."""
+    plan = _plan(spark, "q6_selective_revenue")
+    # the plan string elides long PushedFilters lists at ~100 chars, so
+    # assert the visible prefix: all three filter columns reach the scan
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda" in plan
+    )
+    assert plan.count("Exchange") == 1  # SinglePartition combine only
+
+
+def test_q18_topk_is_heap(spark):
+    plan = _plan(spark, "q18_big_spenders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 100
+
+
+def test_tfidf_small_sides_broadcast(spark):
+    """df (vocabulary-sized) and N (scalar) must broadcast — shuffling
+    the token stream against them would be a 100 TB-scale join of the
+    corpus against a dictionary."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan  # tf ⋈ df
+    assert "BroadcastNestedLoopJoin" in plan  # ⨯ scalar N
+
+
+def test_anomaly_stats_broadcast(spark):
+    """The per-key median/MAD tables are one-row-per-key — both joins
+    back to the event stream must be broadcasts."""
+    plan = _plan(spark, "event_value_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_no_cartesian(spark):
+    """Grid gen must be sequence/explode per key + equi-join back —
+    never a range/cross join of grid x events."""
+    plan = _plan(spark, "gapfill_hourly_forward")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the forward-fill pass
+
+
+def test_chunk_dup_combines_map_side(spark):
+    """Chunk-hash counting must partial-aggregate before its exchange
+    (only 8-byte hashes shuffle, pre-combined)."""
+    plan = _plan(spark, "chunk_dup_fraction")
+    assert plan.count("HashAggregate") >= 2
