@@ -397,5 +397,194 @@ GROUP BY h.doc_id
             )
         )
 
+    @register(
+        "scd2_user_value_intervals",
+        oracle="""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version_seq,
+       value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+        doc="Slowly-changing-dimension type-2 build from a change log: "
+        "each event becomes a version row with [valid_from, valid_to) "
+        "interval via lead(ts) over the per-key sort, open interval "
+        "flagged current — the standard warehouse operator for turning "
+        "a CDC stream (the reference's Mongo change feed, "
+        "mongo_stream_etl.py) into a point-in-time-queryable dimension. "
+        "One shuffle on the key, evaluated narrow; pairs with asof_join "
+        "for time-travel lookups.",
+    )
+    def scd2_user_value_intervals(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        nxt = F.lead("ts").over(w)
+        return ev.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version_seq"),
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+
+    @register(
+        "value_histogram",
+        oracle=f"""
+WITH bounds AS (
+    SELECT min(value) AS lo, max(value) AS hi,
+           (max(value) - min(value)) / 20 AS w
+    FROM events
+)
+SELECT CAST(least(floor((e.value - b.lo) / b.w), 19) AS BIGINT) AS bin,
+       {stable_round_sql(
+           'b.lo + CAST(least(floor((e.value - b.lo) / b.w), 19)'
+           ' AS BIGINT) * b.w', 6)} AS bin_lo,
+       count(*) AS n_values
+FROM events e CROSS JOIN bounds b
+GROUP BY 1, 2
+""",
+        doc="Equi-width histogram (20 bins) over the value column: "
+        "global min/max/width computed in one single-row aggregate and "
+        "broadcast back, bin assignment as pure arithmetic (identical "
+        "IEEE op sequence in both engines, so bin edges are bit-exact), "
+        "counts map-side combinable. Two passes over the data but the "
+        "second shuffles only (bin, count) partials — the profiling "
+        "primitive behind feature_decile_binning's equi-DEPTH variant.",
+    )
+    def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("value")
+        bounds = ev.agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            ((F.max("value") - F.min("value")) / 20).alias("w"),
+        )
+        bin_ = (
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / F.col("w")),
+                F.lit(19),
+            )
+            .cast("bigint")
+        )
+        return (
+            ev.crossJoin(F.broadcast(bounds))
+            .select(
+                bin_.alias("bin"),
+                stable_round(
+                    F.col("lo") + bin_ * F.col("w"), 6
+                ).alias("bin_lo"),
+            )
+            .groupBy("bin", "bin_lo")
+            .agg(F.count(F.lit(1)).alias("n_values"))
+        )
+
+    @register(
+        "retention_cohorts",
+        oracle="""
+WITH first_seen AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY 1
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST((epoch(date_trunc('week', e.ts))
+                 - epoch(f.cohort_week)) / 604800 AS BIGINT) AS weeks_since
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, weeks_since, count(*) AS n_active
+FROM activity
+GROUP BY 1, 2
+""",
+        doc="Weekly retention cohorts: users bucketed by first-seen "
+        "week, activity counted per (cohort, weeks-since-cohort) — the "
+        "standard product-analytics triangle. First-seen is one "
+        "map-side-combinable min; the join back is key-partitioned "
+        "(AQE broadcasts the per-user frame when it fits); the "
+        "DISTINCT dedups (user, cohort, week) before the count so a "
+        "burst-active user counts once. Week arithmetic is pure "
+        "integer epoch math — engine-exact.",
+    )
+    def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        first_seen = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        )
+        activity = (
+            ev.join(first_seen, "user_id")
+            .select(
+                "user_id",
+                "cohort_week",
+                (
+                    (
+                        F.unix_timestamp(F.date_trunc("week", "ts"))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / 604800
+                )
+                .cast("bigint")
+                .alias("weeks_since"),
+            )
+            .distinct()
+        )
+        return activity.groupBy("cohort_week", "weeks_since").agg(
+            F.count(F.lit(1)).alias("n_active")
+        )
+
+    @register(
+        "trimmed_mean_per_type",
+        oracle=f"""
+WITH cuts AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n_kept,
+       {exact_sum_sql('e.value')} / count(*) AS trimmed_mean,
+       {stable_round_sql('c.p05', 6)} AS p05,
+       {stable_round_sql('c.p95', 6)} AS p95
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+WHERE e.value BETWEEN c.p05 AND c.p95
+GROUP BY e.event_type, c.p05, c.p95
+""",
+        doc="5% two-sided trimmed mean per key: exact interpolated "
+        "percentile cut points (one-row-per-key, broadcast back), "
+        "filter to the central 90%, decimal-exact mean of the "
+        "survivors — the robust-location estimator complementing "
+        "event_value_anomaly_mad's robust-scale one. At 100 TB the "
+        "exact percentile pass swaps for approx_percentile with no "
+        "shape change.",
+    )
+    def trimmed_mean_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        cuts = ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.05)).alias("p05"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        return (
+            ev.join(F.broadcast(cuts), "event_type")
+            .where(F.col("value").between(F.col("p05"), F.col("p95")))
+            .groupBy("event_type", "p05", "p95")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                (exact_sum("value") / F.count(F.lit(1))).alias(
+                    "trimmed_mean"
+                ),
+            )
+            .select(
+                "event_type",
+                "n_kept",
+                "trimmed_mean",
+                stable_round("p05", 6).alias("p05"),
+                stable_round("p95", 6).alias("p95"),
+            )
+        )
+
 
 _register()
