@@ -434,6 +434,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
 
     @register(
+        "scd2_point_in_time",
+        oracle="""
+WITH scd AS (
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM events
+)
+SELECT user_id, value AS value_asof, valid_from
+FROM scd
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+""",
+        doc="Point-in-time (time-travel) lookup over the SCD2 interval "
+        "table: the one version row per key whose [valid_from, "
+        "valid_to) interval covers the query timestamp. Interval "
+        "membership on lead() output — no range join, one per-key "
+        "window pass; on a materialized SCD2 table this is a pure "
+        "filter with valid_from/valid_to min-max pruning.",
+    )
+    def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        scd = ev.select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        return scd.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        ).select("user_id", F.col("value").alias("value_asof"), "valid_from")
+
+    @register(
         "value_histogram",
         oracle=f"""
 WITH bounds AS (
