@@ -15,6 +15,8 @@ Where each tier is used in anger:
 - applyInPandas:          ml/pergroup.py (per-key model solve)
 - applyInPandasWithState: streaming/windows.py (high-watermark state)
 - mapInPandas:            operators/multimodal.py (decode kernels)
+- mapInArrow:             operators/multimodal.py (byte-level CRC —
+                          zero-copy, no pandas materialization)
 - plain udf / udtf:       this module only
 """
 

@@ -433,6 +433,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             nxt.isNull().alias("is_current"),
         )
 
+    # ONE SQL text, both engines: the decimal-exact sum idiom is valid
+    # Spark SQL and DuckDB alike, so the query IS its own oracle —
+    # the strongest possible demonstration of the SQL front-end.
+    _NATION_REVENUE_SQL = f"""
+SELECT n_name,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    @register(
+        "sql_nation_revenue",
+        oracle=_NATION_REVENUE_SQL,
+        doc="Raw-SQL front-end demo: the identical ANSI text runs on "
+        "spark.sql over registered temp views (sources/views.py) and "
+        "on DuckDB as the oracle. Views are metadata only — Catalyst "
+        "still prunes columns, pushes filters, and broadcasts nation "
+        "exactly as the DataFrame form would.",
+    )
+    def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.sources.views import register_views
+
+        register_views(
+            spark, sf_dir, ("customer", "orders", "lineitem", "nation")
+        )
+        return spark.sql(_NATION_REVENUE_SQL)
+
     @register(
         "scd2_point_in_time",
         oracle="""

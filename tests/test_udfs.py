@@ -67,3 +67,58 @@ def test_python_udtf_gap_filler(spark):
         ("2024-01-01 09:32:00", False),
         ("2024-01-01 09:33:00", True),
     ]
+
+
+def test_map_in_arrow_crc_matches_jvm_crc32(spark, sf_dir):
+    """The mapInArrow tier must agree with the JVM builtin on the same
+    bytes — the equality law that licenses using it for byte-level
+    kernels Spark lacks."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.multimodal import (
+        attach_payload,
+        payload_crc32_arrow,
+    )
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    with_payload = attach_payload(
+        load_table(spark, sf_dir, "documents").limit(200)
+    )
+    arrow_side = {
+        r.doc_id: r.payload_crc32
+        for r in payload_crc32_arrow(with_payload).collect()
+    }
+    jvm_side = {
+        r.doc_id: r.crc
+        for r in with_payload.select(
+            "doc_id", F.crc32("payload").alias("crc")
+        ).collect()
+    }
+    assert arrow_side == jvm_side and len(arrow_side) == 200
+
+
+def test_sql_views_same_plan_as_dataframe(spark, sf_dir):
+    """Views are metadata: the SQL text and the DataFrame form must
+    produce the same answer AND the view path must still push filters
+    to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.sources.tables import load_table
+    from stock_trend_predictor_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    sql_n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 10"
+    ).first()["n"]
+    df_n = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .count()
+    )
+    assert sql_n == df_n
+    plan = str(
+        spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity < 10")
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity" in plan
