@@ -1,0 +1,266 @@
+"""Data-profiling / quality / audit tier: the ANALYZE-style column
+profile, declarative data-quality rules, snapshot diffing, and the
+scalable cumulative-distinct curve.
+
+A 100 TB ingestion pipeline runs these continuously — profile drift
+and rule violations are how corpus regressions get caught before they
+reach training. Everything here is one-pass where possible and
+pre-aggregated before any join/window, so no shape degrades with table
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    profile_oracle_parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       {stable_round_sql(f'min({c})', 6)} AS min_value,
+       {stable_round_sql(f'max({c})', 6)} AS max_value,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+
+    @register(
+        "table_profile_numeric",
+        oracle="\nUNION ALL\n".join(profile_oracle_parts),
+        doc="ANALYZE-style numeric column profile (min/max/nulls/exact "
+        "NDV) for every measure column of lineitem — in ONE scan: all "
+        "per-column aggregates computed in a single agg node, then "
+        "stacked to long format driver-free. The oracle's UNION-ALL-of-"
+        "scans form is the naive shape this query deliberately avoids; "
+        "at 100 TB swap count_distinct for approx_count_distinct "
+        "(sketch_cardinality is that path) without changing shape.",
+    )
+    def table_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        aggs = []
+        for c in PROFILE_COLS:
+            aggs += [
+                stable_round(F.min(c), 6).alias(f"{c}__min"),
+                stable_round(F.max(c), 6).alias(f"{c}__max"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{c}__null"),
+                F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            ]
+        wide = li.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', {c}__min, {c}__max, {c}__null, {c}__ndv"
+            for c in PROFILE_COLS
+        )
+        return wide.select(
+            F.expr(
+                f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, min_value, max_value, n_null, n_distinct)"
+            )
+        )
+
+    @register(
+        "dq_checks",
+        oracle="""
+SELECT 'lineitem_null_quantity' AS rule, count(*) FILTER (
+    WHERE l_quantity IS NULL) AS n_violations FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range' AS rule, count(*) FILTER (
+    WHERE l_discount < 0 OR l_discount > 1) AS n_violations FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphan_orderkey' AS rule, count(*) AS n_violations
+FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_custkey' AS rule, count(*) AS n_violations
+FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_duplicate_orderkey' AS rule,
+       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+""",
+        doc="Declarative data-quality rule battery (Deequ-style): "
+        "null-rate and range rules fold into ONE conditional-count "
+        "scan per table; referential-integrity rules are LEFT ANTI "
+        "joins (orders' key side broadcast when it fits, AQE "
+        "otherwise); uniqueness is count vs distinct-count. Output is "
+        "a (rule, n_violations) frame a pipeline gates on — all rules "
+        "must read 0 on the clean test data.",
+    )
+    def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+
+        def rule(name: str, df: DataFrame, cnt) -> DataFrame:
+            return df.agg(cnt.alias("n_violations")).select(
+                F.lit(name).alias("rule"), "n_violations"
+            )
+
+        scans = rule(
+            "lineitem_null_quantity",
+            li,
+            F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast(
+                "bigint"
+            ),
+        ).unionByName(
+            rule(
+                "lineitem_discount_range",
+                li,
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint"),
+            )
+        )
+        orphan_li = rule(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            F.count(F.lit(1)),
+        )
+        orphan_orders = rule(
+            "orders_orphan_custkey",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+            F.count(F.lit(1)),
+        )
+        dup_orders = rule(
+            "orders_duplicate_orderkey",
+            orders,
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))),
+        )
+        return (
+            scans.unionByName(orphan_li)
+            .unionByName(orphan_orders)
+            .unionByName(dup_orders)
+        )
+
+    @register(
+        "cumulative_unique_users",
+        oracle="""
+WITH first_seen AS (
+    SELECT user_id,
+           CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_day
+    FROM events GROUP BY 1
+), days AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+), new_per_day AS (
+    SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY 1
+)
+SELECT d.day,
+       coalesce(n.n_new, 0) AS n_new,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (
+           ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM days d LEFT JOIN new_per_day n ON d.day = n.day
+""",
+        doc="Cumulative distinct users per day — the scalable form of "
+        "COUNT(DISTINCT) OVER, which Spark (rightly) refuses to "
+        "evaluate directly: a user contributes on exactly their "
+        "first-seen day, so cumulative-distinct = running sum of "
+        "first-seen counts. The only single-partition window runs over "
+        "the #days frame (tiny by construction), never the event log.",
+    )
+    def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        first_seen = ev.groupBy("user_id").agg(
+            F.date_trunc("day", F.min("ts")).alias("first_day")
+        )
+        days = ev.select(
+            F.date_trunc("day", "ts").alias("day")
+        ).distinct()
+        new_per_day = first_seen.groupBy(
+            F.col("first_day").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_new"))
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            days.join(new_per_day, "day", "left")
+            .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .select(
+                "day",
+                "n_new",
+                F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+            )
+        )
+
+    @register(
+        "snapshot_diff",
+        oracle="""
+WITH a AS (
+    SELECT user_id, max_by(value, ts) AS v FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1
+), b AS (
+    SELECT user_id, max_by(value, ts) AS v FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1
+)
+SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.v <> b.v THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n_keys
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+GROUP BY 1
+""",
+        doc="Snapshot diff (the batch form of a change data feed): "
+        "per-key last-value state at two points in time, full-outer "
+        "joined and classified added/removed/changed/unchanged. Both "
+        "inputs are pre-aggregated to one row per key BEFORE the "
+        "always-shuffle full outer join — the join moves state-sized "
+        "frames, not the event log; max_by keeps snapshot construction "
+        "one combinable pass.",
+    )
+    def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+
+        def snap(cutoff: str) -> DataFrame:
+            return (
+                ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+                .groupBy("user_id")
+                .agg(F.max_by("value", "ts").alias("v"))
+            )
+
+        a = snap("2024-01-02 00:00:00")
+        b = snap("2024-01-03 00:00:00")
+        joined = a.alias("a").join(
+            b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full"
+        )
+        change = (
+            F.when(F.col("a.user_id").isNull(), "added")
+            .when(F.col("b.user_id").isNull(), "removed")
+            .when(F.col("a.v") != F.col("b.v"), "changed")
+            .otherwise("unchanged")
+        )
+        return joined.groupBy(change.alias("change_type")).agg(
+            F.count(F.lit(1)).alias("n_keys")
+        )
+
+
+_register()
