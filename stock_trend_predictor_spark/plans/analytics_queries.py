@@ -465,6 +465,82 @@ GROUP BY n_name
         return spark.sql(_NATION_REVENUE_SQL)
 
     @register(
+        "hot_window_purchase_count",
+        oracle="""
+WITH wc AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+                AS TIMESTAMP) AS w_start,
+           count(*) AS n_errors
+    FROM events WHERE event_type = 'error' GROUP BY 1
+), hot AS (
+    SELECT w_start, w_start + INTERVAL 21600 SECOND AS w_end, n_errors
+    FROM wc WHERE n_errors > (SELECT avg(n_errors) FROM wc)
+)
+SELECT h.w_start, h.n_errors,
+       CAST(count(p.event_id) AS BIGINT) AS n_purchases
+FROM hot h LEFT JOIN (
+    SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= h.w_start AND p.ts < h.w_end
+GROUP BY h.w_start, h.n_errors
+""",
+        doc="Interval-containment analytics: find 6-hour windows with "
+        "above-average error counts, then count purchases falling in "
+        "each via operators/intervals.py::bucketed_interval_join — the "
+        "equi-join-on-exploded-buckets form of a range join, so the "
+        "plan has NO BroadcastNestedLoopJoin/cartesian (plan-asserted) "
+        "and survives an interval side too big to broadcast. "
+        "Left-interval semantics (hot windows with zero purchases kept) "
+        "via a join of the counts back onto the interval frame.",
+    )
+    def hot_window_purchase_count(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.intervals import (
+            bucketed_interval_join,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        w6 = F.timestamp_seconds(
+            F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 21600)
+        )
+        wc = (
+            ev.where(F.col("event_type") == "error")
+            .groupBy(w6.alias("w_start"))
+            .agg(F.count(F.lit(1)).alias("n_errors"))
+        )
+        thr = wc.agg(F.avg("n_errors").alias("thr"))
+        hot = (
+            wc.crossJoin(F.broadcast(thr))
+            .where(F.col("n_errors") > F.col("thr"))
+            .select(
+                "w_start",
+                (F.col("w_start") + F.expr("interval 21600 seconds")).alias(
+                    "w_end"
+                ),
+                "n_errors",
+            )
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts"
+        )
+        matched = bucketed_interval_join(
+            purchases, hot, point_ts="ts", start="w_start", end="w_end"
+        )
+        counts = matched.groupBy("w_start").agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        return (
+            hot.join(counts, "w_start", "left")
+            .select(
+                "w_start",
+                "n_errors",
+                F.coalesce("n_matched", F.lit(0))
+                .cast("bigint")
+                .alias("n_purchases"),
+            )
+        )
+
+    @register(
         "scd2_point_in_time",
         oracle="""
 WITH scd AS (
