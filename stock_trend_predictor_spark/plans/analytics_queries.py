@@ -465,6 +465,50 @@ GROUP BY n_name
         return spark.sql(_NATION_REVENUE_SQL)
 
     @register(
+        "daily_rollup_incremental",
+        oracle="""
+SELECT event_type AS key,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+         AS mean,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events
+GROUP BY 1, 2
+""",
+        doc="Materialized-view maintenance law, proven through the "
+        "oracle gate: the input is split into three arbitrary slices, "
+        "each reduced to mergeable partial state (count / decimal sum "
+        "/ min / max per key×day), the partials merged pairwise, and "
+        "only then finalized — the oracle is the PLAIN one-shot daily "
+        "rollup. Bit-identical because every state component is a "
+        "commutative monoid (operators/incremental_agg.py); this is "
+        "why a 100 TB rollup updates per-partition instead of "
+        "recomputing.",
+    )
+    def daily_rollup_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.incremental_agg import (
+            daily_partials,
+            finalize,
+            merge_partials,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        c1 = F.lit("2024-01-08 00:00:00").cast("timestamp")
+        c2 = F.lit("2024-01-21 12:34:56").cast("timestamp")
+        slices = [
+            ev.where(F.col("ts") < c1),
+            ev.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.where(F.col("ts") >= c2),
+        ]
+        partials = [daily_partials(s, key="event_type") for s in slices]
+        return finalize(merge_partials(*partials))
+
+    @register(
         "hot_window_purchase_count",
         oracle="""
 WITH wc AS (

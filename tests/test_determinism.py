@@ -22,6 +22,13 @@ QUERIES = [
     "feature_decile_binning",   # broadcast percentile cut points
     "rolling_time_range_features",  # range-frame decimal window sums
     "dataset_split_assignment",     # hash split is layout-independent
+    "tfidf_top_terms",              # pre-rounded (tfidf, token) rank order
+    "gapfill_hourly_forward",       # LOCF over rounded hourly means
+    "trimmed_mean_per_type",        # percentile cuts + decimal mean
+    "value_histogram",              # IEEE bin edges from broadcast bounds
+    "q18_big_spenders",             # LIMIT set under orderkey tiebreak
+    "hot_window_purchase_count",    # mean threshold + interval buckets
+    "chunk_dup_fraction",           # global chunk counts at any width
 ]
 
 
