@@ -52,3 +52,40 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     row-group stats — both asserted in
     tests/test_io.py::test_partitioned_parquet_prunes."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet
+    directory into `target_files` files, optionally re-clustering on
+    `sort_by` so row-group min/max stats become selective again.
+
+    The small-files problem is the steady-state failure of any
+    streaming/upsert sink (every micro-batch appends a few files; scan
+    cost and driver file-listing grow without bound). Compaction is
+    the standing repair: read, materialize OFF the target directory
+    (localCheckpoint — overwriting a directory the same plan reads is
+    undefined), rewrite coalesced. `repartition` (a shuffle) rather
+    than `coalesce` when sorting: coalesce would collapse the sort's
+    parallelism upstream.
+
+    Returns (files_before, files_after) for observability.
+    """
+    import glob
+    import os
+
+    def _count() -> int:
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    before = _count()
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartition(target_files).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(target_files)
+    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    return before, _count()

@@ -1,0 +1,120 @@
+"""Custom Python DataSource: the reference's polling market-data API
+as a first-class Spark connector.
+
+The reference's data_collection/fetch_stock.py polls yfinance in a
+driver-side loop and appends rows to a dict. Spark 4's Python
+DataSource API lets that ingestion live INSIDE the engine instead:
+`spark.read.format("tick_api")` plans one InputPartition per symbol
+(each executor "calls the API" for its symbols in parallel, no driver
+loop), and `spark.readStream.format("tick_api")` is the polling form
+with replayable offsets — a crash replays [start, end) deterministically,
+which is exactly the ST2 offsets/replay contract.
+
+No network in this container, so the "API" is a deterministic
+synthetic quote generator (md5-seeded, same idiom as the multimodal
+decode stubs): swap `_quote` for a real HTTP call and nothing else
+changes. Options: `symbols` (csv), `rows_per_symbol`, `start_epoch_s`,
+`interval_s`, `rows_per_batch` (streaming).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+_EPOCH = datetime(1970, 1, 1)
+
+SCHEMA_DDL = (
+    "symbol string, seq bigint, ts timestamp, price double, volume bigint"
+)
+
+
+def _quote(symbol: str, seq: int, start_s: int, interval_s: int):
+    """Deterministic fake of one API quote (executor-side, no state)."""
+    h = int.from_bytes(
+        hashlib.md5(f"{symbol}:{seq}".encode()).digest()[:8], "big"
+    )
+    price = 100.0 + (h % 100_000) / 1000.0  # 100.000 .. 199.999
+    volume = 1 + (h >> 20) % 10_000
+    ts = _EPOCH + timedelta(seconds=start_s + seq * interval_s)
+    return (symbol, seq, ts, price, volume)
+
+
+class _SymbolPartition(InputPartition):
+    def __init__(self, symbol: str):
+        self.symbol = symbol
+
+
+class TickApiBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.symbols = options.get("symbols", "AAPL,GOOGL,MSFT").split(",")
+        self.rows = int(options.get("rows_per_symbol", 100))
+        self.start_s = int(options.get("start_epoch_s", 1_704_067_200))
+        self.interval_s = int(options.get("interval_s", 60))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one "API call" per symbol, scheduled across executors
+        return [_SymbolPartition(s) for s in self.symbols]
+
+    def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
+        for seq in range(self.rows):
+            yield _quote(partition.symbol, seq, self.start_s, self.interval_s)
+
+
+class TickApiStreamReader(SimpleDataSourceStreamReader):
+    """Polling stream with replayable offsets: offset = next unread seq
+    (global across symbols, so a batch is a deterministic rectangle
+    symbols × [start, end))."""
+
+    def __init__(self, options: dict):
+        self.symbols = options.get("symbols", "AAPL,GOOGL,MSFT").split(",")
+        self.start_s = int(options.get("start_epoch_s", 1_704_067_200))
+        self.interval_s = int(options.get("interval_s", 60))
+        self.batch_rows = int(options.get("rows_per_batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        return [
+            _quote(s, q, self.start_s, self.interval_s)
+            for s in self.symbols
+            for q in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["seq"]
+        hi = lo + self.batch_rows  # one poll's worth
+        return self._rows(lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay after failure: regenerate the identical rectangle
+        return self._rows(start["seq"], end["seq"])
+
+
+class TickApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tick_api"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TickApiBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> TickApiStreamReader:
+        return TickApiStreamReader(self.options)
+
+
+def register_tick_api(spark) -> None:
+    spark.dataSource.register(TickApiDataSource)

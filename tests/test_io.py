@@ -141,3 +141,28 @@ def test_partitioned_parquet_sink(spark, tmp_path):
     assert "PushedFilters: [" in plan2
     pushed = plan2.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "close" in pushed, f"close filter not pushed: {pushed}"
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction shrinks the file count without changing the data —
+    the standing repair for streaming-sink file fragmentation."""
+    from stock_trend_predictor_spark.sources.parquet_io import compact_parquet
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(32).write.parquet(path)  # fragment: 32 small files
+
+    expect = sorted(map(tuple, spark.read.parquet(path).collect()), key=str)
+    before, after = compact_parquet(spark, path, target_files=4)
+    assert before >= 32 and after == 4
+    got = sorted(map(tuple, spark.read.parquet(path).collect()), key=str)
+    assert got == expect
+
+    # re-clustered variant: still identical data, still 4 files
+    before2, after2 = compact_parquet(
+        spark, path, target_files=4, sort_by=["user_id", "ts"]
+    )
+    assert (before2, after2) == (4, 4)
+    got2 = sorted(map(tuple, spark.read.parquet(path).collect()), key=str)
+    assert got2 == expect
