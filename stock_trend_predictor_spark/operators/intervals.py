@@ -53,9 +53,14 @@ def bucketed_interval_join(
     as an equi-join on exploded width_s-second buckets.
 
     `end` is exclusive: an interval ending exactly on a bucket
-    boundary does not generate the boundary bucket.
+    boundary does not generate the boundary bucket. Empty intervals
+    (end <= start) match nothing and are dropped before the explode —
+    without the guard, an empty interval whose start sits exactly ON a
+    bucket boundary would make sequence() throw (its floored end-1µs
+    lands in the PREVIOUS bucket, an illegal descending range; found
+    by the hypothesis property test).
     """
-    iv = intervals.withColumn(
+    iv = intervals.where(F.col(end) > F.col(start)).withColumn(
         BUCKET,
         F.explode(
             F.sequence(

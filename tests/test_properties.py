@@ -57,3 +57,59 @@ def test_stable_round_matches_python(spark, values, scale):
     p = float(10**scale)
     for v, r in zip(values, rows):
         assert r["r"] == math.floor(v * p + 0.5) / p
+
+
+# --- bucketed interval join vs pure-Python containment -----------------
+
+_minute = st.integers(min_value=0, max_value=60 * 48)  # two days of minutes
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    points=st.lists(_minute, min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(_minute, st.integers(min_value=0, max_value=60 * 7)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_bucketed_interval_join_matches_python(spark, points, intervals):
+    """For arbitrary minute-grained points and intervals (including
+    zero-length, bucket-aligned, multi-bucket and overlapping ones),
+    the bucketed equi-join must produce exactly the pairs the plain
+    containment predicate does."""
+    from datetime import datetime, timedelta
+
+    from stock_trend_predictor_spark.operators.intervals import (
+        bucketed_interval_join,
+    )
+
+    base = datetime(2024, 3, 1)
+    pts = spark.createDataFrame(
+        [(i, base + timedelta(minutes=m)) for i, m in enumerate(points)],
+        "pid int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (
+                j,
+                base + timedelta(minutes=s),
+                base + timedelta(minutes=s + dur),
+            )
+            for j, (s, dur) in enumerate(intervals)
+        ],
+        "iid int, iv_start timestamp, iv_end timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_interval_join(
+            pts, ivs, point_ts="ts", start="iv_start", end="iv_end"
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, m in enumerate(points)
+        for j, (s, dur) in enumerate(intervals)
+        if s <= m < s + dur
+    }
+    assert got == expect
