@@ -380,5 +380,63 @@ FROM tc GROUP BY doc_id
             ).alias("top_token_ratio"),
         )
 
+    @register(
+        "sequence_packing",
+        oracle="""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 512.0) AS BIGINT) AS block_id
+    FROM toks
+)
+SELECT source, block_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS block_tokens
+FROM packed
+GROUP BY 1, 2
+""",
+        doc="Training-sequence packing: assign each document to a "
+        "512-token training block, deterministically — block_id = "
+        "floor(preceding-cumulative-tokens / 512) within (source, "
+        "doc_id order), so the packing is a pure function of the data "
+        "(re-partitioning cannot change it, unlike greedy bin-packing "
+        "which depends on task order). A doc straddling a boundary "
+        "belongs to the block its first token falls in, so blocks can "
+        "overfill by at most one doc — the standard concat-then-chunk "
+        "LLM pretraining layout. One window per source; for a "
+        "low-cardinality source axis at 100 TB, the bucketed two-pass "
+        "cumsum (operators/windows.py::bucketed_lag's pattern) removes "
+        "the per-source sort bottleneck.",
+    )
+    def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        packed = docs.withColumn(
+            "block_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0
+            ).cast("bigint"),
+        )
+        return packed.groupBy("source", "block_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("block_tokens"),
+        )
+
 
 _register()

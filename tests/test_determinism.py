@@ -29,6 +29,7 @@ QUERIES = [
     "q18_big_spenders",             # LIMIT set under orderkey tiebreak
     "hot_window_purchase_count",    # mean threshold + interval buckets
     "chunk_dup_fraction",           # global chunk counts at any width
+    "sequence_packing",             # packing is a pure function of data
 ]
 
 
