@@ -111,3 +111,29 @@ def update_rollup_state(
 
 def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
     return finalize(spark.read.parquet(state_dir))
+
+
+def rollup_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+):
+    """Streaming materialized view: each micro-batch's partials merge
+    into the persisted rollup state. The checkpoint gives exactly-once
+    per batch id, which the ADDITIVE merge requires (unlike the upsert
+    sink, replaying a batch here would double-count)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_rollup_state(
+            batch.sparkSession, batch, state_dir, key, ts, value
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -941,7 +941,14 @@ SELECT event_id, user_id, value,
        dense_rank()  OVER (PARTITION BY user_id ORDER BY event_type) AS drk,
        lag(value)    OVER w AS prev_value,
        lead(value)   OVER w AS next_value,
-       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events,
+       round(percent_rank() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id), 6) AS prk,
+       round(cume_dist() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id), 6) AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       first_value(value) OVER w AS first_val,
+       nth_value(value, 2) OVER w AS second_val
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
@@ -965,6 +972,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             F.lag("value").over(w).alias("prev_value"),
             F.lead("value").over(w).alias("next_value"),
             F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_user_events"),
+            # distribution functions: exact rational arithmetic on
+            # (rank, n) so both engines agree bit-wise; rounded anyway
+            F.round(F.percent_rank().over(w_val), 6).alias("prk"),
+            F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("value").over(w).alias("first_val"),
+            F.nth_value("value", 2).over(w).alias("second_val"),
         )
 
 

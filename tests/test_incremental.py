@@ -85,3 +85,35 @@ def test_overlapping_day_batches_merge_not_replace(spark, tmp_path):
         )
     full = finalize(daily_partials(ev, key="event_type"))
     assert _rows(read_rollup(spark, state)) == _rows(full)
+
+
+def test_rollup_sink_streaming_equals_batch(spark, tmp_path):
+    """The streaming materialized view (file stream -> foreachBatch
+    partial-merge) must equal the one-shot batch rollup of the same
+    data once the stream drains."""
+    from stock_trend_predictor_spark.operators.incremental_agg import (
+        rollup_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value"
+    )
+    # several input files so availableNow processes multiple batches
+    ev.repartition(4).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = rollup_sink(
+        stream,
+        state,
+        checkpoint=str(tmp_path / "ckpt"),
+        key="event_type",
+    )
+    q.awaitTermination(120)
+
+    full = finalize(daily_partials(ev, key="event_type"))
+    assert _rows(read_rollup(spark, state)) == _rows(full)
