@@ -464,6 +464,36 @@ GROUP BY n_name
         )
         return spark.sql(_NATION_REVENUE_SQL)
 
+    # one text, both engines — decimal-exact so the correlated average
+    # is order-independent (a plain avg(double) would hash-mismatch)
+    _ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           / count(*)
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+    @register(
+        "orders_above_customer_avg",
+        oracle=_ABOVE_AVG_SQL,
+        doc="Correlated scalar subquery (each order vs its own "
+        "customer's average) through the SQL front-end — Catalyst "
+        "DECORRELATES it into one grouped aggregate + an equi-join "
+        "(plan-asserted: no per-row subquery execution exists in the "
+        "physical plan), which is why the pattern is safe at 100 TB "
+        "where a nested-loop evaluation would be quadratic. Identical "
+        "text runs as the DuckDB oracle.",
+    )
+    def orders_above_customer_avg(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.sources.views import register_views
+
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(_ABOVE_AVG_SQL)
+
     @register(
         "daily_rollup_incremental",
         oracle="""

@@ -145,3 +145,12 @@ def test_chunk_dup_combines_map_side(spark):
     (only 8-byte hashes shuffle, pre-combined)."""
     plan = _plan(spark, "chunk_dup_fraction")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must compile to aggregate+join,
+    never a per-row subquery (quadratic at scale)."""
+    plan = _plan(spark, "orders_above_customer_avg")
+    assert "HashAggregate" in plan  # the decorrelated per-customer avg
+    assert "Join" in plan  # rejoined on o_custkey
+    assert "Subquery" not in plan  # no per-row re-execution survives
