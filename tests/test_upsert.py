@@ -127,3 +127,56 @@ def test_upsert_sink_streaming(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert _state(spark, target) == {"X": ("x2", 2), "Y": ("y1", 1)}
+
+
+def test_upsert_matches_dict_model_random_batches(spark, tmp_path):
+    """Model-based check: applying any sequence of batches must leave
+    the table equal to a driver-side dict replay (last-writer-wins by
+    version, new-beats-old on ties). Catches ordering/tie bugs the
+    fixed scenarios miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    key_st = st.sampled_from(["A", "B", "C", "D", "E"])
+    ver_st = st.integers(min_value=0, max_value=9)
+
+    batch_st = st.lists(
+        st.tuples(key_st, ver_st), min_size=1, max_size=6, unique=True
+    )
+
+    case_id = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batches=st.lists(batch_st, min_size=1, max_size=3))
+    def run(batches):
+        case_id[0] += 1
+        target = str(tmp_path / f"tbl{case_id[0]}")
+        model: dict[str, tuple[int, str]] = {}
+        for bi, batch in enumerate(batches):
+            rows = [
+                Row(k=k, v=f"b{bi}:{k}:{ver}", ver=ver) for k, ver in batch
+            ]
+            upsert_batch(
+                spark,
+                spark.createDataFrame(rows),
+                target,
+                key="k",
+                order_col="ver",
+                n_buckets=N_BUCKETS,
+            )
+            for k, ver in batch:
+                # new beats old on equal version; (k, ver) unique per
+                # batch so the in-batch winner is well-defined
+                if k not in model or ver >= model[k][0]:
+                    model[k] = (ver, f"b{bi}:{k}:{ver}")
+        got = {
+            r.k: (r.ver, r.v)
+            for r in read_upsert_table(spark, target).collect()
+        }
+        assert got == model
+
+    run()
