@@ -438,5 +438,60 @@ GROUP BY 1, 2
             F.sum("n_tokens").cast("bigint").alias("block_tokens"),
         )
 
+    # deterministic uniform in (0,1] from the doc id — the md5-derived
+    # randomness that makes a "random" sample reproducible and
+    # oracle-checkable (same trick as dataset_split_assignment)
+    _U = 1_152_921_504_606_846_976  # 2^60
+
+    @register(
+        "weighted_doc_sample",
+        oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           {stable_round_sql(
+               "-ln((CAST(('0x' || substr(md5('samp:' || "
+               "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)"
+               f" / {_U + 1}.0) / n_chars", 6)} AS priority
+    FROM documents
+)
+SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY priority, doc_id) AS BIGINT)
+      AS sample_rank
+    FROM keyed
+) WHERE sample_rank <= 5
+""",
+        doc="Weighted sampling without replacement (Efraimidis-"
+        "Spirakis A-Res), distributed and DETERMINISTIC: each doc "
+        "draws its uniform from an md5 hash of its id, priority = "
+        "-ln(u)/weight (weight = n_chars), and the per-language top-5 "
+        "by ascending priority IS a weighted sample — heavier docs "
+        "win proportionally more often. Fully parallel (priority is a "
+        "per-row expression, selection a per-key top-k), reproducible "
+        "under any repartitioning — rand()-based sampling is neither. "
+        "The mixture-sampling primitive for corpus blending.",
+    )
+    def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        u = (
+            hash60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+            + F.lit(1).cast("double")
+        ) / F.lit(float(_U + 1))
+        keyed = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            stable_round(-F.log(u) / F.col("n_chars"), 6).alias("priority"),
+        )
+        w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+        return (
+            keyed.withColumn(
+                "sample_rank", F.row_number().over(w).cast("bigint")
+            )
+            .where(F.col("sample_rank") <= 5)
+            .select("lang", "sample_rank", "doc_id", "n_chars", "priority")
+        )
+
 
 _register()

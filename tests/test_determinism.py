@@ -30,6 +30,7 @@ QUERIES = [
     "hot_window_purchase_count",    # mean threshold + interval buckets
     "chunk_dup_fraction",           # global chunk counts at any width
     "sequence_packing",             # packing is a pure function of data
+    "weighted_doc_sample",          # hash-u weighted sample, layout-proof
 ]
 
 
