@@ -10,9 +10,15 @@ import json
 import sys
 
 
+def _load(path: str) -> dict:
+    d = json.load(open(path))
+    # driver-recorded BENCH_r{N}.json wraps the bench line in "parsed"
+    return d.get("parsed", d)
+
+
 def main(old_path: str, new_path: str) -> int:
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    old = _load(old_path)
+    new = _load(new_path)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     flagged = []
     print(f"| query | {old_path} | {new_path} | ratio |")
