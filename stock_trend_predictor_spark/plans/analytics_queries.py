@@ -464,6 +464,45 @@ GROUP BY n_name
         )
         return spark.sql(_NATION_REVENUE_SQL)
 
+    @register(
+        "tick_api_quotes",
+        oracle="""
+WITH syms(symbol) AS (VALUES ('AAPL'), ('GOOGL'), ('MSFT')),
+h AS (
+    SELECT symbol, t.seq,
+           CAST(('0x' || substr(
+               md5(symbol || ':' || CAST(t.seq AS VARCHAR)), 1, 16))
+             AS UBIGINT) AS hv
+    FROM syms, range(0, 50) t(seq)
+)
+SELECT symbol,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(to_timestamp(1704067200 + seq * 60) AS TIMESTAMP) AS ts,
+       100.0 + (hv % 100000) / 1000.0 AS price,
+       CAST(1 + (hv >> 20) % 10000 AS BIGINT) AS volume
+FROM h
+""",
+        doc="The custom Python DataSource connector (sources/"
+        "tick_api.py) proven through the oracle gate: Spark reads "
+        "spark.read.format('tick_api') — one InputPartition per "
+        "symbol, quote kernel evaluated executor-side — while DuckDB "
+        "independently recomputes the md5-derived quote formula in "
+        "SQL. A value-hash match means the connector's partitioning, "
+        "schema, and kernel are all faithful end-to-end.",
+    )
+    def tick_api_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.sources.tick_api import (
+            register_tick_api,
+        )
+
+        register_tick_api(spark)
+        return (
+            spark.read.format("tick_api")
+            .option("symbols", "AAPL,GOOGL,MSFT")
+            .option("rows_per_symbol", 50)
+            .load()
+        )
+
     # one text, both engines — decimal-exact so the correlated average
     # is order-independent (a plain avg(double) would hash-mismatch)
     _ABOVE_AVG_SQL = """
