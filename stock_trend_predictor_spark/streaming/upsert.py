@@ -102,12 +102,18 @@ def upsert_sink(
     key: str,
     order_col: str,
     n_buckets: int = 16,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Streaming upsert: each micro-batch merges into the keyed table.
 
     Checkpointed foreachBatch gives exactly-once per batch id, and the
     merge itself is idempotent under batch replay (new-beats-old tie
     rule), so crash/restart between commit and checkpoint is safe.
+
+    Default trigger is availableNow (drain-and-stop, right for
+    replayable file/table sources); pass `processing_time` for
+    unbounded polling sources (e.g. the tick_api connector) that have
+    no notion of "all available data".
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -115,9 +121,11 @@ def upsert_sink(
             batch.sparkSession, batch, target_dir, key, order_col, n_buckets
         )
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

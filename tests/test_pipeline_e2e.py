@@ -82,3 +82,73 @@ def test_full_streaming_pipeline(spark, tmp_path):
     assert rows[("MSFT", "2024-01-01 09:30:00")]["n_ticks"] == 1
     # partitioned layout on disk (S9)
     assert (tmp_path / "bars" / "symbol=AAPL").exists()
+
+
+def test_tick_api_to_upsert_to_compact_e2e(spark, tmp_path):
+    """Round-2 integration: the custom polling connector feeds the
+    keyed MERGE sink (last quote per symbol wins), then compaction
+    tidies the table — connector -> upsert -> OPTIMIZE in one flow."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.sources.parquet_io import (
+        compact_parquet,
+    )
+    from stock_trend_predictor_spark.sources.tick_api import (
+        _quote,
+        register_tick_api,
+    )
+    from stock_trend_predictor_spark.streaming.upsert import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    register_tick_api(spark)
+    target = str(tmp_path / "latest_quotes")
+    stream = (
+        spark.readStream.format("tick_api")
+        .option("symbols", "AAPL,MSFT")
+        .option("rows_per_batch", 5)
+        .load()
+    )
+    q = upsert_sink(
+        stream,
+        target,
+        checkpoint=str(tmp_path / "ckpt"),
+        key="symbol",
+        order_col="seq",
+        processing_time="1 second",
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if read_upsert_table(spark, target).count() == 2 and any(
+                    p["batchId"] >= 2 for p in q.recentProgress
+                ):
+                    break
+            except Exception:
+                pass  # target not written yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    state = {
+        r.symbol: (r.seq, r.price, r.volume)
+        for r in read_upsert_table(spark, target).collect()
+    }
+    # exactly one row per symbol — the LATEST polled quote, matching
+    # the deterministic kernel
+    assert set(state) == {"AAPL", "MSFT"}
+    for sym, (seq, price, volume) in state.items():
+        assert seq >= 5  # at least two polls merged
+        exp = _quote(sym, seq, 1_704_067_200, 60)
+        assert (exp[3], exp[4]) == (price, volume)
+
+    before, after = compact_parquet(spark, target, target_files=1)
+    assert after == 1
+    assert {
+        r.symbol: (r.seq, r.price, r.volume)
+        for r in spark.read.parquet(target).drop("_bucket").collect()
+    } == state
