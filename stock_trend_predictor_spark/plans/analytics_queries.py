@@ -465,6 +465,52 @@ GROUP BY n_name
         return spark.sql(_NATION_REVENUE_SQL)
 
     @register(
+        "q14_promo_revenue",
+        oracle=f"""
+WITH j AS (
+    SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT {exact_sum_sql("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END")}
+         AS promo_revenue,
+       {exact_sum_sql('rev')} AS total_revenue,
+       {stable_round_sql(
+           "100.0 * " + exact_sum_sql(
+               "CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END")
+           + " / " + exact_sum_sql('rev'), 6)} AS promo_pct
+FROM j
+""",
+        doc="TPC-H Q14 analogue (promo revenue share): date-pruned "
+        "lineitem scan broadcast-joined to the part dimension, then "
+        "ONE conditional decimal aggregate produces numerator and "
+        "denominator together — no second pass, no shuffle beyond the "
+        "single-row combine. Completes table coverage: every test "
+        "table now feeds at least one oracle-checked query.",
+    )
+    def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_type"
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+        joined = li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey
+        )
+        return joined.agg(
+            exact_sum(promo, "promo_revenue"),
+            exact_sum(rev, "total_revenue"),
+            stable_round(
+                F.lit(100.0) * exact_sum(promo) / exact_sum(rev), 6
+            ).alias("promo_pct"),
+        )
+
+    @register(
         "tick_api_quotes",
         oracle="""
 WITH syms(symbol) AS (VALUES ('AAPL'), ('GOOGL'), ('MSFT')),
