@@ -1,0 +1,190 @@
+"""Distributed mergeable summaries: Misra-Gries heavy-hitter
+candidates and gram-matrix partials.
+
+Both operators follow the same 100 TB shape: each partition reduces
+its slice to a summary whose size is a function of the PARAMETER
+(k counters / d^2 matrix cells), not of the partition's row count, so
+the shuffle that merges summaries moves kilobytes regardless of input
+scale. The merge is associative+commutative (mergeable-summaries
+property, Agarwal et al., PODS'12), so Spark may combine partials in
+any order.
+
+These are the documented Pandas-UDF escape hatches: the per-partition
+kernels (counter maintenance, X^T X) are not expressible as Catalyst
+expressions, so they run as Arrow-batched ``mapInPandas`` — bounded
+state, streaming over batches, nothing row-at-a-time in the JVM<->
+Python boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    tokens: DataFrame, col: str = "tok", k: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries -> global heavy-hitter
+    candidate set (one row per surviving (partition, token) counter).
+
+    Guarantee: a counter's value underestimates the token's true
+    partition count by at most N_p/(k+1); therefore every token with
+    global frequency >= N/(k+1) survives in at least one partition's
+    summary (pigeonhole over partitions). The candidate set is a
+    SUPERSET of the true heavy hitters — callers must re-count
+    candidates exactly (see heavy-hitter queries) — and its size is
+    bounded by k * n_partitions rows no matter how large the input.
+
+    The batch merge is the mergeable-summaries form: add the batch's
+    value_counts into the counter dict, then if more than k counters
+    remain subtract the (k+1)-th largest value from all and drop the
+    non-positive ones. Vectorized per Arrow batch; per-partition state
+    is exactly k counters.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest value; subtracting it everywhere
+                # keeps <= k strictly-positive counters.
+                sub = int(np.partition(vals, len(vals) - (k + 1))[
+                    len(vals) - (k + 1)
+                ])
+                counters = {
+                    t: c - sub for t, c in counters.items() if c - sub > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    col: list(counters.keys()),
+                    "lower_bound": np.fromiter(
+                        counters.values(), dtype=np.int64
+                    ),
+                }
+            )
+
+    return tokens.mapInPandas(summarize, f"{col} string, lower_bound long")
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame,
+    col: str = "tok",
+    threshold_frac: float = 0.02,
+    k: int = 64,
+) -> DataFrame:
+    """All tokens with frequency >= ceil(threshold_frac * N), with
+    EXACT counts, without ever shuffling the full vocabulary.
+
+    Two passes over the token stream (both narrow):
+      1. Misra-Gries candidates (superset guarantee holds whenever
+         k + 1 >= 1/threshold_frac — asserted below).
+      2. Exact count restricted to candidates via a broadcast semi
+         join, so the counting shuffle carries candidate tokens only;
+         the global N is a partial-aggregated scalar.
+
+    The result is a pure function of the data — candidate sets vary
+    with partitioning, but every true heavy hitter is in all of them
+    and the exact filter discards the rest.
+    """
+    if k + 1 < 1.0 / threshold_frac:
+        raise ValueError(
+            f"k={k} too small for threshold {threshold_frac}: need "
+            f"k+1 >= {1.0 / threshold_frac:.0f} for the superset guarantee"
+        )
+    cands = misra_gries_candidates(tokens, col=col, k=k).select(col).distinct()
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tokens.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("freq")
+            >= F.ceil(F.lit(threshold_frac) * F.col("n_total"))
+        )
+    )
+
+
+def gram_partials(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Upper-triangle second-moment partials per partition:
+    one row per (i, j<=i... actually i<=j) with
+    ``sxy`` = sum_rows x_i*x_j, ``si`` = sum x_i, ``sj`` = sum x_j,
+    ``n`` = partition row count.
+
+    Each partition emits exactly d*(d+1)/2 rows (float64) however many
+    vectors it holds — the gram matrix X^T X is computed as one BLAS
+    call per Arrow batch and accumulated in a d x d buffer. Summing
+    the partials grouped by (i, j) yields the exact global moments:
+    cov_ij = (sxy - si*sj/n) / (n-1). This is the one-pass
+    distributed covariance/PCA pattern: only d^2 doubles per partition
+    cross the shuffle, never the vectors.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if gram is None:
+                d = x.shape[1]
+                gram = np.zeros((d, d))
+                s = np.zeros(d)
+            gram += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if gram is None:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "sxy": gram[iu, ju],
+                "si": s[iu],
+                "sj": s[ju],
+                "n": np.full(len(iu), n, dtype=np.int64),
+            }
+        )
+
+    return vectors.mapInPandas(
+        summarize, "i int, j int, sxy double, si double, sj double, n long"
+    )
+
+
+def covariance_long(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact sample covariance matrix in long upper-triangle format
+    (i <= j), computed from :func:`gram_partials` — one narrow pass
+    plus a d^2-row shuffle."""
+    parts = gram_partials(vectors, vec_col=vec_col)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "i",
+        "j",
+        (
+            (F.col("sxy") - F.col("si") * F.col("sj") / n) / (n - F.lit(1))
+        ).alias("cov"),
+        n.alias("n"),
+    )

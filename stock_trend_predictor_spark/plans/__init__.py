@@ -8,6 +8,7 @@ from stock_trend_predictor_spark.plans import profiling_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import relational_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import similarity_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stock_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import summary_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import text_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import timeseries_queries  # noqa: F401
 from stock_trend_predictor_spark.plans.registry import (

@@ -1,0 +1,217 @@
+"""Mergeable-summary queries: exact heavy hitters via Misra-Gries
+candidates, BM25 retrieval, and one-pass covariance from gram
+partials (north-star extensions; no reference counterpart — the
+reference's pandas path has no notion of sublinear summaries).
+
+Scale shapes:
+- heavy hitters: the full vocabulary NEVER shuffles — per-partition
+  summaries are k counters, the exact re-count is restricted to the
+  broadcast candidate set.
+- BM25: corpus stats (N, avgdl, per-term df) reduce to ONE broadcast
+  row; scoring is a narrow map over the token stream; top-k is
+  TakeOrderedAndProject.
+- covariance: d^2 doubles per partition cross the shuffle, never the
+  vectors themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.operators.summaries import (
+    covariance_long,
+    heavy_hitters_exact,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+HH_FRAC = 0.02  # heavy-hitter threshold: >= 2% of all token occurrences
+BM25_TERMS = ("spark", "window", "hash", "dup")
+EMB_DIM = 64
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "heavy_hitters_tokens",
+        oracle=f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tot AS (
+    SELECT count(*) AS n_total FROM toks
+)
+SELECT tok,
+       count(*) AS freq,
+       {stable_round_sql("CAST(count(*) AS DOUBLE) / n_total", 6)} AS frac
+FROM toks CROSS JOIN tot
+GROUP BY tok, n_total
+HAVING count(*) >= ceil({HH_FRAC} * n_total)
+""",
+        doc="Exact heavy hitters (tokens with >= 2% of all occurrences) "
+        "WITHOUT a full-vocabulary shuffle: per-partition Misra-Gries "
+        "summaries (k=64 counters, superset guarantee since k+1 >= "
+        "1/frac) produce a candidate set that is broadcast back for an "
+        "exact re-count; only candidate tokens enter the counting "
+        "exchange. The oracle is the brute-force exact GROUP BY — "
+        "equality proves the candidate superset property end-to-end. "
+        "Mirrors the count-sketch workflow a 100 TB vocabulary needs "
+        "(operators/summaries.py).",
+    )
+    def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        hh = heavy_hitters_exact(toks, col="tok", threshold_frac=HH_FRAC)
+        return hh.select(
+            "tok",
+            "freq",
+            stable_round(
+                F.col("freq").cast("double") / F.col("n_total"), 6
+            ).alias("frac"),
+        )
+
+    # One scoring expression text, kept exactly parallel between the
+    # engines: idf = ln((N - df + 0.5)/(df + 0.5) + 1.0) (BM25+-style
+    # non-negative idf), tf norm with k1=1.2, b=0.75.
+    def _bm25_term_sql(t: str) -> str:
+        return (
+            f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+            f" * (tf_{t} * 2.2)"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        )
+
+    _tf_sql = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    _df_sql = ",\n           ".join(
+        f"count(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in BM25_TERMS
+    )
+    _score_sql = " + ".join(_bm25_term_sql(t) for t in BM25_TERMS)
+    _tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+
+    @register(
+        "bm25_doc_search",
+        oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS dl,
+           {_tf_sql}
+    FROM documents
+), s AS (
+    SELECT count(*) AS n_docs,
+           avg(dl) AS avgdl,
+           {_df_sql}
+    FROM t
+)
+SELECT doc_id, dl, {_tf_out},
+       {stable_round_sql(_score_sql, 6)} AS bm25
+FROM t CROSS JOIN s
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+        doc="BM25 top-20 retrieval for a fixed term set (k1=1.2, "
+        "b=0.75, non-negative idf). Per-doc term frequencies come from "
+        "array_filter over the bound token column (no explode, no "
+        "(doc x term) shuffle); N/avgdl/df collapse to ONE partially- "
+        "aggregated row that broadcasts back via crossJoin; the final "
+        "top-20 is TakeOrderedAndProject on the PRE-ROUNDED score with "
+        "doc_id tiebreak, so the cut is engine-exact. The full-corpus "
+        "scoring pass stays narrow at any scale.",
+    )
+    def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split(F.col("text"), " ")
+        )
+        def _eq(term: str):
+            # NB: a 2-arg lambda (even `lambda x, t=t:`) would be
+            # treated by F.filter as the (element, index) form.
+            return lambda x: x == F.lit(term)
+
+        per_doc = docs.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            *[
+                F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+        score = None
+        for t in BM25_TERMS:
+            tf = F.col(f"tf_{t}")
+            df = F.col(f"df_{t}")
+            idf = F.log(
+                (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            norm = tf + F.lit(1.2) * (
+                F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+            )
+            term = idf * (tf * F.lit(2.2)) / norm
+            score = term if score is None else score + term
+        return (
+            per_doc.crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                "dl",
+                *[f"tf_{t}" for t in BM25_TERMS],
+                stable_round(score, 6).alias("bm25"),
+            )
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(20)
+        )
+
+    @register(
+        "embedding_covariance",
+        oracle=f"""
+WITH pairs AS (
+    SELECT a.i, b.j
+    FROM range({EMB_DIM}) a(i) CROSS JOIN range({EMB_DIM}) b(j)
+    WHERE a.i <= b.j
+)
+SELECT CAST(p.i AS BIGINT) AS i,
+       CAST(p.j AS BIGINT) AS j,
+       {stable_round_sql(
+           "covar_samp(CAST(e.embedding[p.i + 1] AS DOUBLE),"
+           " CAST(e.embedding[p.j + 1] AS DOUBLE))", 6)} AS cov,
+       count(*) AS n
+FROM embeddings e CROSS JOIN pairs p
+GROUP BY p.i, p.j
+""",
+        doc="Exact 64x64 sample covariance of the embedding table in "
+        "long upper-triangle format — the one-pass distributed PCA "
+        "front half. Each partition reduces to a d x d gram partial "
+        "(one BLAS call per Arrow batch, operators/summaries.py:"
+        "gram_partials); only d^2 doubles per partition shuffle, never "
+        "the vectors. The DuckDB oracle recomputes every pair with "
+        "covar_samp over the unnested array — equality proves the "
+        "partial-merge algebra. Downstream eigendecomposition is "
+        "driver-side on the d x d result (tests/test_summaries.py).",
+    )
+    def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cov = covariance_long(emb, vec_col="embedding")
+        return cov.select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            stable_round(F.col("cov"), 6).alias("cov"),
+            F.col("n").alias("n"),
+        )
+
+
+_register()
