@@ -579,6 +579,33 @@ WHERE o_totalprice > (
         register_views(spark, sf_dir, ("orders",))
         return spark.sql(_ABOVE_AVG_SQL)
 
+    _LATERAL_TOPK_SQL = """
+SELECT s.o_orderstatus, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_orderstatus = s.o_orderstatus
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+    @register(
+        "lateral_topk_per_status",
+        oracle=_LATERAL_TOPK_SQL,
+        doc="Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 "
+        "orders per status) through the SQL front-end; the identical "
+        "text is the DuckDB oracle. Catalyst decorrelates the lateral "
+        "into a set-oriented plan (no per-outer-row re-execution — "
+        "asserted in tests/test_plans.py), so the construct scales "
+        "like the window-function top-k it is equivalent to "
+        "(`topk_orders_per_status`) rather than like a nested loop.",
+    )
+    def lateral_topk_per_status(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.sources.views import register_views
+
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(_LATERAL_TOPK_SQL)
+
     @register(
         "daily_rollup_incremental",
         oracle="""

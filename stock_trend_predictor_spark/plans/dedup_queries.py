@@ -552,5 +552,57 @@ JOIN shingled b
             stable_round(jac, 6).alias("jaccard"),
         )
 
+    @register(
+        "fuzzy_match_part_names",
+        oracle="""
+WITH names AS (
+    SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun
+    FROM part
+)
+SELECT least(a.p_name, b.p_name) AS name_a,
+       greatest(a.p_name, b.p_name) AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+        doc="Entity resolution / fuzzy record linkage: near-identical "
+        "part names (edit distance <= 2) found WITHOUT an all-pairs "
+        "comparison — candidates are blocked on the name's last word, "
+        "and the quadratic-per-block pair enumeration runs through "
+        "pair_parallel_self_join so parallelism is #blocks x "
+        "n_splits(n_splits+1)/2, not capped at the (low) block "
+        "cardinality. levenshtein is a built-in in BOTH engines, so "
+        "the scoring stays JVM-side here and oracle-exact. The same "
+        "shape handles 100 TB catalog/name dedup: blocking bounds "
+        "candidate generation, triangle decomposition bounds skew.",
+    )
+    def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        names = (
+            load_table(spark, sf_dir, "part")
+            .select("p_name")
+            .distinct()
+            .withColumn(
+                "noun", F.element_at(F.split(F.col("p_name"), " "), -1)
+            )
+        )
+        pairs = pair_parallel_self_join(
+            names, block="noun", id_col="p_name"
+        )
+        dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        return (
+            pairs.where(dist <= 2)
+            .select(
+                F.least(F.col("a.p_name"), F.col("b.p_name")).alias("name_a"),
+                F.greatest(F.col("a.p_name"), F.col("b.p_name")).alias(
+                    "name_b"
+                ),
+                dist.alias("dist"),
+            )
+        )
+
 
 _register()

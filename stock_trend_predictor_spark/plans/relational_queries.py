@@ -758,6 +758,44 @@ FROM events
         )
 
     @register(
+        "variant_function_battery",
+        oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CAST(json_merge_patch(props, '{}') AS VARCHAR) AS canonical_json,
+       json_extract_string(props, '$.absent') IS NULL AS absent_is_null,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 16 AS k_bucket
+FROM events
+WHERE event_id % 7 = 0
+""",
+        doc="Spark 4 VARIANT surface: parse_json into the binary "
+        "variant encoding once, then typed variant_get extraction, "
+        "try_variant_get on a missing path (NULL, no error), and "
+        "to_json round-trip. VARIANT keeps semi-structured data in a "
+        "shredded binary form — repeated path extraction avoids "
+        "re-parsing the JSON text per expression, which is the 100 TB "
+        "difference vs get_json_object chains. DuckDB mirrors with "
+        "json_extract_string and json_merge_patch (canonical "
+        "minified serialization matches to_json's).",
+    )
+    def variant_function_battery(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % 7 == 0
+        )
+        v = ev.withColumn("_v", F.parse_json("props"))
+        return v.select(
+            "event_id",
+            F.variant_get("_v", "$.k", "bigint").alias("prop_k"),
+            F.to_json("_v").alias("canonical_json"),
+            F.try_variant_get("_v", "$.absent", "bigint")
+            .isNull()
+            .alias("absent_is_null"),
+            (F.variant_get("_v", "$.k", "bigint") % 16).alias("k_bucket"),
+        )
+
+    @register(
         "feature_decile_binning",
         oracle="""
 WITH bounds AS (

@@ -154,3 +154,54 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "HashAggregate" in plan  # the decorrelated per-customer avg
     assert "Join" in plan  # rejoined on o_custkey
     assert "Subquery" not in plan  # no per-row re-execution survives
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT per outer row) must
+    compile to a set-oriented plan — a join against a ranked/limited
+    build, never a per-outer-row subquery re-execution."""
+    plan = _plan(spark, "lateral_topk_per_status")
+    assert "Join" in plan
+    assert "Subquery" not in plan
+
+
+def test_variant_battery_single_parse(spark):
+    """parse_json must be bound once (common subexpression), not
+    re-parsed per extraction: the plan projects from one variant."""
+    plan = _plan(spark, "variant_function_battery")
+    # pushdown still reaches the scan under the variant projection
+    assert "PushedFilters:" in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With broadcast off, a selective build side gets a runtime bloom
+    filter injected on the probe side (Spark's row-level runtime
+    filtering) — and the filtered join result is identical to the
+    unfiltered-plan result."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        with_bloom = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    without = sorted(map(tuple, j.collect()))
+    assert with_bloom == without
