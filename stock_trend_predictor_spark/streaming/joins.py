@@ -52,3 +52,38 @@ def join_feeds_within(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance}"))
         & (F.col("r_ts") <= F.col("l_ts")),
     ).select("symbol", "l_ts", "l_close", "r_ts", "r_close")
+
+
+def join_feeds_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Left-outer stream-stream join: every left tick emits — matched
+    rows as soon as both sides arrive, unmatched rows null-padded
+    AFTER the joint watermark passes left.ts + tolerance (only then
+    can Spark prove no match will ever arrive; this deferred-null
+    emission is the semantic difference from the batch left join).
+
+    Same state bound as the inner form: the time-range predicate plus
+    both watermarks let the engine drop buffered rows once they are
+    provably unmatchable.
+    """
+    l = left.withWatermark("ts", watermark_delay).select(
+        F.col("symbol"),
+        F.col("ts").alias("l_ts"),
+        F.col("close").alias("l_close"),
+    )
+    r = right.withWatermark("ts", watermark_delay).select(
+        F.col("symbol").alias("r_symbol"),
+        F.col("ts").alias("r_ts"),
+        F.col("close").alias("r_close"),
+    )
+    return l.join(
+        r,
+        (F.col("symbol") == F.col("r_symbol"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "leftOuter",
+    ).select("symbol", "l_ts", "l_close", "r_ts", "r_close")

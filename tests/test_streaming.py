@@ -671,3 +671,91 @@ def test_streaming_inference_foreachbatch(spark, tmp_path):
     assert rows["AAPL"]["prediction"] == 1  # predicted above open
     assert rows["MSFT"]["prediction"] == 0  # 0.5*10+3=8 < 10
     assert abs(rows["AAPL"]["change_pct"] - 200.0) < 1e-9
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Unmatched left rows are null-padded only once the joint
+    watermark proves no match can arrive (deferred-null semantics)."""
+    from stock_trend_predictor_spark.streaming.joins import (
+        join_feeds_left_outer,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    _write_jsonl(lsrc / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 09:50:00", "symbol": "AAPL", "close": 12.0},
+    ])
+    _write_jsonl(rsrc / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:28:00", "symbol": "AAPL", "close": 9.8},
+    ])
+    # watermark pushers in a LATER batch on both feeds: the joint
+    # watermark moves to 11:20 — beyond 09:50 + 5m tolerance — which
+    # is what licenses the null-padded emission of the unmatched row.
+    _write_jsonl(lsrc / "b1.jsonl", [
+        {"timestamp": "2024-01-01 11:30:00", "symbol": "MSFT", "close": 1.0},
+    ])
+    _write_jsonl(rsrc / "b1.jsonl", [
+        {"timestamp": "2024-01-01 11:31:00", "symbol": "MSFT", "close": 2.0},
+    ])
+    now = time.time()
+    for d, f, t in ((lsrc, "b0.jsonl", 60), (rsrc, "b0.jsonl", 60),
+                    (lsrc, "b1.jsonl", 0), (rsrc, "b1.jsonl", 0)):
+        os.utime(d / f, (now - t, now - t))
+
+    joined = join_feeds_left_outer(
+        read_tick_file_stream(spark, str(lsrc), max_files_per_trigger=1),
+        read_tick_file_stream(spark, str(rsrc), max_files_per_trigger=1),
+        tolerance="5 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_louter")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["l_ts"]), r["r_close"])
+        for r in spark.sql("SELECT * FROM ss_louter").collect()
+    )
+    assert ("2024-01-01 09:30:00", 9.8) in got
+    assert ("2024-01-01 09:50:00", None) in got
+    # the pushers themselves are unmatched but NOT yet past the
+    # watermark — deferred-null semantics means they must not emit
+    assert ("2024-01-01 11:30:00", None) not in got
+    spark.catalog.dropTempView("ss_louter")
+
+
+def test_dedup_within_watermark_collapses_jittered_replays(
+    spark, tmp_path
+):
+    """Replays of the same (symbol, close) with jittered timestamps
+    collapse to one tick; distinct business events survive."""
+    from stock_trend_predictor_spark.streaming.ingest import (
+        dedup_ticks_fuzzy,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b0.jsonl", [
+        {"timestamp": "2024-01-01 09:30:00", "symbol": "AAPL", "close": 10.0},
+        # retransmit 7s later with a fresh stamp — same business event
+        {"timestamp": "2024-01-01 09:30:07", "symbol": "AAPL", "close": 10.0},
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "AAPL", "close": 11.0},
+        {"timestamp": "2024-01-01 09:31:00", "symbol": "MSFT", "close": 10.0},
+    ])
+    ticks = dedup_ticks_fuzzy(read_tick_file_stream(spark, str(src)))
+    q = (
+        ticks.select("symbol", "ts", "close")
+        .writeStream.format("memory").queryName("fuzzy_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["symbol"], r["close"])
+        for r in spark.sql("SELECT * FROM fuzzy_dedup").collect()
+    )
+    assert got == [("AAPL", 10.0), ("AAPL", 11.0), ("MSFT", 10.0)]
+    spark.catalog.dropTempView("fuzzy_dedup")
