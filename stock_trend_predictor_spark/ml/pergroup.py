@@ -125,3 +125,53 @@ def score_with_models(ticks: DataFrame, models: DataFrame) -> DataFrame:
         (predicted > F.col("open")).cast("int").alias("prediction"),
         change_pct().alias("change_pct"),
     )
+
+
+def train_ridge_per_key(
+    ticks: DataFrame,
+    lam: float = 10.0,
+    key: str = "symbol",
+    x: str = "open",
+    y: str = "close",
+) -> DataFrame:
+    """Per-key ridge regression (L2 penalty on the slope): the same
+    two-stage harness as :func:`train_linreg_per_key` — decimal
+    sufficient statistics JVM-side, closed-form solve in the Arrow
+    kernel — because ridge still HAS a sufficient-statistic form:
+    slope = Sxy_c / (Sxx_c + lam) on centered moments. Shrinkage
+    toward 0 regularizes the near-constant-x keys where plain OLS
+    is ill-conditioned (the denominator guard case in the OLS solve).
+    """
+    from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+    cx, cy = F.col(x), F.col(y)
+    stats = (
+        ticks.where(cx.isNotNull() & cy.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cx.cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum(cy.cast(DECIMAL_T)).cast("double").alias("sy"),
+            F.sum((cx * cy).cast(DECIMAL_T)).cast("double").alias("sxy"),
+            F.sum((cx * cx).cast(DECIMAL_T)).cast("double").alias("sxx"),
+        )
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = float(pdf["n"].iloc[0])
+        sx, sy = float(pdf["sx"].iloc[0]), float(pdf["sy"].iloc[0])
+        sxy, sxx = float(pdf["sxy"].iloc[0]), float(pdf["sxx"].iloc[0])
+        # expression order mirrors the SQL oracle text exactly (IEEE
+        # evaluation-order parity)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n + lam)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "symbol": [pdf[key].iloc[0]],
+                "n_rows": [int(n)],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return stats.groupBy(key).applyInPandas(solve, schema=MODEL_SCHEMA)

@@ -74,6 +74,64 @@ FROM models
             stable_round(F.col("intercept"), 6).alias("intercept"),
         )
 
+    _RIDGE_LAM = 10.0
+    _RIDGE_CTE = f"""
+{TICKS_ORACLE_CTE},
+clean AS (
+    SELECT symbol, ts, open, close FROM ticks
+    WHERE open IS NOT NULL AND close IS NOT NULL
+), agg AS (
+    SELECT symbol,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(open AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(open * close AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(open * open AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+    FROM clean GROUP BY symbol
+), ridge AS (
+    SELECT symbol,
+           CAST(n AS BIGINT) AS n_rows,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n + {_RIDGE_LAM}) AS slope
+    FROM agg
+)
+"""
+
+    @register(
+        "pergroup_ridge_models",
+        oracle=f"""
+WITH {_RIDGE_CTE}
+SELECT r.symbol, r.n_rows,
+       {stable_round_sql('r.slope', 6)} AS slope,
+       {stable_round_sql(
+           '(a.sy - r.slope * a.sx) / a.n', 6)} AS intercept
+FROM ridge r JOIN agg a ON r.symbol = a.symbol
+""",
+        doc="Per-key RIDGE fit (lambda=10 L2 penalty on the slope) "
+        "through the same two-stage harness as the OLS sibling: "
+        "decimal sufficient statistics JVM-side (one pass, 5 numbers "
+        "per key shuffle), closed-form shrinkage solve in the Arrow "
+        "kernel. Centered-moment expression order is written "
+        "identically in the Python kernel and the oracle SQL, so the "
+        "shrunk coefficients are value-hash exact — regularization "
+        "without losing oracle checkability.",
+    )
+    def pergroup_ridge_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import stable_round
+        from stock_trend_predictor_spark.ml.pergroup import (
+            train_ridge_per_key,
+        )
+
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & F.col("close").isNotNull()
+        )
+        m = train_ridge_per_key(t, lam=_RIDGE_LAM)
+        return m.select(
+            "symbol",
+            "n_rows",
+            stable_round(F.col("slope"), 6).alias("slope"),
+            stable_round(F.col("intercept"), 6).alias("intercept"),
+        )
+
     @register(
         "pergroup_model_scoring",
         oracle=f"""

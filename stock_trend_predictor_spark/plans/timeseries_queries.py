@@ -403,5 +403,63 @@ GROUP BY l_suppkey
             F.count(F.lit(1)).alias("n_lines"),
         )
 
+    # Exponential time-decay weights as SHARED literals: 0.7**k is
+    # computed once in Python and its shortest-round-trip repr feeds
+    # both engines, so the weighted sums are IEEE-identical.
+    _EWMA_K = 10
+    _EWMA_W = [repr(0.7**k) for k in range(_EWMA_K)]
+    _ewma_num_sql = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w, 0.0) * {w}" if k else f"value * {w}"
+        for k, w in enumerate(_EWMA_W)
+    )
+    _ewma_den_sql = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w} END)"
+        if k
+        else f"{w}"
+        for k, w in enumerate(_EWMA_W)
+    )
+
+    @register(
+        "ewma_time_decay",
+        oracle=f"""
+SELECT event_id, event_type AS symbol, value,
+       {stable_round_sql(f"({_ewma_num_sql}) / ({_ewma_den_sql})", 6)}
+         AS ewma10
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+        doc="Exponentially-weighted moving average (halflife ~2 rows, "
+        "10-tap truncation) as TEN lag() taps over ONE window — no "
+        "collect_list, no per-row array, no recursive scan. All taps "
+        "share the single (symbol) shuffle and evaluate in one "
+        "codegen'd projection; the head-of-series partial window "
+        "renormalizes by the present-tap weight sum. The classic "
+        "recursive EWMA is not expressible as a window aggregate — "
+        "the truncated-tap form is the scalable equivalent (weights "
+        "below 0.03 dropped) and is what keeps it oracle-exact.",
+    )
+    def ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        num = None
+        den = None
+        for k, wl in enumerate(_EWMA_W):
+            wk = F.lit(float(wl))
+            tap = F.col("value") if k == 0 else F.lag("value", k).over(w)
+            t_num = (
+                F.coalesce(tap, F.lit(0.0)) * wk if k else tap * wk
+            )
+            t_den = (
+                F.when(tap.isNull(), F.lit(0.0)).otherwise(wk) if k else wk
+            )
+            num = t_num if num is None else num + t_num
+            den = t_den if den is None else den + t_den
+        return ev.select(
+            "event_id",
+            F.col("event_type").alias("symbol"),
+            "value",
+            stable_round(num / den, 6).alias("ewma10"),
+        )
+
 
 _register()
