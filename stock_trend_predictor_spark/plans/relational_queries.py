@@ -129,6 +129,69 @@ LIMIT 10
         )
 
     @register(
+        "q10_returned_items",
+        oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        doc="TPC-H Q10 analogue: who returned the most revenue last "
+        "quarter. Scale shape: both fact filters (returnflag, order-"
+        "date quarter) pushed to their scans; lineitem joins orders on "
+        "the one necessary key; the rollup happens at o_custkey grain "
+        "BEFORE any dimension is touched, so the customer table joins "
+        "a customer-sized aggregate (never the fact stream — customer "
+        "is NOT broadcast-sized at 100 TB and must not sit inside the "
+        "fact join); nation alone broadcasts. Final top-20 is "
+        "TakeOrderedAndProject (heap), never a global sort, with a "
+        "c_custkey tiebreak keeping the cut engine-exact.",
+    )
+    def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer")
+        nation = load_table(spark, sf_dir, "nation")
+        orders = load_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate")
+             >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_returnflag") == "R"
+        )
+        rev = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(
+                exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue",
+                )
+            )
+        )
+        return (
+            rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(
+                "c_custkey", "c_name", "n_name", "revenue", "c_acctbal"
+            )
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+        )
+
+    @register(
         "q5_regional_revenue",
         oracle=f"""
 SELECT n_name,
@@ -755,6 +818,55 @@ FROM events
             F.element_at(F.col("m"), "k").alias("k_value"),
             F.size(merged).alias("merged_n_keys"),
             (F.element_at(F.col("m"), "k") % 10).alias("k_bucket"),
+        )
+
+    @register(
+        "collation_battery",
+        oracle="""
+WITH mixed AS (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END
+             AS s
+    FROM part
+)
+SELECT lower(s) AS type_ci,
+       count(*) AS n_rows,
+       count(DISTINCT s) AS n_case_variants
+FROM mixed
+GROUP BY lower(s)
+""",
+        doc="Spark 4 collation surface: grouping under UTF8_LCASE "
+        "merges case variants inside the engine's hash/compare — no "
+        "lowercased shadow column materialized in the aggregation key "
+        "— while a nested UTF8_BINARY distinct still counts the exact "
+        "variants. The group representative is canonicalized with "
+        "lower() and cast back to a binary-collated string so the "
+        "result schema is engine-neutral. DuckDB mirrors with plain "
+        "lower() grouping.",
+    )
+    def collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        part = load_table(spark, sf_dir, "part")
+        mixed = part.select(
+            "p_partkey",
+            F.when(
+                F.col("p_partkey") % 2 == 0, F.lower("p_type")
+            )
+            .otherwise(F.col("p_type"))
+            .alias("s"),
+        )
+        return (
+            mixed.groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.collate("s", "UTF8_BINARY")).alias(
+                    "n_case_variants"
+                ),
+            )
+            .select(
+                F.lower("k").cast("string").alias("type_ci"),
+                "n_rows",
+                "n_case_variants",
+            )
         )
 
     @register(

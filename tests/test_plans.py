@@ -205,3 +205,14 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
             spark.conf.set(k, v)
     without = sorted(map(tuple, j.collect()))
     assert with_bloom == without
+
+
+def test_q10_aggregates_before_dimension_join(spark):
+    """The per-customer rollup must happen at o_custkey grain before
+    the customer table is joined (customer is not broadcast-sized at
+    scale), and the top-20 must be a heap, not a global sort."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # the aggregate keys are o_custkey only — grouping by customer
+    # attributes would prove the dimension was joined pre-rollup
+    assert "HashAggregate(keys=[o_custkey" in plan, plan
