@@ -148,3 +148,40 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def assign_clusters_multiprobe(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Each row exploded to its ``nprobe`` nearest centroids (column
+    ``cid``). Multi-probe assignment is what makes coarse-quantizer
+    blocking usable for PAIR problems: two near-duplicates sitting on
+    opposite sides of a Voronoi boundary still share their second-
+    nearest cell with high probability, so within-cell enumeration
+    recovers the pair. Cost is nprobe x rows — still narrow, no
+    shuffle; centroids ride along as plan literals."""
+    dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in centroids])
+    d = corpus.withColumn("_d", dists)
+    # rank centroid ids by distance (stable: ties break on cid) and
+    # keep the first nprobe
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.col("_d"),
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda dist, i: F.struct(
+                    dist.alias("dist"), i.alias("cid")
+                ),
+            )
+        ),
+        lambda s: s["cid"],
+    )
+    return (
+        d.withColumn("_probes", F.slice(ranked, 1, nprobe))
+        .drop("_d")
+        .withColumn("cid", F.explode("_probes"))
+        .drop("_probes")
+    )

@@ -553,6 +553,62 @@ JOIN shingled b
         )
 
     @register(
+        "dedup_embedding_ivf",
+        # No oracle: the k-means centroids are floating-point averages
+        # whose last-ulp values depend on partition merge order, so
+        # boundary assignments are not engine-reproducible. The
+        # operator is recall-tested against the exact all-pairs truth
+        # in tests/test_summaries.py instead (driver: rows-only).
+        doc="LABEL-FREE semantic near-dup detection — the 100 TB shape "
+        "when no blocking key exists: a deterministic-seed k-means "
+        "coarse quantizer (operators/ivf.py, only k x dim floats ever "
+        "reach the driver) assigns every vector to its nprobe=2 "
+        "nearest cells; candidate pairs enumerate within cells via the "
+        "triangle decomposition; exact cosine >= 0.35 verifies. "
+        "Multi-probe is the recall lever: Voronoi-boundary pairs "
+        "share their second cell. Complexity: sum of cell sizes "
+        "squared, vs the quadratic all-pairs the exact query "
+        "(dedup_embedding_cosine) needs a label for.",
+    )
+    def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.ivf import (
+            assign_clusters_multiprobe,
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        cents = kmeans_centroids(e, k=8, iters=3, vec_col="v")
+        probed = assign_clusters_multiprobe(e, cents, nprobe=2)
+        pairs = pair_parallel_self_join(probed, block="cid", id_col="vec_id")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        return (
+            pairs.select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                    "vec_b"
+                ),
+                stable_round(cos, 6).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= 0.35)
+            # a pair sharing both probed cells appears once per cell
+            .distinct()
+        )
+
+    @register(
         "fuzzy_match_part_names",
         oracle="""
 WITH names AS (

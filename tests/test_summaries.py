@@ -132,3 +132,29 @@ def test_pca_tail_from_covariance(spark, sf_dir):
     np.testing.assert_allclose(evals[:8], ref[:8], atol=1e-9)
     # top-8 explained-variance share is a meaningful spectrum summary
     assert 0.0 < evals[:8].sum() / evals.sum() <= 1.0
+
+
+def test_ivf_semantic_dedup_recall(spark, sf_dir):
+    """Label-free IVF-blocked near-dup pairs vs the exact all-pairs
+    truth: every reported pair must be true (precision 1.0 — the
+    verify step computes exact cosine), recall bounded below."""
+    import itertools
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["dedup_embedding_ivf"].fn(spark, sf_dir).collect()
+    }
+    x = _np_embeddings(spark, sf_dir)
+    n = np.linalg.norm(x, axis=1)
+    sims = (x @ x.T) / np.outer(n, n)
+    truth = {
+        (i, j)
+        for i, j in itertools.combinations(range(x.shape[0]), 2)
+        if round(sims[i, j], 6) >= 0.35
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    assert got <= truth  # exact-verify step => no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, recall
