@@ -111,3 +111,80 @@ SELECT a AS node,
        least(a, min(b)) AS component
 FROM reach GROUP BY a
 """
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    d: float = 0.85,
+    iters: int = 6,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list, with
+    dangling-mass redistribution. Returns (node, od, rank).
+
+    Per iteration — all set-oriented, one shuffle each:
+      contrib: edges ⨝ ranks on src, aggregated by dst (the one
+               edge-sized exchange);
+      dangling: Σ rank over out-degree-0 nodes — a SCALAR aggregate
+               that broadcasts back (never a driver round-trip);
+      update:  rank' = (1-d)/N + d * (contrib + dangling/N).
+
+    Lineage is truncated with localCheckpoint(eager=True) every round
+    — iterative DataFrame loops otherwise accumulate a plan whose
+    string alone OOMs the driver (same policy as
+    :func:`connected_components` and the IVF Lloyd loop).
+
+    N (node count) is collected once — a convergence-style scalar,
+    not data. The whole computation is plain double arithmetic in a
+    fixed expression order, so a SQL engine running the identically
+    unrolled iterations reproduces it to the last ~ulp
+    (oracle-checked in plans/graph_queries.py after stable rounding).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("od", F.lit(0)).alias("od"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    ranks = base.withColumn("r", F.lit(1.0) / F.lit(n))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+        )
+        # coalesce: a graph with no dangling nodes sums over an empty
+        # set -> NULL, which would poison every rank
+        dangling = ranks.where(F.col("od") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "od",
+                (
+                    F.lit((1.0 - d)) / F.lit(n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(n)
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

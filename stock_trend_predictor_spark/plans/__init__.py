@@ -2,6 +2,7 @@
 
 from stock_trend_predictor_spark.plans import analytics_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import dedup_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import layout_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401

@@ -1,0 +1,106 @@
+"""Graph queries: PageRank over the part->supplier edge list.
+
+The oracle is the SAME power iteration UNROLLED as a chain of plain
+CTEs (one contrib/dangling/update triple per iteration) — no
+recursive-CTE aggregation needed, and every arithmetic step appears
+in the identical order in both engines, so the ranks agree to the
+last ~ulp and stable rounding at 1e-9 makes the value-hash exact.
+
+Scale shape (operators/components.py::pagerank): per iteration ONE
+edge-sized exchange (contrib grouped by dst) + a scalar dangling
+aggregate that broadcasts; lineage truncated per round. Rounds are a
+fixed constant — the plan does not grow with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.operators.components import pagerank
+from stock_trend_predictor_spark.sources.tables import load_table
+
+PR_D = 0.85
+PR_ITERS = 6
+
+
+def _pagerank_oracle(iters: int) -> str:
+    parts = [
+        """
+WITH e AS (
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem
+), nodes AS (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), odeg AS (
+    SELECT src AS node, count(*) AS od FROM e GROUP BY src
+), base AS (
+    SELECT n.node, coalesce(o.od, 0) AS od
+    FROM nodes n LEFT JOIN odeg o ON n.node = o.node
+), cnt AS (
+    SELECT count(*) AS n FROM base
+), r0 AS (
+    SELECT node, od, CAST(1.0 AS DOUBLE) / cnt.n AS r
+    FROM base CROSS JOIN cnt
+)"""
+    ]
+    for k in range(iters):
+        parts.append(f""", c{k} AS (
+    SELECT e.dst AS node, sum(r.r / r.od) AS c
+    FROM e JOIN r{k} r ON e.src = r.node GROUP BY e.dst
+), d{k} AS (
+    SELECT coalesce(sum(r), CAST(0.0 AS DOUBLE)) AS dm
+    FROM r{k} WHERE od = 0
+), r{k + 1} AS (
+    SELECT b.node, b.od,
+           (CAST(1.0 AS DOUBLE) - {PR_D}) / cnt.n
+           + {PR_D} * (coalesce(c.c, CAST(0.0 AS DOUBLE))
+                       + d.dm / cnt.n) AS r
+    FROM base b
+    LEFT JOIN c{k} c ON b.node = c.node
+    CROSS JOIN d{k} d CROSS JOIN cnt
+)""")
+    parts.append(f"""
+SELECT node, od, {stable_round_sql('r', 9)} AS rank
+FROM r{iters}
+""")
+    return "".join(parts)
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "pagerank_part_supplier",
+        oracle=_pagerank_oracle(PR_ITERS),
+        doc="PageRank (d=0.85, 6 power iterations, dangling-mass "
+        "redistribution) over the distinct part->supplier edge list. "
+        "Suppliers are all dangling (no out-edges), so the dangling "
+        "term is load-bearing, not decorative. The oracle unrolls the "
+        "same iteration as chained CTEs — proving the DataFrame loop "
+        "(operators/components.py::pagerank, localCheckpoint-"
+        "truncated) computes the textbook recurrence bit-for-bit "
+        "before 1e-9 rounding.",
+    )
+    def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        ).distinct()
+        ranks = pagerank(e, d=PR_D, iters=PR_ITERS)
+        return ranks.select(
+            "node", "od", stable_round(F.col("r"), 9).alias("rank")
+        )
+
+
+_register()
