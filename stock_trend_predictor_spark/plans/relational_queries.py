@@ -820,6 +820,70 @@ FROM events
             (F.element_at(F.col("m"), "k") % 10).alias("k_bucket"),
         )
 
+    _I64_MAX = 9223372036854775807
+
+    @register(
+        "try_arithmetic_battery",
+        oracle=f"""
+SELECT o_orderkey,
+       o_orderkey + 1 AS ok_add,
+       CASE WHEN CAST({_I64_MAX} AS HUGEINT) + o_orderkey > {_I64_MAX}
+            THEN NULL ELSE {_I64_MAX} + o_orderkey END AS ovf_add,
+       CASE WHEN CAST(4611686018427387904 AS HUGEINT) * o_orderkey
+                 > {_I64_MAX}
+            THEN NULL ELSE 4611686018427387904 * o_orderkey END AS ovf_mul,
+       o_totalprice / nullif(o_orderkey % 3, 0) AS div_guarded,
+       o_orderkey % nullif(o_custkey % 5, 0) AS mod_guarded,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_orderkey AS VARCHAR)
+                     ELSE 'x' || CAST(o_orderkey AS VARCHAR) END
+                AS BIGINT) AS parsed,
+       [10, 20, 30][CAST(o_orderkey % 5 AS INT) + 1] AS elem
+FROM orders
+WHERE o_orderkey % 11 = 0
+""",
+        doc="Spark 4 error-safe arithmetic under ANSI mode: try_add / "
+        "try_multiply return NULL on int64 overflow (the oracle proves "
+        "the exact overflow boundary via HUGEINT range checks), "
+        "try_divide / try_mod return NULL on zero divisors (mirrored "
+        "with nullif), try_to_number NULLs malformed strings "
+        "(TRY_CAST), try_element_at NULLs invalid indices (index 0 "
+        "and out-of-range — DuckDB 1-based list extract agrees). "
+        "ANSI + try_* is the 100 TB failure-isolation contract: one "
+        "poison row NULLs, the job survives, a downstream DQ rule "
+        "counts the NULLs.",
+    )
+    def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") % 11 == 0
+        )
+        key = F.col("o_orderkey")
+        return o.select(
+            "o_orderkey",
+            F.try_add(key, F.lit(1)).alias("ok_add"),
+            F.try_add(F.lit(_I64_MAX), key).alias("ovf_add"),
+            F.try_multiply(F.lit(4611686018427387904), key).alias("ovf_mul"),
+            F.try_divide(F.col("o_totalprice"), key % 3).alias(
+                "div_guarded"
+            ),
+            F.try_mod(key, F.col("o_custkey") % 5).alias("mod_guarded"),
+            F.try_to_number(
+                F.when(key % 2 == 0, key.cast("string")).otherwise(
+                    F.concat(F.lit("x"), key.cast("string"))
+                ),
+                F.lit("999999999"),
+            )
+            .cast("bigint")
+            .alias("parsed"),
+            # NB try_element_at suppresses OUT-OF-RANGE only; index 0
+            # still raises INVALID_INDEX_OF_ZERO — indices here are 1..5
+            # so 4 and 5 exercise the NULL path
+            F.try_element_at(
+                F.array(F.lit(10), F.lit(20), F.lit(30)),
+                ((key % 5).cast("int") + F.lit(1)),
+            ).alias("elem"),
+        )
+
     @register(
         "collation_battery",
         oracle="""

@@ -1,0 +1,74 @@
+"""Registry-wide contracts the driver relies on."""
+
+from __future__ import annotations
+
+import re
+
+from stock_trend_predictor_spark.plans import REGISTRY
+
+KNOWN_TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+}
+
+
+def test_every_query_documents_itself():
+    undocumented = [n for n, q in REGISTRY.items() if not q.doc.strip()]
+    assert not undocumented, undocumented
+
+
+def test_oracles_reference_only_registered_views():
+    """The driver pre-registers exactly the testdata tables as DuckDB
+    views; an oracle touching anything else fails only at driver
+    time — catch it here."""
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        froms = set(
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b(?:(?<!DISTINCT )FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)",
+                q.oracle,
+            )
+        )
+        # CTE / subquery aliases declared anywhere ("x AS (") and
+        # table functions are legitimate targets
+        ctes = set(
+            m.group(1).lower()
+            for m in re.finditer(
+                r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle
+            )
+        )
+        table_fns = {"range", "generate_series", "unnest", "values"}
+        unknown = froms - KNOWN_TABLES - ctes - table_fns
+        if unknown:
+            bad[name] = sorted(unknown)
+    assert not bad, bad
+
+
+def test_no_duplicate_output_aliases_in_oracles():
+    """The driver sorts columns by name before hashing — duplicate
+    aliases in the final select would be ambiguous."""
+    # cheap textual heuristic on the FINAL select of each oracle:
+    # aliases declared via ' AS x' at the top level must be unique
+    dupes = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        final = q.oracle.rsplit("SELECT", 1)[-1]
+        type_names = {
+            "bigint", "int", "integer", "smallint", "tinyint", "double",
+            "float", "real", "varchar", "text", "date", "timestamp",
+            "decimal", "hugeint", "boolean", "blob", "interval", "long",
+        }
+        aliases = re.findall(r"\bAS\s+([a-zA-Z_][a-zA-Z0-9_]*)", final)
+        lowered = [
+            a.lower() for a in aliases if a.lower() not in type_names
+        ]
+        if len(lowered) != len(set(lowered)):
+            seen, d = set(), set()
+            for a in lowered:
+                (d if a in seen else seen).add(a)
+            dupes[name] = sorted(d)
+    assert not dupes, dupes
