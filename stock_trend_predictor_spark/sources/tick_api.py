@@ -23,11 +23,15 @@ import hashlib
 from collections.abc import Iterator, Sequence
 from datetime import datetime, timedelta
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -112,9 +116,83 @@ class TickApiDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return TickApiBatchReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "TickApiWriter":
+        return TickApiWriter(self.options)
+
     def simpleStreamReader(self, schema: StructType) -> TickApiStreamReader:
         return TickApiStreamReader(self.options)
 
 
 def register_tick_api(spark) -> None:
     spark.dataSource.register(TickApiDataSource)
+
+
+@dataclass
+class _QuoteFileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    file: str
+    rows: int
+
+
+class TickApiWriter(DataSourceWriter):
+    """Batch writer half of the connector: 'publish quotes to the
+    feed'. Each task stages one JSONL file (the stand-in for an HTTP
+    POST batch — swap the file write for the API call and nothing
+    else changes); the driver's ``commit`` publishes a manifest
+    listing exactly the files whose tasks succeeded. Readers that
+    honor the manifest see task-level atomicity: a failed/speculated
+    task's orphan file is never listed, and ``abort`` removes staged
+    files outright. This is the same commit-protocol shape Spark's
+    file sinks use, expressed through the Python DataSource API."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tick_api writer requires option 'path'")
+        self.path = path
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {
+                            "symbol": row.symbol,
+                            "seq": row.seq,
+                            "ts": row.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                            "price": row.price,
+                            "volume": row.volume,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _QuoteFileCommit(file=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.file) for m in messages if m is not None
+            ),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)

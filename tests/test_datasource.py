@@ -90,3 +90,44 @@ def test_stream_poll_offsets_and_determinism(spark, tmp_path):
     # offsets advanced contiguously from 0 per symbol
     seqs = sorted(s for (sym, s) in got if sym == "AAPL")
     assert seqs == list(range(len(seqs)))
+
+
+def test_tick_api_writer_roundtrip_with_manifest(spark, tmp_path):
+    """Writer half of the connector: read from the API source, publish
+    through format('tick_api'); the manifest lists exactly the
+    committed files and the JSONL contents round-trip."""
+    import json
+    import os
+
+    from stock_trend_predictor_spark.sources.tick_api import (
+        register_tick_api,
+    )
+
+    register_tick_api(spark)
+    src = (
+        spark.read.format("tick_api")
+        .option("symbols", "AAPL,MSFT")
+        .option("rows_per_symbol", "7")
+        .load()
+    )
+    out = str(tmp_path / "published")
+    src.write.format("tick_api").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    on_disk = sorted(
+        f for f in os.listdir(out) if f.endswith(".jsonl")
+    )
+    assert manifest["files"] == on_disk
+    assert manifest["rows"] == 14
+
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 14
+    got = {
+        (r["symbol"], r["seq"], round(r["price"], 3))
+        for r in back.collect()
+    }
+    want = {
+        (r["symbol"], r["seq"], round(r["price"], 3))
+        for r in src.collect()
+    }
+    assert got == want
