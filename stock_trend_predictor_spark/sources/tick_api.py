@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -119,6 +120,11 @@ class TickApiDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "TickApiWriter":
         return TickApiWriter(self.options)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "TickApiStreamWriter":
+        return TickApiStreamWriter(self.options)
+
     def simpleStreamReader(self, schema: StructType) -> TickApiStreamReader:
         return TickApiStreamReader(self.options)
 
@@ -191,6 +197,49 @@ class TickApiWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class TickApiStreamWriter(DataSourceStreamWriter):
+    """Streaming publish: same staged-file-per-task protocol as the
+    batch writer, but committed PER EPOCH — the driver writes
+    ``_MANIFEST-{batchId}.json`` naming exactly that micro-batch's
+    succeeded files. Exactly-once at the feed boundary then falls out
+    of the checkpoint: a replayed epoch re-stages files and
+    re-publishes the same batchId manifest (readers key on manifests,
+    orphan stages are invisible), which is the idempotent-sink
+    contract Structured Streaming requires of any real publisher."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tick_api stream writer requires option 'path'")
+        self.path = path
+
+    def write(self, iterator):
+        return TickApiWriter({"path": self.path}).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(
+                os.path.basename(m.file) for m in messages if m is not None
+            ),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

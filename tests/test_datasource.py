@@ -131,3 +131,54 @@ def test_tick_api_writer_roundtrip_with_manifest(spark, tmp_path):
         for r in src.collect()
     }
     assert got == want
+
+
+def test_tick_api_stream_writer_per_epoch_manifests(spark, tmp_path):
+    """Streaming publish: per-epoch manifests name exactly the files
+    of their micro-batch; union of manifests == rows on disk."""
+    import glob
+    import json
+    import os
+
+    register_tick_api(spark)
+    out = str(tmp_path / "feed_out")
+    q = (
+        spark.readStream.format("tick_api")
+        .option("symbols", "AAPL")
+        .option("rows_per_batch", 5)
+        .load()
+        .writeStream.format("tick_api")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(glob.glob(os.path.join(out, "_MANIFEST-*.json"))) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    assert len(manifests) >= 2
+    listed, total = set(), 0
+    for mp in manifests:
+        m = json.load(open(mp))
+        assert not listed & set(m["files"])  # epochs don't share files
+        listed |= set(m["files"])
+        total += m["rows"]
+    # every manifest-listed file exists; data rows match the kernel
+    rows = []
+    for fname in listed:
+        with open(os.path.join(out, fname)) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == total
+    for r in rows:
+        exp = _quote(r["symbol"], r["seq"], 1_704_067_200, 60)
+        assert (exp[3], exp[4]) == (r["price"], r["volume"])
+    # offsets contiguous from 0 => each epoch published disjoint seqs
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(len(seqs)))
