@@ -177,6 +177,62 @@ LIMIT 20
         )
 
     @register(
+        "inverted_index_postings",
+        oracle="""
+WITH tf AS (
+    SELECT token, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY 1, 2
+)
+SELECT token,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (WHERE doc_id < 30) AS head_postings
+FROM tf
+GROUP BY token
+""",
+        doc="Inverted-index build — the storage half of the BM25 "
+        "retrieval path: per-token document frequency, collection "
+        "frequency, and the posting list (materialized here as the "
+        "doc_id<30 head, comma-joined in sorted order so the driver "
+        "can hash it — full posting ARRAYS stay engine-side; the "
+        "driver comparator cannot hash list cells). One (doc, token) "
+        "pre-aggregation then one token-keyed shuffle of counts — "
+        "postings build is a pure two-level aggregation, text never "
+        "moves after tokenize.",
+    )
+    def inverted_index_postings(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+            )
+            .groupBy("token", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            # nullif: a token with no doc_id<30 must be NULL (DuckDB's
+            # empty string_agg), not the empty string
+            F.nullif(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("doc_id") < 30, F.col("doc_id"))
+                        )
+                    ).cast("array<string>"),
+                    ",",
+                ),
+                F.lit(""),
+            ).alias("head_postings"),
+        )
+
+    @register(
         "embedding_covariance",
         oracle=f"""
 WITH pairs AS (

@@ -216,3 +216,41 @@ def test_q10_aggregates_before_dimension_join(spark):
     # the aggregate keys are o_custkey only — grouping by customer
     # attributes would prove the dimension was joined pre-rollup
     assert "HashAggregate(keys=[o_custkey" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Strategy hints override Catalyst's default pick — the manual
+    lever when runtime stats mislead (e.g. a filter Catalyst cannot
+    estimate): SHUFFLE_HASH avoids the SMJ sort, MERGE forces it,
+    BROADCAST pins the dim side. Results identical across all three."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        results = []
+        for hint, node in (
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("merge", "SortMergeJoin"),
+            ("broadcast", "BroadcastHashJoin"),
+        ):
+            j = li.join(
+                orders.hint(hint),
+                li["l_orderkey"] == orders["o_orderkey"],
+            ).groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert node in plan, (hint, plan)
+            results.append(sorted(map(tuple, j.collect())))
+        assert results[0] == results[1] == results[2]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
