@@ -1,0 +1,424 @@
+"""Signal-analysis tier over the event log: autocorrelation, CUSUM
+drift detection, linear-interpolation gap-fill, and Markov transition
+matrices.
+
+These are the "statistical timeseries engine" operators a user of the
+reference's pandas feature pipeline (reference
+features_engineering.py:1-60 computes pct_change/rolling means row-at-
+a-time on the driver) would reach for next; each is re-expressed as
+pure Catalyst expressions — window functions over one per-key sort,
+decimal-exact sufficient sums, no Python in any path.
+
+Determinism notes (the driver value-hashes Spark vs DuckDB):
+- Correlations/stddevs come from decimal-exact sufficient sums, never
+  the engines' streaming moment kernels (partition-order dependent).
+- Running sums accumulate in decimal over a uniquely-ordered window
+  (ts, event_id) so both engines add the same numbers in the same
+  order exactly.
+- Every derived double is a fixed tree of IEEE ops on those exact
+  inputs, then `stable_round`ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    DECIMAL_T,
+    exact_sum_sql,
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+#: CUSUM alarm threshold in standardized units (classic 3-sigma).
+CUSUM_THRESHOLD = 3.0
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    @register(
+        "acf_event_value",
+        oracle=f"""
+WITH ordered AS (
+    SELECT event_type, value,
+           lag(value, 1) OVER w AS y1,
+           lag(value, 2) OVER w AS y2,
+           lag(value, 3) OVER w AS y3
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), pairs AS (
+    SELECT event_type, 1 AS lag, value AS x, y1 AS y FROM ordered WHERE y1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 2 AS lag, value AS x, y2 AS y FROM ordered WHERE y2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 3 AS lag, value AS x, y3 AS y FROM ordered WHERE y3 IS NOT NULL
+), sums AS (
+    SELECT event_type, lag,
+           count(*) AS n_pairs,
+           {exact_sum_sql('x')} AS sx,
+           {exact_sum_sql('y')} AS sy,
+           {exact_sum_sql('x * x')} AS sxx,
+           {exact_sum_sql('y * y')} AS syy,
+           {exact_sum_sql('x * y')} AS sxy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       {stable_round_sql(
+           '(n_pairs * sxy - sx * sy)'
+           ' / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))',
+           6)} AS acf
+FROM sums
+""",
+        doc="Autocorrelation function at lags 1-3 per event_type: one "
+        "per-key sort produces all three lag columns, stack() unpivots "
+        "them to (lag, x, y) pairs, and the correlation comes from "
+        "decimal-exact sufficient sums (map-side combinable). At "
+        "100 TB this is one shuffle for the sort (reused by all lags) "
+        "plus one combinable aggregate — the standard ACF-over-"
+        "hypertable operator; extend lags by widening the stack, not "
+        "by re-sorting.",
+    )
+    def acf_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ordered = ev.select(
+            "event_type",
+            "value",
+            F.lag("value", 1).over(w).alias("y1"),
+            F.lag("value", 2).over(w).alias("y2"),
+            F.lag("value", 3).over(w).alias("y3"),
+        )
+        pairs = ordered.selectExpr(
+            "event_type",
+            "value AS x",
+            "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)",
+        ).where(F.col("y").isNotNull())
+        x, y = F.col("x"), F.col("y")
+        sums = pairs.groupBy("event_type", "lag").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(x.cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum(y.cast(DECIMAL_T)).cast("double").alias("sy"),
+            F.sum((x * x).cast(DECIMAL_T)).cast("double").alias("sxx"),
+            F.sum((y * y).cast(DECIMAL_T)).cast("double").alias("syy"),
+            F.sum((x * y).cast(DECIMAL_T)).cast("double").alias("sxy"),
+        )
+        n = F.col("n_pairs")
+        sx, sy = F.col("sx"), F.col("sy")
+        sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+        return sums.select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            stable_round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "cusum_drift_summary",
+        oracle=f"""
+WITH stats AS (
+    SELECT event_type,
+           count(*) AS n,
+           {exact_sum_sql('value')} AS sx,
+           {exact_sum_sql('value * value')} AS sxx
+    FROM events GROUP BY 1
+), keyed AS (
+    SELECT e.event_type, e.ts, e.event_id,
+           CAST(row_number() OVER w AS DOUBLE) AS rn,
+           CAST(sum(CAST(e.value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               AS cusum_raw,
+           s.sx / s.n AS mu,
+           sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))) AS sigma
+    FROM events e JOIN stats s USING (event_type)
+    WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+    SELECT event_type, ts, event_id,
+           abs((cusum_raw - rn * mu) / (nullif(sigma, 0.0) * sqrt(rn)))
+               AS z_abs
+    FROM keyed
+), peak AS (
+    SELECT event_type, ts, event_id, z_abs,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY z_abs DESC, event_id) AS rk
+    FROM scored
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE s.z_abs > {CUSUM_THRESHOLD}) AS BIGINT)
+           AS n_alarm,
+       {stable_round_sql('max(s.z_abs)', 6)} AS peak_z,
+       max(p.ts) AS peak_ts
+FROM scored s
+JOIN peak p ON p.event_type = s.event_type AND p.rk = 1
+GROUP BY 1
+""",
+        doc="CUSUM drift detector per event_type: standardized "
+        "cumulative deviation from the key mean, alarm where "
+        "|Z_t| = |S_t - t*mu| / (sigma*sqrt(t)) exceeds 3. The running "
+        "sum accumulates in decimal over the uniquely-ordered window "
+        "so it is exact; mu/sigma come from decimal sufficient sums "
+        "joined back (broadcast — one row per key). One sort shuffle "
+        "+ one combinable aggregate at any scale; the alarm summary "
+        "(count, peak Z, peak time) is what a monitoring pipeline "
+        "sinks, not the per-row scores.",
+    )
+    def cusum_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        stats = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast(DECIMAL_T))
+            .cast("double")
+            .alias("sxx"),
+        )
+        n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+        stats = stats.select(
+            "event_type",
+            (sx / n).alias("mu"),
+            F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1)))).alias("sigma"),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        keyed = ev.join(F.broadcast(stats), "event_type").select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+            .cast("double")
+            .alias("rn"),
+            F.sum(F.col("value").cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+            .alias("cusum_raw"),
+            "mu",
+            "sigma",
+        )
+        scored = keyed.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.abs(
+                (F.col("cusum_raw") - F.col("rn") * F.col("mu"))
+                / (F.nullif(F.col("sigma"), F.lit(0.0)) * F.sqrt(F.col("rn")))
+            ).alias("z_abs"),
+        )
+        peak = scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("z_abs").desc(), "event_id"
+                )
+            ),
+        ).where(F.col("rk") == 1)
+        return (
+            scored.alias("s")
+            .join(
+                F.broadcast(peak.select("event_type", F.col("ts").alias("pts"))),
+                "event_type",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_if(F.col("z_abs") > CUSUM_THRESHOLD)
+                .cast("bigint")
+                .alias("n_alarm"),
+                stable_round(F.max("z_abs"), 6).alias("peak_z"),
+                F.max("pts").alias("peak_ts"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "gapfill_hourly_interp",
+        oracle=f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           count(*) AS n_obs,
+           {stable_round_sql(
+               "CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*)",
+               6)} AS avg_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, min(hour_start) AS h0, max(hour_start) AS h1
+    FROM hourly GROUP BY 1
+), grid AS (
+    SELECT event_type,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+), joined AS (
+    SELECT g.event_type, g.hour_start,
+           coalesce(h.n_obs, 0) AS n_obs,
+           h.avg_value AS obs_val,
+           CASE WHEN h.n_obs IS NOT NULL THEN g.hour_start END AS obs_hour
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour_start = h.hour_start
+), filled AS (
+    SELECT event_type, hour_start, n_obs, obs_val,
+           last_value(obs_val IGNORE NULLS) OVER wb AS pv,
+           last_value(obs_hour IGNORE NULLS) OVER wb AS ph,
+           first_value(obs_val IGNORE NULLS) OVER wf AS nv,
+           first_value(obs_hour IGNORE NULLS) OVER wf AS nh
+    FROM joined
+    WINDOW wb AS (PARTITION BY event_type ORDER BY hour_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY hour_start
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_start, n_obs,
+       CASE WHEN n_obs > 0 THEN 0 ELSE 1 END AS is_gap,
+       {stable_round_sql(
+           "CASE WHEN n_obs > 0 THEN obs_val"
+           " ELSE pv + (nv - pv)"
+           "  * (CAST(epoch(hour_start) - epoch(ph) AS DOUBLE)"
+           "     / CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END", 6)}
+           AS value_interp
+FROM filled
+""",
+        doc="Time-grid gap-fill with LINEAR interpolation (the "
+        "companion to gapfill_hourly_forward's LOCF): dense hourly "
+        "grid per key via sequence()/explode, left-join the observed "
+        "hourly decimal-exact average, then bracket every gap hour "
+        "with last_value/first_value(IGNORE NULLS) over one per-key "
+        "sort and interpolate on the epoch fraction. Grid rows are "
+        "#keys x #buckets (tiny vs the log); the two window frames "
+        "share the same sort order so Catalyst evaluates them in one "
+        "Window pass each direction. Endpoints are always bracketed "
+        "because the grid spans observed min..max per key.",
+    )
+    def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+        ).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            stable_round(
+                F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+        grid = (
+            hourly.groupBy("event_type")
+            .agg(
+                F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+            )
+            .select(
+                "event_type",
+                F.explode(
+                    F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                ).alias("hour_start"),
+            )
+        )
+        joined = grid.join(hourly, ["event_type", "hour_start"], "left").select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.col("avg_value").alias("obs_val"),
+            F.when(F.col("n_obs").isNotNull(), F.col("hour_start")).alias(
+                "obs_hour"
+            ),
+        )
+        order = Window.partitionBy("event_type").orderBy("hour_start")
+        wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        filled = joined.select(
+            "event_type",
+            "hour_start",
+            "n_obs",
+            "obs_val",
+            F.last("obs_val", ignorenulls=True).over(wb).alias("pv"),
+            F.last("obs_hour", ignorenulls=True).over(wb).alias("ph"),
+            F.first("obs_val", ignorenulls=True).over(wf).alias("nv"),
+            F.first("obs_hour", ignorenulls=True).over(wf).alias("nh"),
+        )
+        frac = (
+            F.unix_timestamp("hour_start") - F.unix_timestamp("ph")
+        ).cast("double") / (
+            F.unix_timestamp("nh") - F.unix_timestamp("ph")
+        ).cast("double")
+        return filled.select(
+            "event_type",
+            "hour_start",
+            "n_obs",
+            F.when(F.col("n_obs") > 0, F.lit(0)).otherwise(F.lit(1)).alias(
+                "is_gap"
+            ),
+            stable_round(
+                F.when(F.col("n_obs") > 0, F.col("obs_val")).otherwise(
+                    F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+                ),
+                6,
+            ).alias("value_interp"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "markov_event_transitions",
+        oracle="""
+WITH seq AS (
+    SELECT user_id, event_type AS cur_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), trans AS (
+    SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n_trans,
+       floor((CAST(n_trans AS DOUBLE)
+              / CAST(sum(n_trans) OVER (PARTITION BY cur_type) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS prob
+FROM trans
+""",
+        doc="First-order Markov transition matrix over per-user event "
+        "sequences: lead() over one per-user sort emits (cur, next) "
+        "bigram pairs, a combinable count aggregates them, and the "
+        "row-normalized probability is a window sum over the tiny "
+        "transition table. The expensive part (the per-user sort) "
+        "shuffles once on user_id — the natural partitioning for any "
+        "sequence feature; the #types^2 matrix is driver-sized at any "
+        "corpus scale. The user-journey analogue of the reference's "
+        "trend labels (features_engineering.py).",
+    )
+    def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        seq = ev.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("next_type"),
+        )
+        trans = (
+            seq.where(F.col("next_type").isNotNull())
+            .groupBy("cur_type", "next_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+        )
+        total = F.sum("n_trans").over(Window.partitionBy("cur_type"))
+        return trans.select(
+            "cur_type",
+            "next_type",
+            "n_trans",
+            stable_round(
+                F.col("n_trans").cast("double") / total.cast("double"), 6
+            ).alias("prob"),
+        )
+
+
+_register()
