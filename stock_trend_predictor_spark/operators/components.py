@@ -188,3 +188,87 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def oriented_triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count via degree-ordered edge orientation.
+
+    ``edges`` is an undirected distinct edge list ``(a, b)`` with
+    ``a != b`` and each pair present once. Every edge is oriented from
+    the endpoint that is earlier in the total order ``(degree, id)``
+    to the later one; a triangle ``u < v < w`` (in that order) is then
+    counted exactly once as the wedge ``u->v, u->w`` closed by
+    ``v->w``.
+
+    This is the standard scale-out construction (Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orientation bounds every out-degree by O(sqrt(m)), so the wedge
+    join materializes at most m^(3/2) candidates no matter how skewed
+    the raw degree distribution is — the hub vertex that would produce
+    deg^2 wedges undirected produces almost none oriented, because
+    hubs sort last. Both joins are plain shuffled equi-joins on small
+    (src) / (dst1, dst2) keys; nothing is collected.
+
+    Returns a 1-row DataFrame: n_vertices, n_edges, n_wedges
+    (undirected open wedges), n_triangles, transitivity
+    (= 3*T / wedges, the global clustering coefficient).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b"
+        )
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("transitivity_raw"),
+        )
+    )

@@ -21,7 +21,10 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
-from stock_trend_predictor_spark.operators.components import pagerank
+from stock_trend_predictor_spark.operators.components import (
+    oriented_triangle_count,
+    pagerank,
+)
 from stock_trend_predictor_spark.sources.tables import load_table
 
 PR_D = 0.85
@@ -100,6 +103,96 @@ def _register():
         ranks = pagerank(e, d=PR_D, iters=PR_ITERS)
         return ranks.select(
             "node", "od", stable_round(F.col("r"), 9).alias("rank")
+        )
+
+    @register(
+        "triangle_count_copurchase",
+        oracle=f"""
+WITH e AS (
+    SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                    greatest(l1.l_partkey, l2.l_partkey) AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+), deg AS (
+    SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY v
+), oriented AS (
+    SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+           CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+           CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS ddst
+    FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+), tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e1.src = e2.src
+                    AND ((e1.ddst, e1.dst) < (e2.ddst, e2.dst))
+    JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(CAST(sum(deg * (deg - 1)) AS BIGINT) / 2 AS BIGINT) AS n_wedges
+    FROM deg
+), ne AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       {stable_round_sql(
+           '3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)',
+           9)} AS transitivity
+FROM stats CROSS JOIN ne CROSS JOIN tri
+""",
+        doc="Exact triangle count + global clustering coefficient of "
+        "the 1998 part co-purchase graph (parts are adjacent when "
+        "some 1998 order contains both). Edges come from the "
+        "bounded per-order self-join; counting uses degree-ordered "
+        "edge orientation (operators/components.py::"
+        "oriented_triangle_count — Suri & Vassilvitskii WWW'11), "
+        "which caps out-degrees at O(sqrt(m)) so the wedge join "
+        "materializes at most m^1.5 candidates even under hub skew. "
+        "The oracle replays the identical orientation in SQL; counts "
+        "are integers, so the only rounded value is the final "
+        "transitivity ratio.",
+    )
+    def triangle_count_copurchase(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o98 = (
+            load_table(spark, sf_dir, "orders")
+            .where(
+                (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            )
+            .select("o_orderkey")
+        )
+        li98 = li.join(
+            o98, li.l_orderkey == o98.o_orderkey, "left_semi"
+        )
+        l1 = li98.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+        )
+        l2 = li98.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+        )
+        edges = (
+            l1.join(l2, "k")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        res = oriented_triangle_count(edges)
+        return res.select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            stable_round(F.col("transitivity_raw"), 9).alias("transitivity"),
         )
 
 

@@ -1,0 +1,225 @@
+"""Corpus privacy / quality tier: PII redaction, token-distribution
+entropy, and deterministic stratified sampling.
+
+The standard pre-training data-prep steps between raw crawl and
+training shards: strip contact strings (emails / phone numbers),
+score documents by unigram entropy (boilerplate and keyword-stuffed
+docs have low entropy; natural text sits near the top of the range),
+and draw a reproducible per-stratum sample for human eval. All pure
+Catalyst expressions — regex and entropy run JVM-side in whole-stage
+codegen; nothing touches the driver.
+
+The synthetic corpus contains no real PII, so the redaction query
+first APPENDS a deterministic contact trailer derived from
+(doc_id, source) — clearly fixture augmentation, but the operator
+under test (count + replace-all + content-hash proof) is the real
+production shape. The content hash (md5-based hash60 of the redacted
+text) proves byte-identical redaction output across engines, not just
+matching counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.functions.text import hash60, hash60_sql, tokens
+from stock_trend_predictor_spark.sources.tables import load_table
+
+EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PAT = "\\+1-555-[0-9]{4}"
+
+#: entropy terms are summed in this decimal type: |p ln p| <= e^-1 and
+#: there are <= n_tokens terms, so (27,18) is exact to the last stored
+#: digit and the sum is order-independent.
+ENTROPY_DECIMAL = "decimal(27,18)"
+
+SAMPLE_PER_STRATUM = 3
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    @register(
+        "pii_redaction_stats",
+        oracle=f"""
+WITH enriched AS (
+    SELECT doc_id,
+           text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                || '@mail-' || source || '.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS etext
+    FROM documents
+), redacted AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(etext, '{EMAIL_PAT}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(etext, '{PHONE_PAT}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(regexp_replace(etext, '{EMAIL_PAT}', '[EMAIL]', 'g'),
+                          '{PHONE_PAT}', '[PHONE]', 'g') AS rtext
+    FROM enriched
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(rtext) AS BIGINT) AS redacted_len,
+       {hash60_sql('rtext')} AS redacted_hash
+FROM redacted
+""",
+        doc="PII redaction over the corpus: count email / phone "
+        "matches, replace-all with typed placeholder tokens, and "
+        "prove the redacted text byte-identical across engines via an "
+        "md5-prefix content hash. One narrow projection pass — regex "
+        "runs in codegen per document, no shuffle at all; at 100 TB "
+        "this is the map-only scrub stage in front of every training "
+        "shard write. (Corpus has no real PII, so a deterministic "
+        "contact trailer is appended first — fixture augmentation; "
+        "the redaction operator itself is production-shaped.)",
+    )
+    def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        etext = F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+        enriched = docs.select("doc_id", etext.alias("etext"))
+        rtext = F.regexp_replace(
+            F.regexp_replace("etext", EMAIL_PAT, "[EMAIL]"),
+            PHONE_PAT,
+            "[PHONE]",
+        )
+        return enriched.select(
+            "doc_id",
+            F.regexp_count("etext", F.lit(EMAIL_PAT))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.regexp_count("etext", F.lit(PHONE_PAT))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.length(rtext).cast("bigint").alias("redacted_len"),
+            hash60(rtext).alias("redacted_hash"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "doc_token_entropy",
+        oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), counts AS (
+    SELECT doc_id, token, count(*) AS c
+    FROM tok GROUP BY 1, 2
+), sized AS (
+    SELECT doc_id, c,
+           sum(c) OVER (PARTITION BY doc_id) AS n
+    FROM counts
+), terms AS (
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(
+               (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(27,18))) AS DOUBLE) AS neg_h
+    FROM sized GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       {stable_round_sql('-neg_h', 6)} AS entropy,
+       {stable_round_sql('exp(-neg_h)', 4)} AS perplexity
+FROM terms
+""",
+        doc="Unigram Shannon entropy + perplexity per document — the "
+        "cheap statistical quality score (low entropy = repetitive / "
+        "keyword-stuffed; near-uniform = natural). The p*ln(p) terms "
+        "are each one fixed IEEE expression, then summed in "
+        "decimal(27,18) so the total is order-independent across "
+        "partitionings and engines. Plan: explode -> combinable "
+        "count on (doc_id, token) -> per-doc window total -> "
+        "combinable decimal sum; both shuffles hash on doc_id-rooted "
+        "keys so AQE coalesces them at any scale.",
+    )
+    def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        counts = (
+            docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sized = counts.select(
+            "doc_id",
+            "c",
+            F.sum("c").over(Window.partitionBy("doc_id")).alias("n"),
+        )
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        terms = sized.groupBy("doc_id").agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum((p * F.log(p)).cast(ENTROPY_DECIMAL))
+            .cast("double")
+            .alias("neg_h"),
+        )
+        return terms.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            stable_round(-F.col("neg_h"), 6).alias("entropy"),
+            stable_round(F.exp(-F.col("neg_h")), 4).alias("perplexity"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "stratified_sample_per_stratum",
+        oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {hash60_sql('CAST(doc_id AS VARCHAR)')}, doc_id)
+               AS rn,
+           count(*) OVER (PARTITION BY lang, source) AS n_stratum
+    FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn,
+       CAST(n_stratum AS BIGINT) AS n_stratum
+FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+""",
+        doc="Deterministic stratified sample: exactly "
+        f"{SAMPLE_PER_STRATUM} docs per (lang, source) stratum, "
+        "chosen by md5-hash order (reproducible across runs, engines "
+        "and partitionings — unlike TABLESAMPLE / rand(), which are "
+        "partition-order dependent). One window over a (lang, source) "
+        "sort; at 100 TB replace the full sort with a per-stratum "
+        "top-k aggregate (min_by over the hash) — same contract, no "
+        "global sort. The eval-set draw every dataset release needs.",
+    )
+    def stratified_sample_per_stratum(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        w = Window.partitionBy("lang", "source").orderBy(
+            hash60(F.col("doc_id").cast("string")), "doc_id"
+        )
+        ranked = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .cast("bigint")
+            .alias("n_stratum"),
+        )
+        return ranked.where(F.col("rn") <= SAMPLE_PER_STRATUM)
+
+
+_register()

@@ -58,3 +58,34 @@ def test_pagerank_sink_attracts_mass(spark):
     got = {r["node"]: r["r"] for r in pagerank(edges, iters=10).collect()}
     assert got["hub"] > got["b"]
     assert got["hub"] > got["c"]
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant star changes nothing."""
+    from stock_trend_predictor_spark.operators.components import (
+        oriented_triangle_count,
+    )
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    star = [(1, 10 + i) for i in range(5)]  # pendant leaves: no new tri
+    edges = spark.createDataFrame(k4 + star, "a long, b long")
+    row = oriented_triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == 11
+    assert row["n_vertices"] == 9
+    # wedges: deg(1)=8 -> 28, deg(2..4)=3 -> 3 each, leaves deg1 -> 0
+    assert row["n_wedges"] == 28 + 3 * 3
+
+
+def test_triangle_count_triangle_free(spark):
+    """A bipartite (square) graph has zero triangles."""
+    from stock_trend_predictor_spark.operators.components import (
+        oriented_triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    )
+    row = oriented_triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 4
