@@ -195,5 +195,100 @@ FROM stats CROSS JOIN ne CROSS JOIN tri
             stable_round(F.col("transitivity_raw"), 9).alias("transitivity"),
         )
 
+    @register(
+        "copurchase_lift",
+        oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+    SELECT count(DISTINCT l_orderkey) AS n FROM op
+), part_n AS (
+    SELECT l_partkey, count(*) AS pn FROM op GROUP BY 1
+), pair_n AS (
+    SELECT o1.l_partkey AS a, o2.l_partkey AS b, count(*) AS ab_n
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+    GROUP BY 1, 2
+), scored AS (
+    SELECT p.a, p.b,
+           CAST(p.ab_n AS BIGINT) AS ab_n,
+           CAST(pa.pn AS BIGINT) AS a_n,
+           CAST(pb.pn AS BIGINT) AS b_n,
+           CAST(p.ab_n AS DOUBLE) * CAST(n.n AS DOUBLE)
+               / (CAST(pa.pn AS DOUBLE) * CAST(pb.pn AS DOUBLE)) AS lift
+    FROM pair_n p
+    JOIN part_n pa ON pa.l_partkey = p.a
+    JOIN part_n pb ON pb.l_partkey = p.b
+    CROSS JOIN n_orders n
+    WHERE p.ab_n >= 3
+), ranked AS (
+    SELECT a, b, ab_n, a_n, b_n, lift,
+           row_number() OVER (ORDER BY lift DESC, a, b) AS rk
+    FROM scored
+)
+SELECT a, b, ab_n, a_n, b_n, {stable_round_sql('lift', 6)} AS lift
+FROM ranked WHERE rk <= 50
+""",
+        doc="Market-basket lift: top-50 part pairs by "
+        "lift = P(a,b) * N / (P(a) * P(b)) with support >= 3 orders. "
+        "The same bounded per-order pair explosion as the triangle "
+        "graph feeds a combinable pair count; marginals join back on "
+        "single part keys; the scalar order count broadcasts (1-row "
+        "cross join). Top-50 is TakeOrderedAndProject over the pair "
+        "table — no global sort. Lift is one fixed IEEE expression "
+        "over exact integers, so the ranking (tie-broken on the pair "
+        "key) is engine-exact. The classic co-occurrence recommender "
+        "score at corpus scale.",
+    )
+    def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        n_orders = op.agg(
+            F.count_distinct("l_orderkey").cast("double").alias("n")
+        )
+        part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pn"))
+        o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+        o2 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+        pair_n = (
+            o1.join(o2, "k")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("ab_n"))
+            .where(F.col("ab_n") >= 3)
+        )
+        scored = (
+            pair_n.join(
+                part_n.select(F.col("l_partkey").alias("a"), F.col("pn").alias("a_n")),
+                "a",
+            )
+            .join(
+                part_n.select(F.col("l_partkey").alias("b"), F.col("pn").alias("b_n")),
+                "b",
+            )
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                "a",
+                "b",
+                F.col("ab_n").cast("bigint").alias("ab_n"),
+                F.col("a_n").cast("bigint").alias("a_n"),
+                F.col("b_n").cast("bigint").alias("b_n"),
+                (
+                    F.col("ab_n").cast("double") * F.col("n")
+                    / (F.col("a_n").cast("double") * F.col("b_n").cast("double"))
+                ).alias("lift"),
+            )
+        )
+        return (
+            scored.orderBy(F.col("lift").desc(), "a", "b")
+            .limit(50)
+            .select(
+                "a", "b", "ab_n", "a_n", "b_n",
+                stable_round(F.col("lift"), 6).alias("lift"),
+            )
+        )
+
 
 _register()

@@ -1195,5 +1195,145 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             F.nth_value("value", 2).over(w).alias("second_val"),
         )
 
+    @register(
+        "q7_nation_volume",
+        oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+""",
+        doc="TPC-H Q7 analogue (volume shipping between two nations): "
+        "the widest join tree in the suite — lineitem x supplier x "
+        "orders x customer x nation x nation. Scale shape: the "
+        "shipdate range is pushed to the fact scan; the nation-"
+        "filtered supplier side collapses to ~1/25 of suppliers and "
+        "broadcasts into the fact scan BEFORE the orderkey shuffle, "
+        "so only surviving lines shuffle; orders/customer join "
+        "sort-merge on their keys (both too big to broadcast at "
+        "100 TB), with the customer-side nation filter applied "
+        "pre-join to shrink the build. The cross-filter (either "
+        "nation pair direction) is evaluated after both nations are "
+        "bound — one combinable aggregate finishes it.",
+    )
+    def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+        nation = load_table(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        )
+        supp = (
+            load_table(spark, sf_dir, "supplier")
+            .join(
+                F.broadcast(
+                    nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "supp_nation")
+        )
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .join(
+                F.broadcast(
+                    nation.select(
+                        F.col("n_nationkey").alias("n2_key"),
+                        F.col("n_name").alias("cust_nation"),
+                    )
+                ),
+                F.col("c_nationkey") == F.col("n2_key"),
+            )
+            .select("c_custkey", "cust_nation")
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate")
+             >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        co = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        joined = (
+            li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(
+                ((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1"))
+            )
+        )
+        return joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+
+    @register(
+        "q16_attr_supplier_counts",
+        oracle="""
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 9, 19, 29, 49)
+  AND p_type NOT LIKE '%2'
+GROUP BY 1, 2, 3
+""",
+        doc="TPC-H Q16 analogue: how many distinct suppliers serve "
+        "each surviving (brand, type, size) combination, with the "
+        "part-supplier relation derived from lineitem (this schema "
+        "has no partsupp table). Scale shape: the (partkey, suppkey) "
+        "distinct is a combinable pre-aggregation on the fact table "
+        "(shrinks it to relation size before any join); the "
+        "attribute filters (<> / IN / NOT LIKE) all push to the part "
+        "scan; COUNT(DISTINCT) expands to a two-level aggregate — "
+        "exact per group, no global distinct. Part joins the distinct "
+        "relation on partkey (sort-merge; part is not broadcast-"
+        "sized at 100 TB).",
+    )
+    def q16_attr_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ps = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        part = load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 9, 19, 29, 49)
+            & ~F.col("p_type").like("%2")
+        )
+        return (
+            ps.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(
+                "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+            )
+            .agg(
+                F.count_distinct(F.col("l_suppkey"))
+                .cast("bigint")
+                .alias("supplier_cnt")
+            )
+        )
+
 
 _register()

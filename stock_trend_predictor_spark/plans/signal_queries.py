@@ -420,5 +420,68 @@ FROM trans
             ).alias("prob"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "twap_time_weighted_value",
+        oracle=f"""
+WITH stepped AS (
+    SELECT event_type, value,
+           lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       {stable_round_sql(
+           exact_sum_sql('value * CAST(dt_us AS DOUBLE)')
+           + ' / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE)', 6)}
+           AS twap,
+       {stable_round_sql(
+           exact_sum_sql('value') + ' / count(*)', 6)} AS plain_avg
+FROM stepped WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY event_type
+""",
+        doc="Time-weighted average (TWAP): each observation is "
+        "weighted by how long it was the live value (lead(ts) - ts in "
+        "exact integer microseconds), versus the naive per-row mean — "
+        "THE correct aggregate for irregularly-sampled feeds like the "
+        "reference's ticks (its pandas mean treats a value held for "
+        "an hour and one held for a second equally). One per-key "
+        "sort for the lead(), then a combinable aggregate: weights "
+        "are exact bigints, weighted terms sum in decimal, and the "
+        "final division is a single IEEE op — engine-exact before "
+        "rounding.",
+    )
+    def twap_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        stepped = ev.select(
+            "event_type",
+            "value",
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+                "dt_us"
+            ),
+        ).where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        return stepped.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            stable_round(
+                F.sum(
+                    (F.col("value") * F.col("dt_us").cast("double")).cast(
+                        DECIMAL_T
+                    )
+                ).cast("double")
+                / F.sum("dt_us").cast("bigint").cast("double"),
+                6,
+            ).alias("twap"),
+            stable_round(
+                F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("plain_avg"),
+        )
+
 
 _register()

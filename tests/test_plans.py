@@ -254,3 +254,18 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         assert results[0] == results[1] == results[2]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q7_supplier_broadcast_and_shipdate_pushdown(spark):
+    plan = _plan(spark, "q7_nation_volume")
+    # nation-filtered supplier side broadcasts into the fact scan
+    assert "BroadcastHashJoin" in plan
+    # shipdate range reaches the lineitem parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    plan = _plan(spark, "triangle_count_copurchase")
+    # wedge + closing joins are hash/sort-merge equi-joins; the only
+    # nested-loop join allowed is the final 1-row stats cross join
+    assert plan.count("CartesianProduct") == 0
