@@ -19,6 +19,7 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
+from stock_trend_predictor_spark.functions.text import hash60, hash60_sql
 from stock_trend_predictor_spark.sources.tables import load_table
 
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -260,6 +261,99 @@ GROUP BY 1
         )
         return joined.groupBy(change.alias("change_type")).agg(
             F.count(F.lit(1)).alias("n_keys")
+        )
+
+    @register(
+        "reconcile_snapshot_buckets",
+        oracle=f"""
+WITH snap_a AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-07-01'
+), snap_b AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1
+                ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
+               AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-07-01'
+), dig_a AS (
+    SELECT o_orderkey % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS rows_a,
+           bit_xor({hash60_sql(
+               "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || CAST(cents AS VARCHAR)")}) AS digest_a
+    FROM snap_a GROUP BY 1
+), dig_b AS (
+    SELECT o_orderkey % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS rows_b,
+           bit_xor({hash60_sql(
+               "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || CAST(cents AS VARCHAR)")}) AS digest_b
+    FROM snap_b GROUP BY 1
+)
+SELECT coalesce(a.bucket, b.bucket) AS bucket, a.rows_a, b.rows_b
+FROM dig_a a FULL OUTER JOIN dig_b b ON a.bucket = b.bucket
+WHERE a.digest_a IS DISTINCT FROM b.digest_b
+   OR a.rows_a IS DISTINCT FROM b.rows_b
+""",
+        doc="Merkle-style table reconciliation: compare two snapshots "
+        "of a 100 TB table WITHOUT shuffling rows — each side reduces "
+        "to 256 (bucket, count, xor-of-row-hashes) digests computed "
+        "map-side-combinably in place, and only the digest tables "
+        "(KB-sized) move and full-outer join; output is exactly the "
+        "buckets needing row-level repair. XOR is the right digest "
+        "combiner: order-independent, overflow-free, and any single "
+        "row change flips it. Doubles are digested as exact cents "
+        "(floor(x*100+0.5)) so the row hash is engine-portable. The "
+        "second snapshot here simulates corrections on keys "
+        "divisible by 97 — the detector finds precisely those "
+        "buckets.",
+    )
+    def reconcile_snapshot_buckets(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        base = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderdate")
+            < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz")
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+        def digest(df, rows_alias, digest_alias):
+            row_str = F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("cents").cast("string"),
+            )
+            return (
+                df.withColumn("h", hash60(row_str))
+                .groupBy((F.col("o_orderkey") % 256).alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias(rows_alias),
+                    F.expr("bit_xor(h)").alias(digest_alias),
+                )
+            )
+
+        snap_a = base.withColumn("cents", cents)
+        snap_b = base.withColumn(
+            "cents",
+            F.when(F.col("o_orderkey") % 97 == 0, cents + 1).otherwise(cents),
+        )
+        dig_a = digest(snap_a, "rows_a", "digest_a")
+        dig_b = digest(snap_b, "rows_b", "digest_b")
+        joined = dig_a.alias("a").join(
+            dig_b.alias("b"), F.col("a.bucket") == F.col("b.bucket"), "full"
+        )
+        return joined.where(
+            ~F.col("digest_a").eqNullSafe(F.col("digest_b"))
+            | ~F.col("rows_a").eqNullSafe(F.col("rows_b"))
+        ).select(
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+            "rows_a",
+            "rows_b",
         )
 
 

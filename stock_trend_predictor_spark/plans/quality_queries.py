@@ -28,7 +28,13 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
-from stock_trend_predictor_spark.functions.text import hash60, hash60_sql, tokens
+from stock_trend_predictor_spark.functions.text import (
+    hash28,
+    hash28_sql,
+    hash60,
+    hash60_sql,
+    tokens,
+)
 from stock_trend_predictor_spark.sources.tables import load_table
 
 EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -40,6 +46,9 @@ PHONE_PAT = "\\+1-555-[0-9]{4}"
 ENTROPY_DECIMAL = "decimal(27,18)"
 
 SAMPLE_PER_STRATUM = 3
+
+#: hashing-trick feature space width
+FEATURE_HASH_DIM = 64
 
 
 def _register():
@@ -220,6 +229,67 @@ FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
             .alias("n_stratum"),
         )
         return ranked.where(F.col("rn") <= SAMPLE_PER_STRATUM)
+
+    # ------------------------------------------------------------------
+    @register(
+        "feature_hash_vectorize",
+        oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), bucketed AS (
+    SELECT doc_id,
+           {hash28_sql('token')} % {FEATURE_HASH_DIM} AS bucket,
+           count(*) AS c
+    FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       {stable_round_sql('sqrt(CAST(sum(c * c) AS DOUBLE))', 6)} AS l2_norm,
+       string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                  ' ' ORDER BY bucket) AS vec
+FROM bucketed GROUP BY doc_id
+""",
+        doc="Hashing-trick vectorizer (FeatureHasher): token -> "
+        f"md5-derived bucket in a fixed {64}-dim space, per-doc "
+        "sparse counts serialized as a canonical 'bucket:count' "
+        "string plus the L2 norm — the fixed-width feature map that "
+        "needs NO vocabulary broadcast or fit pass, which is the "
+        "point at 100 TB (a vocab dictionary is cluster-wide state; "
+        "a hash is free and stateless). Two combinable aggregations "
+        "on doc-rooted keys; the hash matches DuckDB's md5 exactly "
+        "so the whole sparse vector value-hashes.",
+    )
+    def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        bucketed = (
+            docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+            .groupBy(
+                "doc_id",
+                (hash28("token") % FEATURE_HASH_DIM).alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        vec = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "c"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["bucket"].cast("string"),
+                    s["c"].cast("string"),
+                ),
+            ),
+            " ",
+        )
+        return bucketed.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            stable_round(
+                F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")), 6
+            ).alias("l2_norm"),
+            vec.alias("vec"),
+        )
 
 
 _register()
