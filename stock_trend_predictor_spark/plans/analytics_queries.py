@@ -436,6 +436,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     # ONE SQL text, both engines: the decimal-exact sum idiom is valid
     # Spark SQL and DuckDB alike, so the query IS its own oracle —
     # the strongest possible demonstration of the SQL front-end.
+    _PART_HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT p_partkey AS node, p_partkey AS cur,
+           0 AS depth,
+           CAST(p_retailprice AS DECIMAL(27,6)) AS path_cost
+    FROM part
+    UNION ALL
+    SELECT c.node, p.p_partkey AS cur, c.depth + 1,
+           CAST(c.path_cost + CAST(p.p_retailprice AS DECIMAL(27,6))
+                AS DECIMAL(27,6)) AS path_cost
+    FROM chain c JOIN part p
+      ON p.p_partkey = CAST(floor(c.cur / 2.0) AS BIGINT)
+    WHERE c.cur > 0
+)
+SELECT node,
+       CAST(max(depth) AS BIGINT) AS chain_len,
+       -- 100.0 literals must be cast: Spark SQL parses bare x.y as
+       -- DECIMAL (DuckDB as DOUBLE); the shared text pins DOUBLE
+       floor(CAST(max(path_cost) AS DOUBLE) * CAST(100 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE)
+           AS ancestor_cost
+FROM chain GROUP BY node
+"""
+
     _NATION_REVENUE_SQL = f"""
 SELECT n_name,
        {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -463,6 +487,28 @@ GROUP BY n_name
             spark, sf_dir, ("customer", "orders", "lineitem", "nation")
         )
         return spark.sql(_NATION_REVENUE_SQL)
+
+    @register(
+        "recursive_part_hierarchy",
+        oracle=_PART_HIERARCHY_SQL,
+        doc="Recursive CTE (new in Spark 4): walk the derived part "
+        "hierarchy parent(k) = floor(k/2) from every node to the "
+        "root, returning chain length and the decimal-exact ancestor "
+        "price rollup. The IDENTICAL text runs on spark.sql and "
+        "DuckDB — anchor/step schemas are pinned (explicit decimal "
+        "re-cast in the step) because both engines require "
+        "union-compatible recursion. Spark executes this as an "
+        "iterative union of joins (depth rounds = log2(maxkey), each "
+        "one broadcast-joinable); the per-round row set only shrinks, "
+        "so at 100 TB the driver-side iteration count stays ~40 even "
+        "at trillion-row part tables. Hierarchy is synthetic (no "
+        "parent column in the schema) — the operator is the point.",
+    )
+    def recursive_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.sources.views import register_views
+
+        register_views(spark, sf_dir, ("part",))
+        return spark.sql(_PART_HIERARCHY_SQL)
 
     @register(
         "q14_promo_revenue",
