@@ -33,22 +33,30 @@ TABLE_NAMES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Lazy — no job runs until an action.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS, NTZ), which the
-    vectorized Spark parquet reader rejects. We read it via the legacy
-    nanos-as-long path and rebuild the timestamp with integer floor
-    division (``div 1000``) — the same ns→µs truncation DuckDB applies,
-    so oracle comparisons stay bit-exact. The conf is a session-level
-    runtime conf, set here so the fix also holds under the driver's own
-    SparkSession.
+    ``events.ts`` has shipped in two physical encodings across driver
+    test-data generations: INT64 TIMESTAMP(NANOS, NTZ) — which the
+    vectorized Spark parquet reader rejects unless read via the legacy
+    nanos-as-long path — and plain TIMESTAMP(MICROS, NTZ). The loader
+    sniffs the resolved read schema and normalizes BOTH to a session-TZ
+    ``timestamp`` column: nanos are floor-divided to µs (the same ns→µs
+    truncation DuckDB applies, so oracle comparisons stay bit-exact);
+    micros-NTZ is cast to timestamp (a value-identity under the UTC
+    session TZ both the engine and the driver run with). The conf is a
+    session-level runtime conf, set here so the fix also holds under
+    the driver's own SparkSession.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":  # INT64 TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz (micros encoding)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
