@@ -71,6 +71,81 @@ def asof_join(
     return filled.where(F.col(tag) == 1).drop(tag)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+    suffix: str = "_next",
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` within the same ``by`` group,
+    optionally only if it arrives within ``tolerance_seconds``.
+
+    Same union-and-sort strategy as :func:`asof_join` (no range join —
+    O(n log n) per key at any match distance), mirrored in time:
+    ``first(..., ignorenulls=True)`` over CURRENT ROW .. UNBOUNDED
+    FOLLOWING. At equal timestamps the right row sorts after the left
+    (side tag 1 > 0) yet inside the forward frame, so the join is
+    inclusive. The tolerance is applied as a post-filter on the
+    matched right timestamp — rows past the horizon revert to NULL,
+    which keeps the window single-pass (no per-row frame bounds).
+    """
+    by = list(by)
+    tag = "__asof_side"
+    mts = f"__match_{ts}"
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.lit(0).alias(tag),
+        F.lit(None).cast(right.schema[ts].dataType).alias(mts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in by + [ts] else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(1).alias(tag),
+        F.col(ts).alias(mts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts, tag)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col(tag),
+        F.first(mts, ignorenulls=True).over(w).alias(mts),
+        *[
+            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    out = filled.where(F.col(tag) == 0).drop(tag)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_micros(F.col(mts)) - F.unix_micros(F.col(ts))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *lcols,
+            F.when(in_tol, F.col(mts)).alias(mts),
+            *[
+                F.when(in_tol, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+        )
+    return out.withColumnRenamed(mts, f"{ts}{suffix}")
+
+
 def bucketed_lag(
     df: DataFrame,
     key: str,

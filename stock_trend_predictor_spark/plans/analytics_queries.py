@@ -960,5 +960,123 @@ GROUP BY e.event_type, c.p05, c.p95
             )
         )
 
+    @register(
+        "weighted_median_price",
+        oracle="""
+WITH cum AS (
+    SELECT l_returnflag,
+           l_extendedprice,
+           sum(CAST(l_quantity AS DECIMAL(27,6)))
+             OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+             AS cum_w,
+           sum(CAST(l_quantity AS DECIMAL(27,6)))
+             OVER (PARTITION BY l_returnflag) AS tot_w
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(tot_w) AS DOUBLE) AS total_weight,
+       min(CASE WHEN cum_w * 2 >= tot_w THEN l_extendedprice END)
+         AS weighted_median_price
+FROM cum
+GROUP BY l_returnflag
+""",
+        doc="Quantity-weighted median price per returnflag — the "
+        "set-oriented weighted-median construction (sort within key, "
+        "decimal-exact cumulative weight, first price whose cumulative "
+        "weight reaches half the total). The cumulative window uses "
+        "the default RANGE frame so tied prices share one cumulative "
+        "value — selection is deterministic under any shuffle order, "
+        "and the decimal accumulator makes the >= comparison exact in "
+        "both engines. One shuffle on the group key; both windows and "
+        "the final aggregate reuse that single sort. No NTILE / "
+        "percentile_cont detour: those are unweighted.",
+    )
+    def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        wq = F.col("l_quantity").cast(DECIMAL_T)
+        w_cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        w_all = Window.partitionBy("l_returnflag")
+        cum = li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.sum(wq).over(w_cum).alias("cum_w"),
+            F.sum(wq).over(w_all).alias("tot_w"),
+        )
+        return cum.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("tot_w").cast("double").alias("total_weight"),
+            F.min(
+                F.when(
+                    F.col("cum_w") * 2 >= F.col("tot_w"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("weighted_median_price"),
+        )
+
+    @register(
+        "user_event_sequences",
+        oracle=f"""
+WITH o AS (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       min(CASE WHEN rn = n THEN event_type END) AS last_type,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+         AS span_us,
+       CASE WHEN max(n) > 1 THEN
+         {stable_round_sql(
+             "date_diff('microsecond', min(ts), max(ts)) / 1000000.0"
+             " / (max(n) - 1)", 6)}
+       END AS mean_gap_s
+FROM o
+GROUP BY user_id
+""",
+        doc="Per-user ordered event-sequence materialization — the "
+        "shape that turns a log into transformer training sequences: "
+        "sort_array(collect_list(struct(ts, event_id, ...))) builds "
+        "the whole per-key sequence in ONE aggregation (no window "
+        "pass), then scalar features read off the array ends. The "
+        "struct's (ts, event_id) prefix makes the sort total, so the "
+        "assembled sequence is deterministic under any partitioning — "
+        "the collect_list-without-an-order trap, solved. The oracle "
+        "derives the same features via row_number windows: two "
+        "constructions, one result. At 100 TB per-key sequences are "
+        "memory-bounded by the largest key — cap with slice() or "
+        "segment by session (sequence_packing) before assembling.",
+    )
+    def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        seq = ev.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        first = F.element_at("seq", 1)
+        last = F.element_at("seq", -1)
+        n = F.size("seq").cast("bigint")
+        span_us = F.unix_micros(last.getField("ts")) - F.unix_micros(
+            first.getField("ts")
+        )
+        return seq.select(
+            "user_id",
+            n.alias("n_events"),
+            first.getField("event_type").alias("first_type"),
+            last.getField("event_type").alias("last_type"),
+            span_us.alias("span_us"),
+            F.when(
+                n > 1,
+                stable_round(
+                    span_us / F.lit(1_000_000.0) / (n - 1).cast("double"), 6
+                ),
+            ).alias("mean_gap_s"),
+        )
+
 
 _register()

@@ -138,5 +138,89 @@ GROUP BY 1
             )
         )
 
+    @register(
+        "dedup_multimodal_phash",
+        oracle="""
+WITH hashed AS (
+    SELECT doc_id,
+           xor(CAST(('0x' || substr(md5(substr(text, 1, 32)), 1, 15))
+                    AS BIGINT),
+               doc_id % 4) AS phash
+    FROM documents
+), bands AS (
+    SELECT doc_id, phash, i, (phash >> (15 * i)) & 32767 AS band_val
+    FROM hashed, unnest([0, 1, 2, 3]) AS t(i)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.phash AS ph_a, b.phash AS ph_b
+    FROM bands a
+    JOIN bands b
+      ON a.i = b.i AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 2
+""",
+        doc="Near-duplicate media detection by perceptual hash: the "
+        "image-dedup analogue of dedup_minhash_lsh. The 60-bit pHash "
+        "(Arrow mapInPandas kernel, operators/multimodal.py::"
+        "perceptual_hash — a deterministic surrogate for the DCT "
+        "hash, honestly stubbed) is banded into 4x15-bit LSH buckets; "
+        "only (band, value) keys shuffle — never payloads — and "
+        "hamming <= 2 verification via bit_count(xor) runs on the "
+        "candidate pairs alone. Same discipline as the text LSH path: "
+        "linear in the corpus, quadratic only within a bucket, and "
+        "any hamming-2 pair is caught because the 2 noise bits can "
+        "corrupt at most 2 of the 4 bands (pigeonhole guarantee).",
+    )
+    def dedup_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.multimodal import (
+            PHASH_BAND_BITS,
+            PHASH_BANDS,
+            perceptual_hash,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        hashed = perceptual_hash(attach_payload(docs))
+        bands = hashed.select(
+            "doc_id",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.shiftright("phash", PHASH_BAND_BITS * i)
+                            .bitwiseAND(F.lit(32767))
+                            .alias("band_val"),
+                        )
+                        for i in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "phash", "b.i", "b.band_val")
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.i") == F.col("b.i"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.phash").alias("ph_a"),
+                F.col("b.phash").alias("ph_b"),
+            )
+            .distinct()
+        )
+        hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+        return cand.where(hamming <= 2).select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+
 
 _register()

@@ -483,5 +483,134 @@ GROUP BY event_type
             ).alias("plain_avg"),
         )
 
+    @register(
+        "max_drawdown_per_symbol",
+        oracle=f"""
+WITH run AS (
+    SELECT event_type AS symbol, value,
+           max(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+    FROM events
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(value) AS global_max,
+       min(value) AS global_min,
+       {stable_round_sql('max((peak - value) / nullif(peak, 0))', 6)}
+         AS max_drawdown
+FROM run
+GROUP BY symbol
+""",
+        doc="Maximum drawdown per symbol — the classic risk metric the "
+        "reference's pandas pipeline would compute with .cummax() on "
+        "the driver (features_engineering.py:1-60 shape): running peak "
+        "via an UNBOUNDED PRECEDING window over the deterministic "
+        "(ts, event_id) order, drawdown = (peak-value)/peak, one MAX "
+        "per key. One shuffle on symbol (reused by every per-symbol "
+        "feature); the window is evaluated narrow after the sort. At "
+        "100 TB the low-cardinality-symbol variant swaps in "
+        "operators/windows.py::bucketed running aggregates (see "
+        "rolling_lag_bucketed) — the running max is associative so a "
+        "two-level bucket scan preserves exactness.",
+    )
+    def max_drawdown_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = ev.select(
+            F.col("event_type").alias("symbol"),
+            F.col("value"),
+            F.max("value").over(w).alias("peak"),
+        )
+        dd = (F.col("peak") - F.col("value")) / F.nullif(F.col("peak"), F.lit(0.0))
+        return run.groupBy("symbol").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.max("value").alias("global_max"),
+            F.min("value").alias("global_min"),
+            stable_round(F.max(dd), 6).alias("max_drawdown"),
+        )
+
+    @register(
+        "concurrent_intervals_profile",
+        oracle="""
+WITH v AS (
+    SELECT ts FROM events WHERE event_type = 'view'
+), pts AS (
+    SELECT ts AS t, 1 AS delta FROM v
+    UNION ALL
+    SELECT ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM v
+), sweep AS (
+    SELECT t,
+           CAST(sum(delta) OVER (ORDER BY t, delta) AS BIGINT) AS conc
+    FROM pts
+)
+SELECT date_trunc('hour', t) AS hour,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM sweep
+GROUP BY date_trunc('hour', t)
+""",
+        doc="Peak concurrent active intervals per hour (each view "
+        "opens a 5-minute activity interval) — the classic sweep-line "
+        "+1/-1 boundary sum, DISTRIBUTED: a naive implementation is "
+        "one global ORDER BY window (single task — the scale-killer); "
+        "here the sweep runs per-DAY partitions and a day-level "
+        "prefix-sum of daily deltas (a broadcast-sized table) supplies "
+        "each day's carry-in offset — the textbook two-level parallel "
+        "prefix scan, exact for intervals crossing partition "
+        "boundaries. Ends sort before starts at equal timestamps "
+        "(delta -1 < +1) giving half-open [start, end) semantics in "
+        "both engines; the default RANGE frame makes tied boundary "
+        "points share one cumulative value, so the hourly MAX is "
+        "deterministic under any shuffle. Oracle = the single-window "
+        "global sweep: two constructions, one result.",
+    )
+    def concurrent_intervals_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        views = ev.where(F.col("event_type") == "view").select("ts")
+        pts = (
+            views.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+            .unionByName(
+                views.select(
+                    (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                )
+            )
+            .withColumn("day", F.to_date("t"))
+        )
+        w_day = Window.partitionBy("day").orderBy("t", "delta")
+        day_offsets = (
+            pts.groupBy("day")
+            .agg(F.sum("delta").alias("day_tot"))
+            .select(
+                "day",
+                F.coalesce(
+                    F.sum("day_tot").over(
+                        Window.orderBy("day").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("carry_in"),
+            )
+        )
+        swept = pts.join(F.broadcast(day_offsets), "day").select(
+            "t",
+            (F.sum("delta").over(w_day) + F.col("carry_in"))
+            .cast("bigint")
+            .alias("conc"),
+        )
+        return swept.groupBy(
+            F.date_trunc("hour", "t").alias("hour")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+        )
+
 
 _register()

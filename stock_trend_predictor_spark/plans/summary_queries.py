@@ -23,6 +23,7 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
+from stock_trend_predictor_spark.functions.text import hash28, hash28_sql
 from stock_trend_predictor_spark.operators.summaries import (
     covariance_long,
     heavy_hitters_exact,
@@ -32,6 +33,8 @@ from stock_trend_predictor_spark.sources.tables import load_table
 HH_FRAC = 0.02  # heavy-hitter threshold: >= 2% of all token occurrences
 BM25_TERMS = ("spark", "window", "hash", "dup")
 EMB_DIM = 64
+CMS_DEPTH = 4  # count-min sketch rows (independent hash functions)
+CMS_WIDTH = 1024  # count-min sketch buckets per row
 
 
 def _register():
@@ -267,6 +270,88 @@ GROUP BY p.i, p.j
             F.col("j").cast("long").alias("j"),
             stable_round(F.col("cov"), 6).alias("cov"),
             F.col("n").alias("n"),
+        )
+
+    hash28_sql_mod = (
+        hash28_sql("token || '#' || CAST(j AS VARCHAR)") + f" % {CMS_WIDTH}"
+    )
+    hash28_sql_probe = (
+        hash28_sql("p.token || '#' || CAST(r.j AS VARCHAR)") + f" % {CMS_WIDTH}"
+    )
+
+    @register(
+        "sketch_countmin_tokens",
+        oracle=f"""
+WITH vocab AS (
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    GROUP BY t
+), cells AS (
+    SELECT j,
+           {hash28_sql_mod} AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS cell_total
+    FROM vocab, unnest([0, 1, 2, 3]) AS r(j)
+    GROUP BY 1, 2
+), probes AS (
+    SELECT token, cnt FROM vocab ORDER BY cnt DESC, token LIMIT 20
+)
+SELECT p.token,
+       p.cnt AS exact_cnt,
+       CAST(min(c.cell_total) AS BIGINT) AS cms_est,
+       CAST(min(c.cell_total) - p.cnt AS BIGINT) AS overestimate
+FROM probes p, unnest([0, 1, 2, 3]) AS r(j)
+JOIN cells c
+  ON c.j = r.j AND c.bucket = {hash28_sql_probe}
+GROUP BY p.token, p.cnt
+""",
+        doc="Count-min sketch, DataFrame-native and fully oracle-"
+        "checked: d=4 rows x w=1024 buckets, cross-engine md5 bucket "
+        "hash, counts folded into the 4096-cell table (map-side "
+        "combinable — the CELL TABLE is the only thing that shuffles, "
+        "constant-size regardless of vocabulary; at 100 TB this is "
+        "the whole point vs an exact GROUP BY over billions of "
+        "tokens). Estimates for the top-20 tokens are min over the 4 "
+        "row-cells; the oracle replays the identical construction in "
+        "DuckDB, proving both the bucket math and the CMS guarantee "
+        "est >= exact (overestimate column, law-asserted in pytest).",
+    )
+    def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = (
+            docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        bucket = lambda tok_col: (  # noqa: E731 — tiny local expr builder
+            hash28(F.concat(tok_col, F.lit("#"), F.col("j").cast("string")))
+            % CMS_WIDTH
+        )
+        rows4 = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias(
+            "j"
+        )
+        cells = (
+            vocab.select("token", "cnt", rows4)
+            .select(F.col("j"), bucket(F.col("token")).alias("bucket"), "cnt")
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cell_total"))
+        )
+        probes = vocab.orderBy(F.col("cnt").desc(), "token").limit(20)
+        probed = probes.select(
+            F.col("token"), F.col("cnt").alias("exact_cnt"), rows4
+        ).select("token", "exact_cnt", "j", bucket(F.col("token")).alias("bucket"))
+        return (
+            F.broadcast(probed)
+            .join(cells, ["j", "bucket"])
+            .groupBy("token", "exact_cnt")
+            .agg(F.min("cell_total").cast("bigint").alias("cms_est"))
+            .select(
+                "token",
+                "exact_cnt",
+                "cms_est",
+                (F.col("cms_est") - F.col("exact_cnt"))
+                .cast("bigint")
+                .alias("overestimate"),
+            )
         )
 
 

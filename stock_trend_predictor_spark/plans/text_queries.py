@@ -16,6 +16,7 @@ from stock_trend_predictor_spark.functions.exact import stable_round, stable_rou
 from stock_trend_predictor_spark.functions.text import (
     BPE_PATTERN,
     LANG_MARKERS,
+    hash28,
     hash60,
     hash60_sql,
     marker_score,
@@ -491,6 +492,226 @@ SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
             )
             .where(F.col("sample_rank") <= 5)
             .select("lang", "sample_rank", "doc_id", "n_chars", "priority")
+        )
+
+    cond_prob_sql = stable_round_sql(
+        "CAST(bigram_cnt AS DOUBLE) / CAST(prefix_cnt AS DOUBLE)", 6
+    )
+
+    @register(
+        "token_bigram_condprob",
+        oracle="""
+WITH bg AS (
+    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                  i -> {'w1': string_split(text, ' ')[i],
+                        'w2': string_split(text, ' ')[i + 1]}),
+                  recursive := true)
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+), c AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS bigram_cnt FROM bg GROUP BY w1, w2
+), p AS (
+    SELECT w1, w2, bigram_cnt,
+           CAST(sum(bigram_cnt) OVER (PARTITION BY w1) AS BIGINT) AS prefix_cnt
+    FROM c
+)
+SELECT w1, w2, bigram_cnt, prefix_cnt,
+       {cond_prob_sql} AS cond_prob
+FROM p
+WHERE bigram_cnt >= 3
+""".replace("{cond_prob_sql}", cond_prob_sql),
+        doc="Token-bigram language-model counts with conditional "
+        "probability P(w2|w1) — the n-gram LM statistics a pretraining "
+        "corpus pipeline derives (KenLM-style count tables). Bigrams "
+        "are built WITHOUT an explode-then-self-join: transform over a "
+        "1..n-1 index sequence pairs adjacent tokens inside the array "
+        "(try_element_at, ANSI-safe), so the only row expansion is the "
+        "single explode of already-paired structs. prefix_cnt comes "
+        "from a window over the *aggregated* bigram table — vocabulary-"
+        "sized, not corpus-sized. The >=3 support filter is applied "
+        "after the window so conditional probabilities are computed "
+        "against the full prefix mass. Integer/integer division of "
+        "identical BIGINTs is the same IEEE double in both engines.",
+    )
+    def token_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = (
+            docs.where(F.size(F.split("text", " ")) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 1), "
+                        "i -> struct(try_element_at(split(text, ' '), i) AS w1, "
+                        "try_element_at(split(text, ' '), i + 1) AS w2))"
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+        )
+        from pyspark.sql.window import Window
+
+        counts = pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("bigram_cnt")
+        )
+        w_prefix = Window.partitionBy("w1")
+        return (
+            counts.withColumn(
+                "prefix_cnt",
+                F.sum("bigram_cnt").over(w_prefix).cast("bigint"),
+            )
+            .where(F.col("bigram_cnt") >= 3)
+            .select(
+                "w1",
+                "w2",
+                "bigram_cnt",
+                "prefix_cnt",
+                stable_round(
+                    F.col("bigram_cnt").cast("double")
+                    / F.col("prefix_cnt").cast("double"),
+                    6,
+                ).alias("cond_prob"),
+            )
+        )
+
+    mask_rate_sql = stable_round_sql(
+        "CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6
+    )
+
+    @register(
+        "span_corruption_masks",
+        oracle="""
+WITH sized AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), spans AS (
+    SELECT doc_id, n_tokens,
+           n_tokens // 20 AS n_spans,
+           list_transform(range(1, CAST(n_tokens // 20 AS INTEGER) + 1),
+               j -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || '#' || CAST(j AS VARCHAR)),
+                                         1, 7)) AS BIGINT)
+                    % (n_tokens - 2) + 1) AS starts
+    FROM sized
+), masked AS (
+    SELECT doc_id, n_tokens, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(len(list_distinct(flatten(
+               list_transform(starts, s -> range(s, s + 3))))) AS BIGINT)
+             AS n_masked
+    FROM spans
+)
+SELECT doc_id, n_tokens, n_spans, n_masked,
+       {mask_rate_sql} AS mask_rate
+FROM masked
+""".replace("{mask_rate_sql}", mask_rate_sql),
+        doc="T5-style span-corruption mask planning, fully "
+        "deterministic: one 3-token mask span per 20 tokens, span "
+        "starts drawn from the cross-engine md5 hash of (doc_id, "
+        "span_index) — reproducible across runs/engines, unlike "
+        "rand(). Spans are generated, flattened, and deduplicated "
+        "INSIDE the token array via higher-order functions (transform/"
+        "flatten/array_distinct) — zero row expansion, pure codegen, "
+        "no Python. n_masked < 3*n_spans exactly when hashed spans "
+        "overlap; the oracle replays the identical arithmetic. This "
+        "is the mask-schedule a denoising-pretraining data pipeline "
+        "materializes per document at corpus scale.",
+    )
+    def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        n = F.size(F.split("text", " ")).cast("bigint")
+        n_spans = F.expr("CAST(size(split(text, ' ')) div 20 AS BIGINT)")
+        starts = F.when(
+            n_spans >= 1,
+            F.transform(
+                F.sequence(F.lit(1).cast("bigint"), n_spans),
+                lambda j: hash28(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        j.cast("string"),
+                    )
+                )
+                % (n - 2)
+                + 1,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        positions = F.array_distinct(
+            F.flatten(
+                F.transform(starts, lambda s: F.sequence(s, s + F.lit(2)))
+            )
+        )
+        return docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_spans.alias("n_spans"),
+            F.size(positions).cast("bigint").alias("n_masked"),
+            stable_round(
+                F.size(positions).cast("double") / n.cast("double"), 6
+            ).alias("mask_rate"),
+        )
+
+    oov_rate_sql = stable_round_sql(
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE)",
+        6,
+    )
+
+    @register(
+        "oov_rate_vs_vocab",
+        oracle="""
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+), vocab AS (
+    SELECT token
+    FROM (SELECT token, count(*) AS c FROM tok GROUP BY token)
+    ORDER BY c DESC, token
+    LIMIT 500
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       {oov_rate_sql} AS oov_rate
+FROM tok
+LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+""".replace("{oov_rate_sql}", oov_rate_sql),
+        doc="Per-document out-of-vocabulary rate against a top-500 "
+        "token vocabulary — the tokenizer-coverage audit a corpus "
+        "pipeline runs before committing to a vocab. The vocab is "
+        "derived once (deterministic (count, token) order at the "
+        "cutoff) and BROADCAST to the token stream — a tokenizer "
+        "vocabulary is KB-sized however big the corpus, so the join "
+        "adds no shuffle; the only wide stage is the per-doc "
+        "aggregation, keyed by doc_id which is already the scan "
+        "order. sum(in-vocab IS NULL) is map-side combinable.",
+    )
+    def oov_rate_vs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        vocab = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "token")
+            .limit(500)
+            .select("token", F.lit(1).alias("in_vocab"))
+        )
+        joined = tok.join(F.broadcast(vocab), "token", "left")
+        return joined.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            stable_round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
         )
 
 

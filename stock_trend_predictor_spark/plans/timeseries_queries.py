@@ -461,5 +461,48 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
             stable_round(num / den, 6).alias("ewma10"),
         )
 
+    @register(
+        "attribution_forward_asof",
+        oracle="""
+SELECT v.event_id, v.user_id, v.ts,
+       CASE WHEN p.ts <= v.ts + INTERVAL 1 HOUR THEN p.ts END AS ts_next,
+       CASE WHEN p.ts <= v.ts + INTERVAL 1 HOUR THEN p.value END
+         AS value_next
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND p.ts >= v.ts
+""",
+        doc="Forward as-of join with tolerance — conversion "
+        "attribution: each view matched to the user's NEXT purchase, "
+        "but only if it lands within a 1-hour attribution window. "
+        "Mirror-image of asof_join_purchase_view: tagged union + "
+        "first(ignorenulls) over CURRENT ROW..UNBOUNDED FOLLOWING "
+        "(operators/windows.py::asof_join_forward), tolerance as a "
+        "post-filter on the matched timestamp so the window stays "
+        "single-pass. O(n log n) per user key; no range join. The "
+        "oracle is DuckDB's native forward ASOF JOIN plus the same "
+        "tolerance CASE — two independent constructions, one result.",
+    )
+    def attribution_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.windows import (
+            asof_join_forward,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        views = ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join_forward(
+            views,
+            purchases,
+            by=["user_id"],
+            ts="ts",
+            right_cols=["value"],
+            tolerance_seconds=3600,
+        )
+
 
 _register()

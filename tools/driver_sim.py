@@ -24,6 +24,8 @@ for name in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
 
 qs, oracles = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:  # optional substring filters: only matching queries
+    qs = {n: f for n, f in qs.items() if any(a in n for a in sys.argv[1:])}
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 from stock_trend_predictor_spark.testing import compare_frames
 fails = 0
