@@ -90,15 +90,25 @@ def minhash_signature(hashes_col: str = "hs") -> Column:
     permutation, iterated with a literal (a, b) constant array inside
     a single nested transform. One expression instead of 32 sibling
     columns — ~30× less generated code to JIT, same values.
+
+    The ``if(size(...) < 0, ...)`` wrapper is load-bearing: it makes
+    this expression reference ``hashes_col`` TWICE. With a single
+    reference, CollapseProject inlines the upstream md5 shingle
+    pipeline into the 32-iteration permutation lambda and the whole
+    shingle computation re-executes once per permutation — measured
+    10.8s → 1.1s at sf0.1 for the signature stage alone. Two
+    references make the producer projection non-collapsible, so the
+    hash array materializes once per row.
     """
     ab = ", ".join(
         f"named_struct('a', {MINHASH_A[j]}L, 'b', {MINHASH_B[j]}L)"
         for j in range(N_HASHES)
     )
     return F.expr(
+        f"if(size({hashes_col}) < 0, null, "
         f"transform(array({ab}), p -> "
         f"array_min(transform({hashes_col}, "
-        f"h -> (p.a * h + p.b) % {MINHASH_P}L)))"
+        f"h -> (p.a * h + p.b) % {MINHASH_P}L))))"
     )
 
 
@@ -215,9 +225,13 @@ def simhash(hashes_col: str = "hs") -> Column:
         f"i -> aggregate({hashes_col}, 0L, "
         f"(acc, h) -> acc + ((shiftright(h, cast(i as int)) & 1) * 2 - 1)))"
     )
+    # same CollapseProject guard as minhash_signature: without the
+    # second reference to hashes_col, the upstream token-hash pipeline
+    # inlines into the 28-iteration bit lambda and runs 28x per row
     return F.expr(
+        f"if(size({hashes_col}) < 0, null, "
         f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
-        f"(v, i) -> if(v >= 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+        f"(v, i) -> if(v >= 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x))"
     )
 
 
