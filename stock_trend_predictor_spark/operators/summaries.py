@@ -188,3 +188,102 @@ def covariance_long(
         ).alias("cov"),
         n.alias("n"),
     )
+
+
+# --- count-min sketch: mergeable cells + streaming maintenance -------
+
+#: CMS geometry — shared by the batch query (plans/summary_queries.py::
+#: sketch_countmin_tokens) and the streaming sink below, so stream-
+#: maintained state is estimate-identical to the one-shot batch sketch.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(token, j):
+    """Cross-engine md5 bucket: hash28(token '#' j) % CMS_WIDTH."""
+    from stock_trend_predictor_spark.functions.text import hash28
+
+    tok = F.col(token) if isinstance(token, str) else token
+    jj = F.col(j) if isinstance(j, str) else j
+    return hash28(F.concat(tok, F.lit("#"), jj.cast("string"))) % CMS_WIDTH
+
+
+def cms_cell_partials(tok_counts: DataFrame, token_col: str = "token",
+                      count_col: str = "cnt") -> DataFrame:
+    """(j, bucket, cell_total) partial cells from per-token counts.
+
+    The CMS state is a commutative monoid under per-cell summation
+    (same algebra as incremental_agg's rollup state), so partials from
+    any data split merge into exactly the full-data sketch — the law
+    that makes the sketch stream-maintainable.
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+    return (
+        tok_counts.select(F.col(token_col).alias("token"),
+                          F.col(count_col).alias("cnt"), rows)
+        .select("j", cms_bucket("token", "j").alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cell_total"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Monoid merge: per-cell sum across any number of partial tables."""
+    it = iter(states)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    return acc.groupBy("j", "bucket").agg(
+        F.sum("cell_total").cast("bigint").alias("cell_total")
+    )
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame,
+                 token_col: str = "token") -> DataFrame:
+    """Point estimates: min over the d row-cells each probe hashes to."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+    probed = probes.select(F.col(token_col).alias("token"), rows).select(
+        "token", "j", cms_bucket("token", "j").alias("bucket")
+    )
+    return (
+        F.broadcast(probed)
+        .join(cells, ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell_total").cast("bigint").alias("cms_est"))
+    )
+
+
+def update_cms_state(spark, batch: DataFrame, state_dir: str,
+                     token_col: str = "token") -> None:
+    """Merge one batch's cells into the persisted sketch (<= 4096 rows
+    however large the stream — the whole point of maintaining a sketch
+    instead of an exact vocabulary rollup)."""
+    from pyspark.sql.utils import AnalysisException
+
+    counts = batch.groupBy(F.col(token_col).alias("token")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    new = cms_cell_partials(counts)
+    try:
+        merged = cms_merge(spark.read.parquet(state_dir), new)
+    except AnalysisException:
+        merged = new
+    merged = merged.localCheckpoint(eager=True)  # break read-own-target
+    merged.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+
+def cms_sink(token_stream: DataFrame, state_dir: str, checkpoint: str,
+             token_col: str = "token"):
+    """Streaming sketch maintenance: each micro-batch's cells merge
+    into the persisted CMS. Checkpointed foreachBatch = exactly-once
+    per batch id, required because the merge is additive."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_cms_state(batch.sparkSession, batch, state_dir, token_col)
+
+    return (
+        token_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1078,5 +1078,75 @@ GROUP BY user_id
             ).alias("mean_gap_s"),
         )
 
+    @register(
+        "pareto_customer_revenue",
+        oracle=f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(27,6))
+             AS revenue
+    FROM orders
+    GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey, revenue,
+           CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey)
+                AS DECIMAL(38,6)) AS cum_rev,
+           CAST(sum(revenue) OVER () AS DECIMAL(38,6)) AS total_rev,
+           CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey)
+                AS BIGINT) AS rk
+    FROM rev
+)
+SELECT o_custkey, rk,
+       CAST(revenue AS DOUBLE) AS revenue,
+       {stable_round_sql(
+           "CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)", 6)}
+         AS cum_share
+FROM ranked
+WHERE cum_rev - revenue < total_rev * 0.8
+""",
+        doc="Pareto (80/20) contribution analysis: the smallest set of "
+        "customers whose cumulative revenue covers 80% of the total — "
+        "a row is kept when the mass BEFORE it is still under the "
+        "cutoff, so the crossing customer is included and the "
+        "selection is exactly the minimal prefix. All mass arithmetic "
+        "is decimal-exact (sums AND the cutoff comparison), making "
+        "the kept set bit-deterministic cross-engine; only the "
+        "reported shares round to double. The ranking is total "
+        "(revenue DESC, custkey). One shuffle for the per-customer "
+        "rollup; the ranked window runs on the aggregated (customer-"
+        "cardinality) relation — at 100 TB partition the prefix-sum "
+        "by revenue band and carry band offsets, the same two-level "
+        "scan as concurrent_intervals_profile.",
+    )
+    def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        rev = orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(DECIMAL_T))
+            .cast(DECIMAL_T)
+            .alias("revenue")
+        )
+        w_cum = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+        w_all = Window.partitionBy()
+        ranked = rev.select(
+            "o_custkey",
+            "revenue",
+            F.sum("revenue").over(w_cum).cast("decimal(38,6)").alias("cum_rev"),
+            F.sum("revenue").over(w_all).cast("decimal(38,6)").alias("total_rev"),
+            F.row_number().over(w_cum).cast("bigint").alias("rk"),
+        )
+        return ranked.where(
+            F.col("cum_rev") - F.col("revenue")
+            < F.col("total_rev") * F.lit(0.8)
+        ).select(
+            "o_custkey",
+            "rk",
+            F.col("revenue").cast("double").alias("revenue"),
+            stable_round(
+                F.col("cum_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+
 
 _register()

@@ -234,5 +234,84 @@ GROUP BY 1, 2
             )
         )
 
+    _pred_6 = stable_round_sql("m.intercept + m.slope * t.open", 6)
+
+    @register(
+        "model_calibration_bins",
+        oracle=f"""
+WITH {_MODEL_AGG_CTE},
+scored AS (
+    SELECT t.symbol, {_pred_6} AS pred, t.close
+    FROM clean t JOIN models m ON t.symbol = m.symbol
+), binned AS (
+    SELECT symbol, pred, close,
+           ntile(10) OVER (PARTITION BY symbol ORDER BY pred, close)
+             AS bin
+    FROM scored
+)
+SELECT symbol, CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       {stable_round_sql(
+           "CAST(SUM(CAST(pred AS DECIMAL(27,6))) AS DOUBLE) / count(*)",
+           6)} AS mean_pred,
+       {stable_round_sql(
+           "CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE) / count(*)",
+           6)} AS mean_actual,
+       {stable_round_sql(
+           "CAST(SUM(CAST(pred AS DECIMAL(27,6))) AS DOUBLE) / count(*)"
+           " - CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE)"
+           " / count(*)", 6)} AS calibration_gap
+FROM binned
+GROUP BY symbol, bin
+""",
+        doc="Model calibration / reliability table: scored ticks "
+        "binned into per-symbol prediction deciles (ntile over the "
+        "6-dp-rounded prediction — rounding BEFORE the sort makes "
+        "the decile boundaries cross-engine deterministic; (pred, "
+        "close) ties are interchangeable rows, so bin aggregates are "
+        "order-proof), mean predicted vs mean realized close per "
+        "bin, and the signed calibration gap. This is the eval "
+        "artifact the reference's accuracy number (predict_from_"
+        "vm4.py:67) cannot show: WHERE in the prediction range the "
+        "model is biased. Decimal-exact bin means; the scoring join "
+        "broadcasts the models table exactly as pergroup_model_"
+        "scoring does.",
+    )
+    def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from stock_trend_predictor_spark.functions.exact import (
+            DECIMAL_T,
+            stable_round,
+        )
+
+        t = (
+            ticks(spark, sf_dir)
+            .where(F.col("open").isNotNull() & F.col("close").isNotNull())
+            .select("symbol", "ts", "open", "close")
+            .persist()
+        )
+        scored = score_with_models(t, train_linreg_per_key(t)).select(
+            "symbol", F.col("predicted_close").alias("pred"), "close"
+        )
+        w = Window.partitionBy("symbol").orderBy("pred", "close")
+        binned = scored.withColumn("bin", F.ntile(10).over(w))
+        mean6 = lambda c: stable_round(  # noqa: E731
+            F.sum(F.col(c).cast(DECIMAL_T)).cast("double") / F.count(F.lit(1)),
+            6,
+        )
+        return binned.groupBy("symbol", F.col("bin").cast("int").alias("bin")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            mean6("pred").alias("mean_pred"),
+            mean6("close").alias("mean_actual"),
+            stable_round(
+                F.sum(F.col("pred").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+                - F.sum(F.col("close").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("calibration_gap"),
+        )
+
 
 _register()

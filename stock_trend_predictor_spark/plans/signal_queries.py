@@ -612,5 +612,268 @@ GROUP BY date_trunc('hour', t)
             F.max("conc").cast("bigint").alias("peak_concurrency"),
         )
 
+    corr_sql = stable_round_sql(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        "                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "             * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+        "                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)",
+        6,
+    )
+
+    @register(
+        "rolling_pair_correlation",
+        oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DECIMAL(15,6)) AS s
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+), paired AS (
+    SELECT x.hour, x.s AS x, y.s AS y
+    FROM (SELECT hour, s FROM hourly WHERE event_type = 'click') x
+    JOIN (SELECT hour, s FROM hourly WHERE event_type = 'view') y
+      USING (hour)
+), sums AS (
+    SELECT hour,
+           count(*) OVER w AS n,
+           CAST(sum(x) OVER w AS DECIMAL(38,6)) AS sx,
+           CAST(sum(y) OVER w AS DECIMAL(38,6)) AS sy,
+           CAST(sum(x * y) OVER w AS DECIMAL(38,12)) AS sxy,
+           CAST(sum(x * x) OVER w AS DECIMAL(38,12)) AS sx2,
+           CAST(sum(y * y) OVER w AS DECIMAL(38,12)) AS sy2
+    FROM paired
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, CAST(n AS BIGINT) AS n_win,
+       {corr_sql} AS corr24
+FROM sums
+WHERE n >= 2
+""".replace("{corr_sql}", corr_sql),
+        doc="Rolling 24-hour correlation between the click and view "
+        "hourly volume series — the pair-trading / co-movement signal "
+        "a stock engine computes between two tickers. The raw event "
+        "stream reduces to EXACT decimal hourly sums first (one "
+        "map-side-combinable shuffle); all five rolling sufficient "
+        "sums (sx, sy, sxy, sx2, sy2) accumulate in decimal over the "
+        "24-bucket frame — order-independent, so cross-engine "
+        "bit-equality survives any partitioning — and only the final "
+        "Pearson formula runs in (identical-IEEE) double. The window "
+        "runs on the AGGREGATED hourly series: 8 760 rows/year "
+        "however large the raw stream, which is why a single-"
+        "partition window is the right plan here, not a scale bug.",
+    )
+    def rolling_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = (
+            ev.where(F.col("event_type").isin("click", "view"))
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.sum(F.col("value").cast("decimal(15,6)"))
+                .cast("decimal(15,6)")
+                .alias("s")
+            )
+        )
+        x = hourly.where(F.col("event_type") == "click").select(
+            "hour", F.col("s").alias("x")
+        )
+        y = hourly.where(F.col("event_type") == "view").select(
+            "hour", F.col("s").alias("y")
+        )
+        paired = x.join(y, "hour")
+        w = Window.orderBy("hour").rowsBetween(-23, 0)
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        sums = paired.select(
+            "hour",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("x").over(w).cast("decimal(38,6)").alias("sx"),
+            F.sum("y").over(w).cast("decimal(38,6)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).over(w).cast("decimal(38,12)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(38,12)").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).over(w).cast("decimal(38,12)").alias("sy2"),
+        )
+        num = d("n") * d("sxy") - d("sx") * d("sy")
+        den = F.nullif(
+            F.sqrt(
+                (d("n") * d("sx2") - d("sx") * d("sx"))
+                * (d("n") * d("sy2") - d("sy") * d("sy"))
+            ),
+            F.lit(0.0),
+        )
+        return sums.where(F.col("n") >= 2).select(
+            "hour",
+            F.col("n").cast("bigint").alias("n_win"),
+            stable_round(num / den, 6).alias("corr24"),
+        )
+
+    @register(
+        "seasonality_profile",
+        oracle=f"""
+SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {exact_sum_sql('value')} / count(*) AS mean_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+        doc="Day-of-week x hour-of-day seasonality profile — the "
+        "seasonal-naive baseline every timeseries model is judged "
+        "against. Sunday-based dow (Spark dayofweek()-1 == DuckDB "
+        "extract(dow)); decimal-exact means. One map-side-combinable "
+        "shuffle onto a 168-cell grid — the profile table is "
+        "constant-size at any stream scale, which is what makes it a "
+        "broadcastable residual-baseline for anomaly scoring "
+        "downstream (join it back to the stream for value - "
+        "expected).",
+    )
+    def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    @register(
+        "interarrival_histogram",
+        oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+), bucketed AS (
+    SELECT event_type, gap_us,
+           CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                WHEN gap_us < 10000000 THEN '1_1s_10s'
+                WHEN gap_us < 60000000 THEN '2_10s_1m'
+                WHEN gap_us < 600000000 THEN '3_1m_10m'
+                WHEN gap_us < 3600000000 THEN '4_10m_1h'
+                WHEN gap_us < 86400000000 THEN '5_1h_24h'
+                ELSE '6_ge_24h' END AS bucket
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM bucketed
+GROUP BY event_type, bucket
+""",
+        doc="Inter-arrival-time histogram per stream key: lag() gap in "
+        "integer microseconds, bucketed by an explicit CASE ladder of "
+        "integer thresholds — deliberately NOT floor(log10(gap)): "
+        "libm log10 can differ in the last ulp across engines and a "
+        "boundary-straddling gap would flip buckets, while integer "
+        "comparisons are exact everywhere. The arrival-process audit "
+        "behind watermark sizing (streaming/ingest.py) — pick the "
+        "late-data tolerance from the tail buckets. One per-key sort "
+        "reused from every other per-key window in the engine.",
+    )
+    def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        bucket = (
+            F.when(gap < 1_000_000, "0_lt_1s")
+            .when(gap < 10_000_000, "1_1s_10s")
+            .when(gap < 60_000_000, "2_10s_1m")
+            .when(gap < 600_000_000, "3_1m_10m")
+            .when(gap < 3_600_000_000, "4_10m_1h")
+            .when(gap < 86_400_000_000, "5_1h_24h")
+            .otherwise("6_ge_24h")
+        )
+        return (
+            ev.select("event_type", gap.alias("gap_us"), bucket.alias("bucket"))
+            .where(F.col("gap_us").isNotNull())
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                F.min("gap_us").cast("bigint").alias("min_gap_us"),
+                F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            )
+        )
+
+    @register(
+        "runlength_encode_user_events",
+        oracle="""
+WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+    SELECT user_id, event_type, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+             AS run_id
+    FROM flagged
+)
+SELECT user_id, run_id,
+       min(event_type) AS event_type,
+       CAST(count(*) AS BIGINT) AS run_len,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts
+FROM runs
+GROUP BY user_id, run_id
+""",
+        doc="Run-length encoding of each user's event stream — the "
+        "gaps-and-islands pattern: change-point flag via "
+        "lag IS DISTINCT FROM, cumulative sum assigns run ids, one "
+        "aggregate collapses runs to (type, length, start, end). "
+        "Compresses repeated-action bursts before sequence modeling "
+        "(the RLE front-end to user_event_sequences). The (ts, "
+        "event_id) order is total so run boundaries are "
+        "deterministic; both window passes and the final aggregate "
+        "share the single user_id shuffle.",
+    )
+    def runlength_encode_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        runs = flagged.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+            .alias("run_id"),
+        )
+        return runs.groupBy("user_id", "run_id").agg(
+            F.min("event_type").alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+
 
 _register()

@@ -243,5 +243,93 @@ GROUP BY label
             )
         )
 
+    centroid_cos_sql = stable_round_sql(
+        "CAST(dot AS DOUBLE)"
+        " / nullif(sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 0)",
+        6,
+    )
+
+    @register(
+        "label_centroid_distances",
+        oracle="""
+WITH dims AS (
+    SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) AS i
+), s AS (
+    SELECT label, dim,
+           CAST(floor(sum(v) * 1000000.0 + 0.5) / 1000000.0
+                AS DECIMAL(15,6)) AS s
+    FROM dims
+    GROUP BY label, dim
+), pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(a.s * b.s) AS DECIMAL(38,12)) AS dot,
+           CAST(sum(a.s * a.s) AS DECIMAL(38,12)) AS na2,
+           CAST(sum(b.s * b.s) AS DECIMAL(38,12)) AS nb2
+    FROM s a
+    JOIN s b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, {centroid_cos_sql} AS centroid_cos
+FROM pairs
+""".replace("{centroid_cos_sql}", centroid_cos_sql),
+        doc="Inter-class centroid similarity matrix — the embedding-"
+        "space class-separation audit (confusable-label detection) a "
+        "training pipeline runs on labeled embeddings. Centroid "
+        "cosine == sum-vector cosine (scale invariance), so no "
+        "division by counts is needed: per-(label, dim) sums reduce "
+        "map-side (d doubles per label cross the shuffle, never "
+        "vectors), are pinned to exact 6-dp decimals (absorbing "
+        "double-summation order noise), and every downstream product/"
+        "sum is decimal-exact — the pairwise stage is bit-"
+        "deterministic by construction. The label-pair join is over "
+        "#labels x d rows: broadcast-sized at any corpus scale.",
+    )
+    def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        ).select("label", "dim", F.col("v").cast("double").alias("v"))
+        s = dims.groupBy("label", "dim").agg(
+            stable_round(F.sum("v"), 6).cast("decimal(15,6)").alias("s")
+        )
+        a = s.select(
+            F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+        )
+        b = s.select(
+            F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+        )
+        pairs = (
+            a.join(b, "dim")
+            .where(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(
+                F.sum(F.col("sa") * F.col("sb"))
+                .cast("decimal(38,12)")
+                .alias("dot"),
+                F.sum(F.col("sa") * F.col("sa"))
+                .cast("decimal(38,12)")
+                .alias("na2"),
+                F.sum(F.col("sb") * F.col("sb"))
+                .cast("decimal(38,12)")
+                .alias("nb2"),
+            )
+        )
+        return pairs.select(
+            "label_a",
+            "label_b",
+            stable_round(
+                F.col("dot").cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("na2").cast("double")
+                        * F.col("nb2").cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+
 
 _register()

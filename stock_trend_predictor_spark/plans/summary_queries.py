@@ -23,7 +23,8 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
-from stock_trend_predictor_spark.functions.text import hash28, hash28_sql
+from stock_trend_predictor_spark.functions.text import hash28_sql
+from stock_trend_predictor_spark.operators.summaries import CMS_WIDTH
 from stock_trend_predictor_spark.operators.summaries import (
     covariance_long,
     heavy_hitters_exact,
@@ -33,8 +34,6 @@ from stock_trend_predictor_spark.sources.tables import load_table
 HH_FRAC = 0.02  # heavy-hitter threshold: >= 2% of all token occurrences
 BM25_TERMS = ("spark", "window", "hash", "dup")
 EMB_DIM = 64
-CMS_DEPTH = 4  # count-min sketch rows (independent hash functions)
-CMS_WIDTH = 1024  # count-min sketch buckets per row
 
 
 def _register():
@@ -316,34 +315,25 @@ GROUP BY p.token, p.cnt
         "est >= exact (overestimate column, law-asserted in pytest).",
     )
     def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.summaries import (
+            cms_cell_partials,
+            cms_estimate,
+        )
+
         docs = load_table(spark, sf_dir, "documents")
         vocab = (
             docs.select(F.explode(F.split("text", " ")).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
-        bucket = lambda tok_col: (  # noqa: E731 — tiny local expr builder
-            hash28(F.concat(tok_col, F.lit("#"), F.col("j").cast("string")))
-            % CMS_WIDTH
-        )
-        rows4 = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias(
-            "j"
-        )
-        cells = (
-            vocab.select("token", "cnt", rows4)
-            .select(F.col("j"), bucket(F.col("token")).alias("bucket"), "cnt")
-            .groupBy("j", "bucket")
-            .agg(F.sum("cnt").cast("bigint").alias("cell_total"))
-        )
+        cells = cms_cell_partials(vocab)
         probes = vocab.orderBy(F.col("cnt").desc(), "token").limit(20)
-        probed = probes.select(
-            F.col("token"), F.col("cnt").alias("exact_cnt"), rows4
-        ).select("token", "exact_cnt", "j", bucket(F.col("token")).alias("bucket"))
         return (
-            F.broadcast(probed)
-            .join(cells, ["j", "bucket"])
-            .groupBy("token", "exact_cnt")
-            .agg(F.min("cell_total").cast("bigint").alias("cms_est"))
+            cms_estimate(cells, probes)
+            .join(
+                F.broadcast(probes.withColumnRenamed("cnt", "exact_cnt")),
+                "token",
+            )
             .select(
                 "token",
                 "exact_cnt",

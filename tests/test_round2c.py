@@ -219,3 +219,95 @@ def test_concurrency_sweep_matches_single_partition_form(spark, sf_dir):
         .collect()
     }
     assert got == naive
+
+
+def test_pareto_prefix_is_minimal_and_sorted(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["pareto_customer_revenue"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert rows
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    # revenue non-increasing down the ranking; last row crosses 80%
+    for a, b in zip(rows, rows[1:]):
+        assert a.revenue >= b.revenue
+    assert rows[-1].cum_share >= 0.8
+    if len(rows) > 1:
+        assert rows[-2].cum_share < 0.8
+
+
+def test_rolling_pair_correlation_is_bounded(spark, sf_dir):
+    rows = REGISTRY["rolling_pair_correlation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r.n_win <= 24
+        if r.corr24 is not None:
+            assert -1.0 - 1e-6 <= r.corr24 <= 1.0 + 1e-6
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    got = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in REGISTRY["label_centroid_distances"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    sums: dict[int, np.ndarray] = {}
+    for label, emb in rows:
+        v = np.asarray(emb, dtype=np.float64)
+        sums[label] = sums.get(label, 0) + v
+    labels = sorted(sums)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            a, b = sums[la], sums[lb]
+            want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+            assert abs(got[(la, lb)] - want) < 1e-4, (la, lb)
+
+
+def test_runlength_reconstructs_event_count(spark, sf_dir):
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    runs = REGISTRY["runlength_encode_user_events"].fn(spark, sf_dir)
+    total = runs.agg(F.sum("run_len")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    # RLE is lossless on counts: run lengths sum back to the stream
+    assert total == n_events
+    bad = runs.where(
+        (F.col("run_len") < 1) | (F.col("start_ts") > F.col("end_ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_seasonality_grid_is_bounded(spark, sf_dir):
+    rows = REGISTRY["seasonality_profile"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 168
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+        assert r.min_value <= r.mean_value <= r.max_value
+
+
+def test_interarrival_histogram_accounts_for_every_gap(spark, sf_dir):
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    hist = REGISTRY["interarrival_histogram"].fn(spark, sf_dir)
+    per_type = {
+        r.event_type: r.total
+        for r in hist.groupBy("event_type")
+        .agg(F.sum("n_gaps").alias("total"))
+        .collect()
+    }
+    counts = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every event except the first of its key produces exactly one gap
+    for typ, n in counts.items():
+        assert per_type.get(typ, 0) == n - 1

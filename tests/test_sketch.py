@@ -76,3 +76,75 @@ def test_hll_within_error_bound(spark):
     for k, e in exact.items():
         rel_err = abs(approx[k] - e) / e
         assert rel_err <= 0.05, f"{k}: approx {approx[k]} vs exact {e}"
+
+
+def test_cms_merge_law_arbitrary_split(spark):
+    """CMS cells are a commutative monoid: partials from any split of
+    the corpus merge into exactly the full-data sketch."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        cms_cell_partials,
+        cms_merge,
+    )
+
+    tok = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    counts = lambda df: df.groupBy("token").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("cnt")
+    )
+    full = cms_cell_partials(counts(tok))
+    a = tok.where(F.col("doc_id") % 3 == 0)
+    b = tok.where(F.col("doc_id") % 3 == 1)
+    c = tok.where(F.col("doc_id") % 3 == 2)
+    merged = cms_merge(*[cms_cell_partials(counts(p)) for p in (a, b, c)])
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert as_rows(merged) == as_rows(full)
+
+
+def test_cms_sink_streaming_equals_batch(spark, tmp_path):
+    """Stream-maintained CMS state (file stream -> foreachBatch merge)
+    must give the same estimates as the one-shot batch sketch."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        cms_cell_partials,
+        cms_estimate,
+        cms_sink,
+    )
+
+    tok = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    tok.repartition(4).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cms_sink(stream, state, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    cells_stream = spark.read.parquet(state)
+    assert cells_stream.count() <= 4 * 1024  # state stays sketch-sized
+    probes = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+    batch_cells = cms_cell_partials(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est_stream = {
+        (r.token, r.cms_est)
+        for r in cms_estimate(cells_stream, probes).collect()
+    }
+    est_batch = {
+        (r.token, r.cms_est)
+        for r in cms_estimate(batch_cells, probes).collect()
+    }
+    assert est_stream == est_batch
