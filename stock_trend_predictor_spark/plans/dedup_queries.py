@@ -509,6 +509,66 @@ WHERE {_PAIR_COS} >= 0.35
         return connected_components(edges, "src", "dst")
 
     @register(
+        "dedup_cluster_profile",
+        oracle=f"""
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable,
+       min(component) AS example_cluster
+FROM (
+    SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM ({components_recursive_sql(_EDGES_CTE)}) c
+    GROUP BY component
+)
+GROUP BY cluster_size
+""",
+        doc="Operational profile of the near-dup graph: histogram of "
+        "cluster sizes plus the removable-row count (size-1 per "
+        "cluster — every member except the keeper), i.e. the exact "
+        "space the dedup pass will reclaim. This is the report a "
+        "corpus owner reads before committing a dedup run; a giant "
+        "top bucket here is the mega-cluster signal that "
+        "lsh_candidate_pairs' bucket_cap defends against. Built on "
+        "the same label-propagation components as "
+        "dedup_cluster_assignment; the profile itself is two "
+        "constant-size aggregations above it.",
+    )
+    def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.components import (
+            connected_components,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+        e = e.withColumn("nrm", l2norm(F.col("v")))
+        pairs = pair_parallel_self_join(e, block="label", id_col="vec_id")
+        cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        edges = pairs.where(cos >= 0.35).select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("src"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("dst"),
+        )
+        comps = connected_components(edges, "src", "dst")
+        sizes = comps.groupBy("component").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.sum("cluster_size") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_removable"),
+            F.min("component").alias("example_cluster"),
+        )
+
+    @register(
         "dedup_ngram_jaccard_blocked",
         oracle=f"""
 WITH shingled AS (
