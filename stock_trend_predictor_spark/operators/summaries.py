@@ -253,33 +253,100 @@ def cms_estimate(cells: DataFrame, probes: DataFrame,
     )
 
 
+def _cms_read_meta(state_dir: str) -> dict | None:
+    import json
+    import os
+
+    path = os.path.join(state_dir, "META.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_cms_state(spark, state_dir: str) -> DataFrame | None:
+    """Resolve the committed cells table through the META pointer.
+
+    Returns None when no state has been committed yet."""
+    import os
+
+    meta = _cms_read_meta(state_dir)
+    if meta is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, meta["cells"]))
+
+
 def update_cms_state(spark, batch: DataFrame, state_dir: str,
-                     token_col: str = "token") -> None:
+                     token_col: str = "token",
+                     batch_id: int | None = None) -> None:
     """Merge one batch's cells into the persisted sketch (<= 4096 rows
     however large the stream — the whole point of maintaining a sketch
-    instead of an exact vocabulary rollup)."""
-    from pyspark.sql.utils import AnalysisException
+    instead of an exact vocabulary rollup).
+
+    Replay-idempotent commit protocol (foreachBatch is at-least-once,
+    and the cell merge is additive, so a replayed batch must be a
+    no-op): the merged cells land in a fresh ``cells-{version}`` dir,
+    then ``META.json`` — recording that dir plus the last applied
+    ``batch_id`` — is swapped in atomically (tmp file + ``os.replace``).
+    A batch whose id is <= the committed one is skipped before any
+    write; a crash mid-write leaves META pointing at the previous
+    complete version. Single-writer by construction (one streaming
+    query owns the sink); on a shared object store the same protocol
+    would ride the connector writer's manifest commit instead.
+    """
+    import json
+    import os
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    meta = _cms_read_meta(state_dir)
+    if (
+        meta is not None
+        and batch_id is not None
+        and meta.get("last_batch_id") is not None
+        and batch_id <= meta["last_batch_id"]
+    ):
+        return  # replayed batch: already folded into the committed state
 
     counts = batch.groupBy(F.col(token_col).alias("token")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     new = cms_cell_partials(counts)
-    try:
-        merged = cms_merge(spark.read.parquet(state_dir), new)
-    except AnalysisException:
+    if meta is not None:
+        prev = spark.read.parquet(os.path.join(state_dir, meta["cells"]))
+        merged = cms_merge(prev, new)
+        version = meta["version"] + 1
+    else:
         merged = new
-    merged = merged.localCheckpoint(eager=True)  # break read-own-target
-    merged.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        version = 0
+    cells_name = f"cells-{version:010d}"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, cells_name)
+    )
+    tmp = os.path.join(state_dir, "META.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "cells": cells_name,
+             "last_batch_id": batch_id},
+            fh,
+        )
+    os.replace(tmp, os.path.join(state_dir, "META.json"))  # atomic commit
+    for name in os.listdir(state_dir):  # GC superseded versions
+        if name.startswith("cells-") and name != cells_name:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
 
 def cms_sink(token_stream: DataFrame, state_dir: str, checkpoint: str,
              token_col: str = "token"):
     """Streaming sketch maintenance: each micro-batch's cells merge
-    into the persisted CMS. Checkpointed foreachBatch = exactly-once
-    per batch id, required because the merge is additive."""
+    into the persisted CMS. foreachBatch delivers at-least-once; the
+    additive merge becomes effectively exactly-once through
+    ``update_cms_state``'s batch-id-gated atomic commit (replays skip,
+    partial writes never become visible)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        update_cms_state(batch.sparkSession, batch, state_dir, token_col)
+        update_cms_state(batch.sparkSession, batch, state_dir, token_col,
+                         batch_id=batch_id)
 
     return (
         token_stream.writeStream.foreachBatch(write_batch)

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -37,14 +38,22 @@ def asof_join(
     At equal timestamps the right row sorts first (side tag 0 < 1), so
     the join is inclusive — matching DuckDB ``ASOF JOIN ... ON r.ts <=
     l.ts`` semantics.
+
+    The matched values travel as ONE struct filled by a single
+    ``last(ignorenulls=True)``: per-column fills would mix rows when
+    the matched right row holds a NULL in one column (that column
+    would be taken from an earlier right row), diverging from ASOF
+    semantics, which return the matched row's NULL.
     """
     by = list(by)
     tag = "__asof_side"
+    sval = "__asof_vals"
+    struct_t = T.StructType([right.schema[c] for c in right_cols])
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias(tag),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(struct_t).alias(sval),
     )
     r_tagged = right.select(
         *[
@@ -52,7 +61,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias(tag),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias(sval),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -63,12 +72,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         F.col(tag),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last(sval, ignorenulls=True).over(w).alias(sval),
     )
-    return filled.where(F.col(tag) == 1).drop(tag)
+    return filled.where(F.col(tag) == 1).select(
+        *lcols,
+        *[F.col(f"{sval}.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def asof_join_forward(
@@ -92,19 +101,25 @@ def asof_join_forward(
     inclusive. The tolerance is applied as a post-filter on the
     matched right timestamp — rows past the horizon revert to NULL,
     which keeps the window single-pass (no per-row frame bounds).
+
+    As in :func:`asof_join`, the matched timestamp and values travel
+    as ONE struct filled by a single ``first(ignorenulls=True)`` so a
+    NULL in one right column can never be patched from a later right
+    row (the mixed-row hazard).
     """
     by = list(by)
     tag = "__asof_side"
+    sval = "__asof_vals"
     mts = f"__match_{ts}"
+    struct_t = T.StructType(
+        [T.StructField(mts, right.schema[ts].dataType)]
+        + [right.schema[c] for c in right_cols]
+    )
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.lit(0).alias(tag),
-        F.lit(None).cast(right.schema[ts].dataType).alias(mts),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(struct_t).alias(sval),
     )
     r_tagged = right.select(
         *[
@@ -112,8 +127,9 @@ def asof_join_forward(
             for c in lcols
         ],
         F.lit(1).alias(tag),
-        F.col(ts).alias(mts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(ts).alias(mts), *[F.col(c) for c in right_cols]
+        ).alias(sval),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -124,13 +140,13 @@ def asof_join_forward(
     filled = unioned.select(
         *lcols,
         F.col(tag),
-        F.first(mts, ignorenulls=True).over(w).alias(mts),
-        *[
-            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.first(sval, ignorenulls=True).over(w).alias(sval),
     )
-    out = filled.where(F.col(tag) == 0).drop(tag)
+    out = filled.where(F.col(tag) == 0).select(
+        *lcols,
+        F.col(f"{sval}.{mts}").alias(mts),
+        *[F.col(f"{sval}.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
     if tolerance_seconds is not None:
         in_tol = (
             F.unix_micros(F.col(mts)) - F.unix_micros(F.col(ts))

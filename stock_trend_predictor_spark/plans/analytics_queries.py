@@ -1136,7 +1136,7 @@ WHERE cum_rev - revenue < total_rev * 0.8
         )
         return ranked.where(
             F.col("cum_rev") - F.col("revenue")
-            < F.col("total_rev") * F.lit(0.8)
+            < F.col("total_rev") * F.expr("CAST(0.8 AS DECIMAL(2,1))")
         ).select(
             "o_custkey",
             "rk",

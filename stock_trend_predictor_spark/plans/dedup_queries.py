@@ -19,7 +19,7 @@ from stock_trend_predictor_spark.functions.text import (
     normalized_text_sql,
 )
 from stock_trend_predictor_spark.operators import dedup as D
-from stock_trend_predictor_spark.sources.tables import load_table
+from stock_trend_predictor_spark.sources.tables import load_table, materialize_once
 
 
 def _register():
@@ -346,18 +346,18 @@ WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
         "Full SQL oracle via shared md5-based permutation hashing.",
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # Persist the shingled arrays: they feed candidate generation
-        # plus both sides of the verification join, and the md5 shingle
-        # pipeline is the dominant per-row cost. At cluster scale this
-        # is the standard "materialize signatures once" LSH stage.
-        docs = (
+        # Materialize the shingled arrays once: they feed candidate
+        # generation plus both sides of the verification join, and the
+        # md5 shingle pipeline is the dominant per-row cost. At cluster
+        # scale this is the standard "materialize signatures once" LSH
+        # stage; materialize_once shares the blocks without pinning a
+        # session-lifetime cache entry.
+        docs = materialize_once(
             D.with_shingle_hashes(
                 load_table(spark, sf_dir, "documents").repartition(
                     spark.sparkContext.defaultParallelism, "doc_id"
                 )
-            )
-            .select("doc_id", "hs")
-            .persist()
+            ).select("doc_id", "hs")
         )
         cand = D.lsh_candidate_pairs(docs)
         a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))

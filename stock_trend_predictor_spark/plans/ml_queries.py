@@ -16,7 +16,11 @@ from stock_trend_predictor_spark.ml.pergroup import (
     score_with_models,
     train_linreg_per_key,
 )
-from stock_trend_predictor_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from stock_trend_predictor_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    materialize_once,
+    ticks,
+)
 
 _MODEL_AGG_CTE = f"""
 {TICKS_ORACLE_CTE},
@@ -147,14 +151,14 @@ FROM clean t JOIN models m ON t.symbol = m.symbol
         "(replaces one-doc-at-a-time predict, predict_from_vm4.py:57-65).",
     )
     def pergroup_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # Persist the derived ticks view: it feeds both the training
-        # aggregation and the scoring join, and re-deriving it would
-        # repeat the per-symbol lag() window shuffle.
-        t = (
+        # Share the derived ticks view between the training aggregation
+        # and the scoring join without a session-lifetime cache entry
+        # (see materialize_once): re-deriving it would repeat the
+        # per-symbol lag() window shuffle.
+        t = materialize_once(
             ticks(spark, sf_dir)
             .where(F.col("open").isNotNull() & F.col("close").isNotNull())
             .select("symbol", "ts", "open", "close")
-            .persist()
         )
         models = train_linreg_per_key(t)
         return score_with_models(t, models)
@@ -285,11 +289,10 @@ GROUP BY symbol, bin
             stable_round,
         )
 
-        t = (
+        t = materialize_once(
             ticks(spark, sf_dir)
             .where(F.col("open").isNotNull() & F.col("close").isNotNull())
             .select("symbol", "ts", "open", "close")
-            .persist()
         )
         scored = score_with_models(t, train_linreg_per_key(t)).select(
             "symbol", F.col("predicted_close").alias("pred"), "close"

@@ -114,3 +114,21 @@ ticks AS (
     FROM events
 )
 """
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Compute-once sharing for a DataFrame consumed by several
+    downstream jobs, without pinning cache for the session.
+
+    ``persist()`` shares the scan but leaks: the CacheManager holds the
+    entry until an explicit ``unpersist()``, which a lazily-returned
+    query plan has no safe point to issue (the caller collects after
+    the function returns). ``localCheckpoint(eager=True)`` materializes
+    the same blocks, but they are owned by the checkpointed RDD, so the
+    ContextCleaner frees them as soon as the result DataFrame is
+    garbage-collected — the right lifetime for registry queries that
+    run hundreds to a session. Trade-off (documented, acceptable for
+    derived inputs): checkpoint blocks are not lineage-recoverable, so
+    an executor loss means job retry rather than partition recompute.
+    """
+    return df.localCheckpoint(eager=True)

@@ -128,7 +128,9 @@ def test_cms_sink_streaming_equals_batch(spark, tmp_path):
     q = cms_sink(stream, state, checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    cells_stream = spark.read.parquet(state)
+    from stock_trend_predictor_spark.operators.summaries import read_cms_state
+
+    cells_stream = read_cms_state(spark, state)
     assert cells_stream.count() <= 4 * 1024  # state stays sketch-sized
     probes = (
         tok.groupBy("token")
@@ -148,3 +150,31 @@ def test_cms_sink_streaming_equals_batch(spark, tmp_path):
         for r in cms_estimate(batch_cells, probes).collect()
     }
     assert est_stream == est_batch
+
+
+def test_cms_state_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying an already-committed
+    batch_id must be a no-op (no double counting), and the committed
+    META must always resolve to a complete cells table."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        read_cms_state,
+        update_cms_state,
+    )
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "token string")
+
+    update_cms_state(spark, b0, state, batch_id=0)
+    once = sorted(tuple(r) for r in read_cms_state(spark, state).collect())
+    update_cms_state(spark, b0, state, batch_id=0)  # replay: must skip
+    replay = sorted(tuple(r) for r in read_cms_state(spark, state).collect())
+    assert once == replay
+
+    update_cms_state(spark, b1, state, batch_id=1)
+    after = sorted(tuple(r) for r in read_cms_state(spark, state).collect())
+    assert after != once
+    update_cms_state(spark, b1, state, batch_id=1)  # replay of latest
+    assert after == sorted(
+        tuple(r) for r in read_cms_state(spark, state).collect()
+    )
