@@ -622,12 +622,14 @@ JOIN shingled b
         doc="LABEL-FREE semantic near-dup detection — the 100 TB shape "
         "when no blocking key exists: a deterministic-seed k-means "
         "coarse quantizer (operators/ivf.py, only k x dim floats ever "
-        "reach the driver) assigns every vector to its nprobe=2 "
+        "reach the driver) assigns every vector to its nprobe=3 "
         "nearest cells; candidate pairs enumerate within cells via the "
         "triangle decomposition; exact cosine >= 0.35 verifies. "
         "Multi-probe is the recall lever: Voronoi-boundary pairs "
-        "share their second cell. Complexity: sum of cell sizes "
-        "squared, vs the quadratic all-pairs the exact query "
+        "share a deeper probe cell — nprobe=3 measures >=0.94 pair "
+        "recall at every test sf (0.76 at nprobe=2); the per-round "
+        "number is published in RECALL.json. Complexity: sum of cell "
+        "sizes squared, vs the quadratic all-pairs the exact query "
         "(dedup_embedding_cosine) needs a label for.",
     )
     def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +652,7 @@ JOIN shingled b
             .withColumn("nrm", l2norm(F.col("v")))
         )
         cents = kmeans_centroids(e, k=8, iters=3, vec_col="v")
-        probed = assign_clusters_multiprobe(e, cents, nprobe=2)
+        probed = assign_clusters_multiprobe(e, cents, nprobe=3)
         pairs = pair_parallel_self_join(probed, block="cid", id_col="vec_id")
         cos = dot(F.col("a.v"), F.col("b.v")) / (
             F.col("a.nrm") * F.col("b.nrm")

@@ -106,6 +106,44 @@ def test_kafka_source_wiring(spark):
     }
 
 
+def test_kafka_option_names_in_spark_vocabulary(tmp_path):
+    """Golden option-name contract: every key the builders emit must be
+    either a ``kafka.``-prefixed client passthrough or one of the
+    option names the Spark 4 structured-streaming-kafka integration
+    documents. Wiring tests compare dicts the builders themselves
+    produced; this one pins the NAMES against the published vocabulary
+    so a typo (e.g. startingOffset) cannot pass both sides."""
+    from stock_trend_predictor_spark.streaming.ingest import (
+        kafka_source_options,
+    )
+    from stock_trend_predictor_spark.streaming.kafka import (
+        kafka_sink_options,
+    )
+
+    # Source/sink option names from the Spark Structured Streaming +
+    # Kafka integration guide (structured-streaming-kafka-integration).
+    SOURCE_OPTS = {
+        "assign", "subscribe", "subscribePattern", "startingOffsets",
+        "startingOffsetsByTimestamp", "startingTimestamp",
+        "endingOffsets", "endingOffsetsByTimestamp", "endingTimestamp",
+        "failOnDataLoss", "kafkaConsumer.pollTimeoutMs", "fetchOffset.numRetries",
+        "fetchOffset.retryIntervalMs", "maxOffsetsPerTrigger",
+        "minOffsetsPerTrigger", "maxTriggerDelay", "minPartitions",
+        "groupIdPrefix", "includeHeaders",
+    }
+    SINK_OPTS = {"topic", "includeHeaders", "checkpointLocation"}
+
+    src = kafka_source_options("t", "b:9092", "earliest")
+    for key in src:
+        assert key.startswith("kafka.") or key in SOURCE_OPTS, key
+    assert "subscribe" in src and "kafka.bootstrap.servers" in src
+
+    snk = kafka_sink_options("t", "b:9092", str(tmp_path / "ckpt"))
+    for key in snk:
+        assert key.startswith("kafka.") or key in SINK_OPTS, key
+    assert "topic" in snk and "checkpointLocation" in snk
+
+
 def test_kafka_sink_wiring(spark, tmp_path):
     """S3: the producer sink's option set, wire serialization
     (to_json(struct(...)) in the reference's exact field order), and
@@ -168,6 +206,25 @@ def test_envelope_parse_superset_and_corrupt(spark, tmp_path):
     # corrupt row captured, not silently dropped
     corrupt = [r for r in parsed.collect() if r["is_corrupt"]]
     assert len(corrupt) == 1 and corrupt[0]["symbol"] is None
+
+
+def test_tws_plan_constructs_without_protobuf(spark):
+    """The transformWithStateInPandas RUNTIME needs google.protobuf
+    (absent here), but plan construction must stay dependency-free so
+    the gated path can't rot: build the streaming plan end-to-end and
+    assert its output schema — green in every environment."""
+    src = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr(
+            "'A' AS symbol", "timestamp AS ts", "cast(value AS double) AS close"
+        )
+    )
+    out = incremental_new_ticks_tws(src)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<symbol:string,ts:timestamp,close:double,n_new:bigint>"
+    )
 
 
 def test_incremental_new_ticks_transform_with_state(spark, tmp_path):

@@ -157,4 +157,4 @@ def test_ivf_semantic_dedup_recall(spark, sf_dir):
     assert truth, "fixture should contain near-dup pairs"
     assert got <= truth  # exact-verify step => no false positives
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.6, recall
+    assert recall >= 0.9, recall
