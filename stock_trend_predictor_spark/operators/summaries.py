@@ -253,27 +253,14 @@ def cms_estimate(cells: DataFrame, probes: DataFrame,
     )
 
 
-def _cms_read_meta(state_dir: str) -> dict | None:
-    import json
-    import os
-
-    path = os.path.join(state_dir, "META.json")
-    if not os.path.exists(path):
-        return None
-    with open(path) as fh:
-        return json.load(fh)
-
-
 def read_cms_state(spark, state_dir: str) -> DataFrame | None:
-    """Resolve the committed cells table through the META pointer.
+    """Resolve the committed cells table through the state-store META
+    pointer. Returns None when no state has been committed yet."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_state_table,
+    )
 
-    Returns None when no state has been committed yet."""
-    import os
-
-    meta = _cms_read_meta(state_dir)
-    if meta is None:
-        return None
-    return spark.read.parquet(os.path.join(state_dir, meta["cells"]))
+    return read_state_table(spark, state_dir, "cells")
 
 
 def update_cms_state(spark, batch: DataFrame, state_dir: str,
@@ -283,57 +270,22 @@ def update_cms_state(spark, batch: DataFrame, state_dir: str,
     however large the stream — the whole point of maintaining a sketch
     instead of an exact vocabulary rollup).
 
-    Replay-idempotent commit protocol (foreachBatch is at-least-once,
-    and the cell merge is additive, so a replayed batch must be a
-    no-op): the merged cells land in a fresh ``cells-{version}`` dir,
-    then ``META.json`` — recording that dir plus the last applied
-    ``batch_id`` — is swapped in atomically (tmp file + ``os.replace``).
-    A batch whose id is <= the committed one is skipped before any
-    write; a crash mid-write leaves META pointing at the previous
-    complete version. Single-writer by construction (one streaming
-    query owns the sink); on a shared object store the same protocol
-    would ride the connector writer's manifest commit instead.
+    The merge is additive, so replayed batches must be no-ops: state
+    rides operators/statestore.py's versioned-dir + atomic-META commit
+    protocol, which skips already-applied batch ids and never exposes
+    a partial write.
     """
-    import json
-    import os
-    import shutil
-
-    os.makedirs(state_dir, exist_ok=True)
-    meta = _cms_read_meta(state_dir)
-    if (
-        meta is not None
-        and batch_id is not None
-        and meta.get("last_batch_id") is not None
-        and batch_id <= meta["last_batch_id"]
-    ):
-        return  # replayed batch: already folded into the committed state
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+    )
 
     counts = batch.groupBy(F.col(token_col).alias("token")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     new = cms_cell_partials(counts)
-    if meta is not None:
-        prev = spark.read.parquet(os.path.join(state_dir, meta["cells"]))
-        merged = cms_merge(prev, new)
-        version = meta["version"] + 1
-    else:
-        merged = new
-        version = 0
-    cells_name = f"cells-{version:010d}"
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(state_dir, cells_name)
-    )
-    tmp = os.path.join(state_dir, "META.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "cells": cells_name,
-             "last_batch_id": batch_id},
-            fh,
-        )
-    os.replace(tmp, os.path.join(state_dir, "META.json"))  # atomic commit
-    for name in os.listdir(state_dir):  # GC superseded versions
-        if name.startswith("cells-") and name != cells_name:
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    prev = read_cms_state(spark, state_dir)
+    merged = new if prev is None else cms_merge(prev, new)
+    commit_state(state_dir, {"cells": merged}, batch_id=batch_id)
 
 
 def cms_sink(token_stream: DataFrame, state_dir: str, checkpoint: str,

@@ -316,5 +316,60 @@ GROUP BY symbol, bin
             ).alias("calibration_gap"),
         )
 
+    @register(
+        "pergroup_pickled_model_scoring",
+        # No oracle (rows-only by design): the point of this entry is
+        # the OPAQUE-estimator transport — pickled model blobs in a
+        # binary column, broadcast + batch-unpickled scoring — which by
+        # construction has no SQL-expressible equivalent (the
+        # closed-form sibling pergroup_model_scoring carries the
+        # oracle-exact form of the same harness). Laws are pytest-
+        # gated instead: tests/test_ml.py::test_pickled_blob_models_*
+        # checks >=100 keys, per-key prediction equality with a local
+        # numpy fit, and that only (key, n_rows, blob) leaves the fit
+        # task.
+        doc="Per-key ARBITRARY-estimator fit+score via pickled blobs "
+        "(ml/blobs.py): one estimator per customer over its order "
+        "history (o_totalprice ~ days(o_orderdate)), fitted in "
+        "groupBy(c).applyInPandas, pickled into a models DataFrame "
+        "(binary column), scored through broadcast + Arrow-batched "
+        "pandas UDF that unpickles once per distinct blob per batch. "
+        "sklearn's LinearRegression when installed; a numpy lstsq "
+        "estimator with the same surface otherwise. 1500 keys at "
+        "sf0.01 — the scale shape of thousands of per-entity models "
+        "with no driver-side loop or dict.",
+    )
+    def pergroup_pickled_model_scoring(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.ml.blobs import (
+            score_with_pickled_models,
+            train_pickled_models,
+        )
+        from stock_trend_predictor_spark.sources.tables import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("double")
+            .alias("order_day"),
+            "o_totalprice",
+        )
+        models = train_pickled_models(
+            orders, key="o_custkey", x_cols=["order_day"], y_col="o_totalprice"
+        )
+        return score_with_pickled_models(
+            orders, models, key="o_custkey", x_cols=["order_day"]
+        ).select(
+            "o_custkey",
+            "o_orderkey",
+            "n_rows",
+            F.round(F.col("predicted"), 6).alias("predicted"),
+            F.round(F.col("o_totalprice") - F.col("predicted"), 6).alias(
+                "residual"
+            ),
+        )
+
 
 _register()

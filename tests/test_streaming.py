@@ -816,3 +816,87 @@ def test_dedup_within_watermark_collapses_jittered_replays(
     )
     assert got == [("AAPL", 10.0), ("AAPL", 11.0), ("MSFT", 10.0)]
     spark.catalog.dropTempView("fuzzy_dedup")
+
+
+def test_minhash_admission_stream_equals_batch(spark, tmp_path):
+    """Streaming near-dup admission (foreachBatch over 3 file-batches)
+    must produce EXACTLY the keeper set of sequentially applying the
+    batch update over the same splits — the stream==batch parity law.
+    Also: an exact duplicate of an admitted doc is never admitted."""
+    from stock_trend_predictor_spark.sources.tables import load_table
+    from stock_trend_predictor_spark.streaming.admission import (
+        minhash_admission_sink,
+        read_admitted,
+        update_admission_state,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # three deterministic batches by doc_id band
+    splits = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    # stream side: one parquet file per batch, maxFilesPerTrigger=1
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    files = []
+    for i in range(3):
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))  # arrival order
+        files.append(dst)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state_stream = str(tmp_path / "state_stream")
+    q = minhash_admission_sink(
+        stream, state_stream, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    # batch side: sequential application over the same splits
+    state_batch = str(tmp_path / "state_batch")
+    for i, part in enumerate(splits):
+        update_admission_state(spark, part, state_batch, batch_id=i)
+
+    got_stream = {
+        r["doc_id"] for r in read_admitted(spark, state_stream).collect()
+    }
+    got_batch = {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+    assert got_stream == got_batch
+    assert got_stream, "some docs must be admitted"
+
+    # law: replaying the last batch changes nothing (idempotence)
+    update_admission_state(spark, splits[2], state_batch, batch_id=2)
+    assert got_batch == {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+
+    # law: an exact duplicate of an admitted doc is rejected
+    admitted_one = sorted(got_batch)[0]
+    dup = (
+        docs.where(F.col("doc_id") == admitted_one)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    update_admission_state(spark, dup, state_batch, batch_id=3)
+    after = {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+    assert admitted_one + 1_000_000 not in after
