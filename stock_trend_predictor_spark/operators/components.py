@@ -119,6 +119,7 @@ def pagerank(
     dst: str = "dst",
     d: float = 0.85,
     iters: int = 6,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list, with
     dangling-mass redistribution. Returns (node, od, rank).
@@ -140,6 +141,16 @@ def pagerank(
     fixed expression order, so a SQL engine running the identically
     unrolled iterations reproduces it to the last ~ulp
     (oracle-checked in plans/graph_queries.py after stable rounding).
+
+    ``broadcast_ranks=True`` hints both per-iteration joins to
+    broadcast the rank table (checkpointed DataFrames report no stats,
+    so AQE never auto-broadcasts them): the edge list is then NEVER
+    shuffled — per iteration the only exchange is the per-dst partial
+    aggregate (#nodes rows). Correct plan whenever the node set fits
+    an executor (ranks are 3 columns/node); leave False for
+    web-scale node counts, where the co-partitioned shuffle join is
+    the right shape. Results are identical either way (join strategy
+    does not change the aggregation's value).
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -159,9 +170,10 @@ def pagerank(
     )
     n = base.count()
     ranks = base.withColumn("r", F.lit(1.0) / F.lit(n))
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(hint(ranks), e["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
         )
@@ -171,7 +183,7 @@ def pagerank(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            base.join(contrib, "node", "left")
+            base.join(hint(contrib), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",

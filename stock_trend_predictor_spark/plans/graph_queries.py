@@ -100,7 +100,9 @@ def _register():
                 "dst"
             ),
         ).distinct()
-        ranks = pagerank(e, d=PR_D, iters=PR_ITERS)
+        # part+supplier node set is catalog-sized (fits any executor),
+        # so broadcast the rank table: the edge list never shuffles.
+        ranks = pagerank(e, d=PR_D, iters=PR_ITERS, broadcast_ranks=True)
         return ranks.select(
             "node", "od", stable_round(F.col("r"), 9).alias("rank")
         )
