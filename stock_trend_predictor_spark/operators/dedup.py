@@ -149,17 +149,20 @@ def lsh_candidate_pairs(
     Bucket pair expansion is quadratic per bucket by nature of LSH,
     so a giant near-dup cluster (boilerplate pages in a web corpus)
     would put one bucket's entire O(n²) expansion — and its
-    collect_list array — in a single task. Mega-buckets (> bucket_cap
-    members) are therefore routed through the triangle decomposition
-    (operators/skew.py::pair_parallel_self_join) instead: their pair
-    enumeration spreads over n_splits(n_splits+1)/2 tasks per bucket
-    and no task ever materializes a whole bucket. Pair output is
-    identical either way (law tested in
+    collect_list array — in a single task. Every bucket therefore
+    routes through ONE triangle-decomposition path: rows hash into _k
+    sub-splits (_k = 1 for ordinary buckets, n_splits for mega-buckets
+    over bucket_cap), each row replicates to the _k cells (i, j) that
+    contain its split, and pair enumeration runs per cell — a
+    mega-bucket's O(n²) expansion spreads over n_splits(n_splits+1)/2
+    tasks and no task ever materializes a whole mega-bucket. Small
+    buckets are the degenerate _k=1 single-cell case, so the capped
+    path is the SAME linear plan (no branch, no union, no self-join)
+    and costs zero extra stages. Pair output is identical at any cap
+    (law tested in
     tests/test_dedup.py::test_lsh_mega_bucket_cap_same_pairs).
     """
-    from stock_trend_predictor_spark.operators.skew import (
-        pair_parallel_self_join,
-    )
+    from pyspark.sql import Window
 
     sigs = docs.select(F.col(id_col), minhash_signature("hs").alias("sig"))
     bands = sigs.select(
@@ -175,33 +178,62 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_id", "band.bkey")
     # Bucket sizes via a window count over ONE shuffle of bands: the
     # expensive part (minhash signatures) sits below that exchange and
-    # is computed once — Spark's ReuseExchange dedups the shuffle for
-    # both the small and mega branches. collect_list then runs ONLY on
-    # <= bucket_cap buckets: the giant array of a mega-bucket is never
-    # built anywhere (collect_list on an uncapped bucket is itself the
-    # OOM being defended against, so splitting after the fact would be
-    # too late).
-    from pyspark.sql import Window
-
+    # is computed once. Only buckets with >= 2 members survive; a
+    # mega-bucket's rows fan out n_splits-wide BEFORE the cell shuffle,
+    # so the collect_list arrays per cell are <= 2·n/_k members and the
+    # giant whole-bucket array is never built anywhere.
     sized = bands.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "bkey"))
+    ).where(F.col("_n") > 1)
+    cells = (
+        sized.withColumn(
+            "_k",
+            F.when(F.col("_n") <= bucket_cap, F.lit(1)).otherwise(
+                F.lit(n_splits)
+            ),
+        )
+        .withColumn(
+            "_s", F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")).cast("int")
+        )
+        .select(
+            "band_id",
+            "bkey",
+            id_col,
+            "_s",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, _k - 1), t -> if(t <= _s, "
+                    "named_struct('i', t, 'j', _s), "
+                    "named_struct('i', _s, 'j', t)))"
+                )
+            ).alias("_cell"),
+        )
     )
-    small_pairs = (
-        sized.where((F.col("_n") > 1) & (F.col("_n") <= bucket_cap))
-        .groupBy("band_id", "bkey")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
+    grouped = cells.groupBy("band_id", "bkey", "_cell").agg(
+        F.collect_list(
+            F.when(F.col("_s") == F.col("_cell.i"), F.col(id_col))
+        ).alias("la"),
+        F.collect_list(
+            F.when(F.col("_s") == F.col("_cell.j"), F.col(id_col))
+        ).alias("lb"),
     )
-    mega_rows = sized.where(F.col("_n") > bucket_cap).drop("_n")
-    mega_pairs = pair_parallel_self_join(
-        mega_rows, block=["band_id", "bkey"], id_col=id_col, n_splits=n_splits
-    ).select(
-        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
-        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+    # Diagonal cells (i == j) hold one list twice: order pairs by id to
+    # emit each once. Off-diagonal cells cross two disjoint lists:
+    # least/greatest orients the pair (ids differ — different splits).
+    return (
+        grouped.select(
+            (F.col("_cell.i") == F.col("_cell.j")).alias("_diag"),
+            F.explode("la").alias("_a"),
+            "lb",
+        )
+        .select("_diag", "_a", F.explode("lb").alias("_b"))
+        .where((~F.col("_diag")) | (F.col("_a") < F.col("_b")))
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+        )
+        .distinct()
     )
-    return small_pairs.unionByName(mega_pairs).distinct()
 
 
 def jaccard_of_hash_arrays(a: Column | str, b: Column | str) -> Column:
