@@ -316,11 +316,11 @@ WHERE n_contaminated > 0
     @register(
         "dedup_minhash_lsh",
         oracle=f"""
-WITH shingled AS (
+WITH shingled AS MATERIALIZED (
     SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
 ), sigs AS (
     SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
-), banded AS (
+), banded AS MATERIALIZED (
     SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
 ), bands AS (
     {band_union_sql}

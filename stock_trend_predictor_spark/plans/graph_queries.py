@@ -34,7 +34,7 @@ PR_ITERS = 6
 def _pagerank_oracle(iters: int) -> str:
     parts = [
         """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
                     's' || CAST(l_suppkey AS VARCHAR) AS dst
     FROM lineitem
@@ -42,12 +42,12 @@ WITH e AS (
     SELECT src AS node FROM e UNION SELECT dst FROM e
 ), odeg AS (
     SELECT src AS node, count(*) AS od FROM e GROUP BY src
-), base AS (
+), base AS MATERIALIZED (
     SELECT n.node, coalesce(o.od, 0) AS od
     FROM nodes n LEFT JOIN odeg o ON n.node = o.node
-), cnt AS (
+), cnt AS MATERIALIZED (
     SELECT count(*) AS n FROM base
-), r0 AS (
+), r0 AS MATERIALIZED (
     SELECT node, od, CAST(1.0 AS DOUBLE) / cnt.n AS r
     FROM base CROSS JOIN cnt
 )"""
@@ -59,7 +59,7 @@ WITH e AS (
 ), d{k} AS (
     SELECT coalesce(sum(r), CAST(0.0 AS DOUBLE)) AS dm
     FROM r{k} WHERE od = 0
-), r{k + 1} AS (
+), r{k + 1} AS MATERIALIZED (
     SELECT b.node, b.od,
            (CAST(1.0 AS DOUBLE) - {PR_D}) / cnt.n
            + {PR_D} * (coalesce(c.c, CAST(0.0 AS DOUBLE))

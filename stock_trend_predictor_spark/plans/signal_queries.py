@@ -875,5 +875,147 @@ GROUP BY user_id, run_id
             F.max("ts").alias("end_ts"),
         )
 
+    # ------------------------------------------------------------------
+    # Stock-domain technical indicators (round-3 surface)
+    # ------------------------------------------------------------------
+    from stock_trend_predictor_spark.sources.tables import (
+        TICKS_ORACLE_CTE,
+        ticks,
+    )
+
+    @register(
+        "rsi_cutler_14",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE},
+deltas AS (
+    SELECT symbol, ts, tick_id, close, close - open AS delta
+    FROM ticks WHERE open IS NOT NULL
+), win AS (
+    SELECT symbol, ts, tick_id, close,
+           CAST(SUM(CAST(greatest(delta, 0) AS DECIMAL(27,6))) OVER w
+                AS DOUBLE) AS sg,
+           CAST(SUM(CAST(greatest(-delta, 0) AS DECIMAL(27,6))) OVER w
+                AS DOUBLE) AS sl,
+           COUNT(*) OVER w AS cnt
+    FROM deltas
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, tick_id, close,
+       CASE WHEN cnt = 14 THEN
+           CASE WHEN sl = 0 THEN 100.0
+                ELSE {stable_round_sql('100 - 100 / (1 + sg / sl)', 6)} END
+       END AS rsi14
+FROM win
+""",
+        doc="Cutler's RSI(14) per symbol: simple-moving-average gains "
+        "vs losses over the last 14 deltas (the SMA variant is chosen "
+        "over Wilder's recursive smoothing because it is expressible "
+        "as ONE window aggregate — scalable and oracle-exact; the "
+        "recursive form is not a window aggregate). Decimal-summed "
+        "gains/losses make the ratio bit-deterministic; rows before a "
+        "full 14-delta window yield NULL, loss-free streaks pin to "
+        "100. One shuffle on symbol, shared by both window sums.",
+    )
+    def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        delta = F.col("close") - F.col("open")
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(-13, 0)
+        )
+        sg = (
+            F.sum(F.greatest(delta, F.lit(0.0)).cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+        )
+        sl = (
+            F.sum(F.greatest(-delta, F.lit(0.0)).cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+        )
+        cnt = F.count(F.lit(1)).over(w)
+        rsi = F.when(
+            cnt == 14,
+            F.when(sl == 0.0, F.lit(100.0)).otherwise(
+                stable_round(100.0 - 100.0 / (1.0 + sg / sl), 6)
+            ),
+        )
+        return t.select("symbol", "ts", "tick_id", "close", rsi.alias("rsi14"))
+
+    @register(
+        "bollinger_bands_20",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE},
+win AS (
+    SELECT symbol, ts, tick_id, close,
+           CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(CAST(close * close AS DECIMAL(27,6))) OVER w
+                AS DOUBLE) AS sxx,
+           COUNT(*) OVER w AS cnt
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+    SELECT symbol, ts, tick_id, close, cnt,
+           sx / cnt AS sma,
+           sqrt(greatest((sxx - sx * sx / cnt) / (cnt - 1), 0)) AS sd
+    FROM win
+)
+SELECT symbol, ts, tick_id, close,
+       CASE WHEN cnt = 20 THEN {stable_round_sql('sma', 6)} END AS sma20,
+       CASE WHEN cnt = 20 THEN {stable_round_sql('sma + 2 * sd', 6)} END
+         AS upper_band,
+       CASE WHEN cnt = 20 THEN {stable_round_sql('sma - 2 * sd', 6)} END
+         AS lower_band,
+       CASE WHEN cnt = 20 AND sd > 0
+            THEN {stable_round_sql('(close - (sma - 2 * sd)) / (4 * sd)', 6)}
+       END AS pct_b
+FROM bands
+""",
+        doc="Bollinger bands (20, 2σ) per symbol: rolling mean ± 2 "
+        "sample standard deviations and the %B position of the close "
+        "inside the band. Variance from decimal-exact sufficient sums "
+        "(Σx, Σx²) — never the engines' streaming stddev kernels, "
+        "whose accumulation order is partition-dependent — so the "
+        "bands are bit-identical cross-engine. Both window sums and "
+        "the count share one symbol shuffle.",
+    )
+    def bollinger_bands_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(-19, 0)
+        )
+        sx = F.sum(F.col("close").cast(DECIMAL_T)).over(w).cast("double")
+        sxx = (
+            F.sum((F.col("close") * F.col("close")).cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+        )
+        cnt = F.count(F.lit(1)).over(w)
+        sma = sx / cnt
+        sd = F.sqrt(
+            F.greatest(
+                (sxx - sx * sx / cnt) / (cnt - 1), F.lit(0.0)
+            )
+        )
+        full = cnt == 20
+        return t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            F.when(full, stable_round(sma, 6)).alias("sma20"),
+            F.when(full, stable_round(sma + 2 * sd, 6)).alias("upper_band"),
+            F.when(full, stable_round(sma - 2 * sd, 6)).alias("lower_band"),
+            F.when(
+                full & (sd > 0),
+                stable_round((F.col("close") - (sma - 2 * sd)) / (4 * sd), 6),
+            ).alias("pct_b"),
+        )
+
 
 _register()

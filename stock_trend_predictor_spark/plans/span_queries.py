@@ -1,0 +1,292 @@
+"""Exact repeated-span dedup over the documents table (round-3 surface).
+
+The classic "deduplicating training data" substring pass (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better"): any
+token span of length >= K that occurs more than once in the corpus is
+duplicated text; overlapping/adjacent duplicated K-grams merge into
+maximal spans per document. Where the reference's dedup story stops at
+whole-rows (Mongo upserts keyed by timestamp,
+ml_model/predict_from_vm4.py:52-57), an LLM-corpus pipeline needs the
+sub-document version — these queries add it Spark-first.
+
+Plan shape (all Catalyst expressions + windows, no Python):
+
+1. gram expansion  — transform(sequence(...)) over the token array,
+   exploded to (doc_id, pos, gram_hash) rows: linear, no self-join.
+2. global dup test — one window count partitioned by the 60-bit gram
+   hash: only 8-byte hashes shuffle, never gram text.
+3. span merge      — gaps-and-islands per doc_id (lag + running sum),
+   then groupBy island for maximal [start, end] spans.
+
+At 100 TB the gram-hash shuffle dominates and is the same volume as
+any shingle pipeline (docs x positions x 8-byte keys); everything else
+is per-doc-partition window work. Skew note: a gram repeated millions
+of times (boilerplate) lands one window partition with millions of
+*rows of two small columns* — count-only, no collect_list, so the
+partition streams; the island merge re-shuffles by doc_id which is
+near-uniform.
+
+MinHash containment (minhash_containment_pairs) complements Jaccard
+LSH dedup: containment |A∩B| / min(|A|,|B|) catches doc-inside-doc
+(a page embedded in a larger crawl record) that symmetric Jaccard
+misses at ~0.5 thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.operators import dedup as D
+from stock_trend_predictor_spark.sources.tables import load_table
+
+#: Span gram width: spans of >= K_SPAN tokens repeated anywhere in the
+#: corpus count as duplicated text (Lee et al. use 50 BPE tokens; the
+#: synthetic docs average ~54 words, so 8 keeps the op meaningful).
+K_SPAN = 8
+
+
+def dup_gram_positions(
+    docs: DataFrame, text_col: str = "text", k: int = K_SPAN
+) -> DataFrame:
+    """(doc_id, pos) of every k-token gram that occurs >= 2 times
+    corpus-wide. Gram identity is the md5-based 60-bit hash of the
+    space-joined token slice — reproducible in DuckDB, and only the
+    8-byte hash crosses the exchange."""
+    grams = (
+        docs.withColumn("_toks", F.split(text_col, " "))
+        .where(F.size("_toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {k}), i -> "
+                    f"named_struct('pos', cast(i as bigint), "
+                    f"'h', cast(conv(substr(md5(concat_ws(' ', "
+                    f"slice(_toks, i + 1, {k}))), 1, 15), 16, 10) "
+                    f"as bigint)))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.h")
+    )
+    dup = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).where(F.col("_c") >= 2)
+    return dup.select("doc_id", "pos")
+
+
+def merge_spans(dup_pos: DataFrame, k: int = K_SPAN) -> DataFrame:
+    """Maximal duplicated spans per doc: overlapping or adjacent gram
+    intervals [pos, pos+k-1] merge (gaps-and-islands: a new island
+    starts when the position gap exceeds k)."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(wd) > k, 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+#: Shared oracle CTE chain ending in spans(doc_id, span_start,
+#: span_end, span_tokens) — the DuckDB mirror of
+#: dup_gram_positions |> merge_spans at k = K_SPAN.
+_SPAN_ORACLE_CTE = f"""
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest([{{'pos': CAST(i AS BIGINT),
+                     'h': CAST(('0x' || substr(md5(array_to_string(
+                              t[i + 1 : i + {K_SPAN}], ' ')), 1, 15))
+                           AS BIGINT)}}
+                   FOR i IN range(len(t) - {K_SPAN - 1})]) AS g
+    FROM toks WHERE len(t) >= {K_SPAN}
+), pos_h AS (
+    SELECT doc_id, g.pos AS pos, g.h AS h FROM grams
+), dup AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM pos_h
+    ) WHERE c >= 2
+), gaps AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > {K_SPAN} THEN 1 ELSE 0 END AS brk
+    FROM dup
+), isl AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS isl
+    FROM gaps
+), spans AS (
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {K_SPAN - 1} AS span_end,
+           MAX(pos) + {K_SPAN - 1} - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, isl
+)
+"""
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "dup_span_detection",
+        oracle=f"""
+WITH {_SPAN_ORACLE_CTE}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+""",
+        doc="Exact repeated-substring dedup (Lee et al. 2022): maximal "
+        f"token spans whose every {K_SPAN}-gram occurs >= 2 times "
+        "corpus-wide. Gram-hash window count (8-byte shuffle keys) + "
+        "gaps-and-islands merge per doc — linear, no self-join, no "
+        "Python.",
+    )
+    def dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return merge_spans(dup_gram_positions(docs))
+
+    @register(
+        "dup_span_doc_fraction",
+        oracle=f"""
+WITH {_SPAN_ORACLE_CTE},
+per_doc AS (
+    SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       {stable_round_sql(
+           'CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)'
+           " / len(string_split(d.text, ' '))", 6)} AS dup_fraction
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+        doc="Per-document duplicated-token budget from the span pass: "
+        "how much of each doc is corpus-duplicated text (the keep/trim"
+        "/drop signal for substring-level dedup). Every doc appears, "
+        "zero-filled via left join.",
+    )
+    def dup_span_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        per_doc = (
+            merge_spans(dup_gram_positions(docs))
+            .groupBy("doc_id")
+            .agg(F.sum("span_tokens").alias("dup_tokens"))
+        )
+        return (
+            docs.select(
+                "doc_id",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            )
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias(
+                    "dup_tokens"
+                ),
+                stable_round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ).alias("dup_fraction"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # MinHash containment: doc-inside-doc near-dup on LSH candidates
+    # ------------------------------------------------------------------
+    sig_sql = D.minhash_signature_sql("hs")
+    sig_list = ", ".join(sig_sql)
+    band_keys_sql = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            f"CAST(sig[{m * D.BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(D.BAND_ROWS)
+        )
+        + f") AS bkey{m}"
+        for m in range(D.N_BANDS)
+    )
+    band_union_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {m} AS band_id, bkey{m} AS bkey FROM banded"
+        for m in range(D.N_BANDS)
+    )
+    _CONT = (
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / least(len(a.hs), len(b.hs))"
+    )
+
+    @register(
+        "minhash_containment_pairs",
+        oracle=f"""
+WITH shingled AS MATERIALIZED (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
+), sigs AS (
+    SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
+), banded AS MATERIALIZED (
+    SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
+), bands AS (
+    {band_union_sql}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, {stable_round_sql(_CONT, 6)} AS containment
+FROM cand
+JOIN shingled a ON a.doc_id = doc_a
+JOIN shingled b ON b.doc_id = doc_b
+WHERE {_CONT} >= 0.7
+""",
+        doc="Containment near-dup: |A∩B| / min(|A|,|B|) over shingle "
+        "sets of LSH candidate pairs — catches a document embedded "
+        "inside a larger one, which symmetric Jaccard under-scores. "
+        "Same linear banded candidate generation as dedup_minhash_lsh "
+        "(shared signature pass, 8-byte band-key shuffles).",
+    )
+    def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+
+        docs = materialize_once(
+            D.with_shingle_hashes(
+                load_table(spark, sf_dir, "documents").repartition(
+                    spark.sparkContext.defaultParallelism, "doc_id"
+                )
+            ).select("doc_id", "hs")
+        )
+        cand = D.lsh_candidate_pairs(docs)
+        a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+        b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+        cont = F.size(F.array_intersect("hs_a", "hs_b")).cast(
+            "double"
+        ) / F.least(F.size("hs_a"), F.size("hs_b"))
+        return (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(cont >= 0.7)
+            .select("doc_a", "doc_b", stable_round(cont, 6).alias("containment"))
+        )
+
+
+_register()

@@ -714,5 +714,50 @@ GROUP BY doc_id
             ).alias("oov_rate"),
         )
 
+    @register(
+        "bpe_pair_merge_candidates",
+        oracle="""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+), pairs AS (
+    SELECT unnest([{'l': t[i], 'r': t[i + 1]} FOR i IN range(1, len(t))]) AS p
+    FROM toks WHERE len(t) >= 2
+)
+SELECT p.l AS left_tok, p.r AS right_tok, count(*) AS pair_count
+FROM pairs
+GROUP BY left_tok, right_tok
+ORDER BY pair_count DESC, left_tok, right_tok
+LIMIT 50
+""",
+        doc="BPE merge-step statistics: corpus-wide adjacent-pair "
+        "frequencies, top-50 by count — the exact computation one "
+        "round of byte-pair-encoding tokenizer training performs. "
+        "Pair expansion is a transform over the bound token array (no "
+        "re-tokenization per pair), the count is map-side combinable, "
+        "and the top-50 is TakeOrderedAndProject with a total "
+        "(count DESC, pair) order so the cutoff is deterministic.",
+    )
+    def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split("text", " ")
+        )
+        pairs = docs.where(F.size("_toks") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1), i -> "
+                    "named_struct('l', element_at(_toks, i), "
+                    "'r', element_at(_toks, i + 1)))"
+                )
+            ).alias("p")
+        )
+        return (
+            pairs.groupBy(
+                F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+            )
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+            .limit(50)
+        )
+
 
 _register()
