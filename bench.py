@@ -52,6 +52,7 @@ HEADLINE = [
     "heavy_hitters_tokens",      # Misra-Gries summary + re-count
     "bm25_doc_search",           # inverted-index scoring join
     "sketch_countmin_tokens",    # CMS cells + probe estimates
+    "dup_span_detection",        # repeated-span dedup (gram window + islands)
 ]
 
 

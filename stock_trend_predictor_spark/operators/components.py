@@ -225,6 +225,15 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
     (undirected open wedges), n_triangles, transitivity
     (= 3*T / wedges, the global clustering coefficient).
     """
+    from stock_trend_predictor_spark.sources.tables import materialize_once
+
+    # The edge list is consumed four times (both degree unions, the
+    # orientation join, the edge count) and is usually itself derived
+    # from an expensive join — compute it once. Same for the oriented
+    # list, which feeds both wedge sides and the closing join. This is
+    # the standard MR triangle-counting shape: materialize the oriented
+    # edges, then join; blocks are edge-sized, freed with the result.
+    edges = materialize_once(edges)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -241,10 +250,12 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = with_deg.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    oriented = materialize_once(
+        with_deg.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        )
     )
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv")

@@ -641,9 +641,18 @@ WITH hourly AS (
            count(*) OVER w AS n,
            CAST(sum(x) OVER w AS DECIMAL(38,6)) AS sx,
            CAST(sum(y) OVER w AS DECIMAL(38,6)) AS sy,
-           CAST(sum(x * y) OVER w AS DECIMAL(38,12)) AS sxy,
-           CAST(sum(x * x) OVER w AS DECIMAL(38,12)) AS sx2,
-           CAST(sum(y * y) OVER w AS DECIMAL(38,12)) AS sy2
+           -- operands widened to DECIMAL(19,6): DuckDB multiplies
+           -- DECIMAL(<=18) pairs in int64 with the result width capped
+           -- at 18, which overflows once the hourly sums pass ~1e3
+           -- (scaled products > 1e18); width 19 forces the int128 path
+           -- and the DECIMAL(38,12) product is exact. Spark multiplies
+           -- DECIMAL(15,6) to DECIMAL(31,12) natively — both exact.
+           CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                OVER w AS DECIMAL(38,12)) AS sxy,
+           CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                OVER w AS DECIMAL(38,12)) AS sx2,
+           CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                OVER w AS DECIMAL(38,12)) AS sy2
     FROM paired
     WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )

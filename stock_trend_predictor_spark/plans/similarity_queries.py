@@ -263,9 +263,14 @@ WITH dims AS (
     GROUP BY label, dim
 ), pairs AS (
     SELECT a.label AS label_a, b.label AS label_b,
-           CAST(sum(a.s * b.s) AS DECIMAL(38,12)) AS dot,
-           CAST(sum(a.s * a.s) AS DECIMAL(38,12)) AS na2,
-           CAST(sum(b.s * b.s) AS DECIMAL(38,12)) AS nb2
+           -- DECIMAL(19,6) operand casts force DuckDB's int128
+           -- multiply path (see rolling_pair_correlation note)
+           CAST(sum(CAST(a.s AS DECIMAL(19,6)) * CAST(b.s AS DECIMAL(19,6)))
+                AS DECIMAL(38,12)) AS dot,
+           CAST(sum(CAST(a.s AS DECIMAL(19,6)) * CAST(a.s AS DECIMAL(19,6)))
+                AS DECIMAL(38,12)) AS na2,
+           CAST(sum(CAST(b.s AS DECIMAL(19,6)) * CAST(b.s AS DECIMAL(19,6)))
+                AS DECIMAL(38,12)) AS nb2
     FROM s a
     JOIN s b ON a.dim = b.dim AND a.label < b.label
     GROUP BY a.label, b.label

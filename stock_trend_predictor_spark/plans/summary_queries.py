@@ -29,7 +29,10 @@ from stock_trend_predictor_spark.operators.summaries import (
     covariance_long,
     heavy_hitters_exact,
 )
-from stock_trend_predictor_spark.sources.tables import load_table
+from stock_trend_predictor_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
 
 HH_FRAC = 0.02  # heavy-hitter threshold: >= 2% of all token occurrences
 BM25_TERMS = ("spark", "window", "hash", "dup")
@@ -137,13 +140,18 @@ LIMIT 20
             # treated by F.filter as the (element, index) form.
             return lambda x: x == F.lit(term)
 
-        per_doc = docs.select(
-            "doc_id",
-            F.size("_toks").alias("dl"),
-            *[
-                F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"tf_{t}")
-                for t in BM25_TERMS
-            ],
+        # materialize_once: per_doc feeds BOTH the corpus-stats agg and
+        # the scoring crossJoin side — without sharing, the tokenize +
+        # per-term TF pass (the dominant cost) runs twice.
+        per_doc = materialize_once(
+            docs.select(
+                "doc_id",
+                F.size("_toks").alias("dl"),
+                *[
+                    F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"tf_{t}")
+                    for t in BM25_TERMS
+                ],
+            )
         )
         stats = per_doc.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -321,7 +329,10 @@ GROUP BY p.token, p.cnt
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        vocab = (
+        # materialize_once: vocab feeds the cell fold, the probe top-20,
+        # and the exact-count join — sharing avoids three full token
+        # explode+aggregate passes.
+        vocab = materialize_once(
             docs.select(F.explode(F.split("text", " ")).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
