@@ -75,3 +75,140 @@ def test_asof_forward_tolerance_still_nulls_past_horizon(spark):
     }
     assert out["A"] == (_ts(3), 1.0)
     assert out["B"] == (None, None)  # match exists but beyond horizon
+
+
+# ---------------------------------------------------------------------
+# Round-3 query laws: span dedup, containment, indicators
+# ---------------------------------------------------------------------
+
+
+def test_dup_span_merges_overlaps_and_respects_min_width(spark):
+    """Two docs sharing one long passage -> each gets ONE maximal span
+    (overlapping 8-grams merged), span_tokens >= 8 always, and a doc
+    with no repeated 8-gram yields no span."""
+    from stock_trend_predictor_spark.operators.dedup import (  # noqa: F401
+        with_shingle_hashes,
+    )
+    from stock_trend_predictor_spark.plans.span_queries import (
+        K_SPAN,
+        dup_gram_positions,
+        merge_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(20))  # 20-token passage
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc dd"),
+            (2, shared + " zz yy xx ww vv uu"),
+            (3, " ".join(f"solo{i}" for i in range(30))),
+        ],
+        "doc_id int, text string",
+    )
+    spans = merge_spans(dup_gram_positions(docs)).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}          # doc 3 has no duplicated gram
+    assert all(len(v) == 1 for v in by_doc.values())  # merged, maximal
+    for r in spans:
+        assert r.span_tokens >= K_SPAN
+        assert r.span_tokens == r.span_end - r.span_start + 1
+    # doc 1: passage occupies token positions 2..21 -> span [2, 21]
+    (s1,) = by_doc[1]
+    assert (s1.span_start, s1.span_end) == (2, 21)
+    # doc 2: passage at positions 0..19
+    (s2,) = by_doc[2]
+    assert (s2.span_start, s2.span_end) == (0, 19)
+
+
+def test_dup_span_fraction_covers_all_docs_and_bounds(spark, sf_dir):
+    """Every document appears exactly once; dup_fraction in [0, 1];
+    zero-span docs report 0."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["dup_span_doc_fraction"].fn(spark, sf_dir).collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for r in rows:
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.dup_tokens <= r.n_tokens
+        if r.dup_tokens == 0:
+            assert r.dup_fraction == 0.0
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark, sf_dir):
+    """For every candidate pair both queries emit, containment >=
+    jaccard (|A∩B|/min >= |A∩B|/|A∪B| always)."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in REGISTRY["minhash_containment_pairs"].fn(spark, sf_dir).collect()
+    }
+    shared = set(jac) & set(cont)
+    assert shared  # the near-identical cluster passes both thresholds
+    for p in shared:
+        assert cont[p] >= jac[p] - 1e-9
+
+
+def test_rsi_bounds_and_window_gate(spark, sf_dir):
+    """RSI in [0, 100] wherever defined; NULL until a full 14-delta
+    window exists (first 14 rows of every symbol: 1 lost to the delta
+    + 13 building the frame)."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    df = REGISTRY["rsi_cutler_14"].fn(spark, sf_dir)
+    rows = df.collect()
+    defined = [r for r in rows if r.rsi14 is not None]
+    assert defined
+    assert all(0.0 <= r.rsi14 <= 100.0 for r in defined)
+    # per symbol: exactly 13 leading NULL rows (delta rows before a
+    # full window), none after
+    from collections import defaultdict
+
+    by_sym = defaultdict(list)
+    for r in rows:
+        by_sym[r.symbol].append(r)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        nulls = [i for i, r in enumerate(rs) if r.rsi14 is None]
+        assert nulls == list(range(min(13, len(rs)))), sym
+
+
+def test_bollinger_band_ordering_and_pct_b(spark, sf_dir):
+    """upper >= sma >= lower wherever defined; pct_b == 0.5 exactly
+    when close == sma is not required, but close inside the band
+    implies 0 <= pct_b <= 1."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["bollinger_bands_20"].fn(spark, sf_dir).collect()
+    defined = [r for r in rows if r.sma20 is not None]
+    assert defined
+    for r in defined:
+        assert r.upper_band >= r.sma20 >= r.lower_band
+        if r.pct_b is not None and r.lower_band <= r.close <= r.upper_band:
+            assert -1e-9 <= r.pct_b <= 1.0 + 1e-9
+
+
+def test_bpe_pairs_counts_match_bruteforce(spark, sf_dir):
+    """Top-50 adjacent-pair counts == a python brute force over the
+    same documents."""
+    from collections import Counter
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    c = Counter()
+    for d in docs:
+        t = d.text.split(" ")
+        for i in range(len(t) - 1):
+            c[(t[i], t[i + 1])] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        ((r.left_tok, r.right_tok), r.pair_count)
+        for r in REGISTRY["bpe_pair_merge_candidates"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
