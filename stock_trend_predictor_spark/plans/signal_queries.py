@@ -934,19 +934,26 @@ FROM win
             .orderBy("ts", "tick_id")
             .rowsBetween(-13, 0)
         )
-        sg = (
-            F.sum(F.greatest(delta, F.lit(0.0)).cast(DECIMAL_T))
-            .over(w)
-            .cast("double")
+        # Bind each window aggregate to a REAL column before deriving
+        # the indicator: Catalyst does not CSE structurally-identical
+        # window expressions, so reusing the Column object inline plans
+        # one sliding aggregate per reference (measured 37 window
+        # columns instead of 3 in the Bollinger twin). One withColumns
+        # projection = one Window operator with exactly 3 aggregates.
+        t = t.withColumns(
+            {
+                "_sg": F.sum(F.greatest(delta, F.lit(0.0)).cast(DECIMAL_T))
+                .over(w)
+                .cast("double"),
+                "_sl": F.sum(F.greatest(-delta, F.lit(0.0)).cast(DECIMAL_T))
+                .over(w)
+                .cast("double"),
+                "_cnt": F.count(F.lit(1)).over(w),
+            }
         )
-        sl = (
-            F.sum(F.greatest(-delta, F.lit(0.0)).cast(DECIMAL_T))
-            .over(w)
-            .cast("double")
-        )
-        cnt = F.count(F.lit(1)).over(w)
+        sg, sl = F.col("_sg"), F.col("_sl")
         rsi = F.when(
-            cnt == 14,
+            F.col("_cnt") == 14,
             F.when(sl == 0.0, F.lit(100.0)).otherwise(
                 stable_round(100.0 - 100.0 / (1.0 + sg / sl), 6)
             ),
@@ -998,19 +1005,41 @@ FROM bands
             .orderBy("ts", "tick_id")
             .rowsBetween(-19, 0)
         )
-        sx = F.sum(F.col("close").cast(DECIMAL_T)).over(w).cast("double")
-        sxx = (
-            F.sum((F.col("close") * F.col("close")).cast(DECIMAL_T))
-            .over(w)
-            .cast("double")
+        # Window aggregates bound ONCE (see rsi_cutler_14 note: no CSE
+        # across window expressions — inline reuse planned 37 sliding
+        # aggregates, 3.2s at sf0.1; bound columns plan 3, 0.5s).
+        t = t.withColumns(
+            {
+                "_sx": F.sum(F.col("close").cast(DECIMAL_T))
+                .over(w)
+                .cast("double"),
+                "_sxx": F.sum(
+                    (F.col("close") * F.col("close")).cast(DECIMAL_T)
+                )
+                .over(w)
+                .cast("double"),
+                "_cnt": F.count(F.lit(1)).over(w),
+            }
         )
-        cnt = F.count(F.lit(1)).over(w)
-        sma = sx / cnt
-        sd = F.sqrt(
-            F.greatest(
-                (sxx - sx * sx / cnt) / (cnt - 1), F.lit(0.0)
-            )
+        # Derived terms likewise bound before fan-out into four outputs.
+        # greatest(cnt-1, 1): bound columns evaluate on EVERY row (no
+        # CASE shield any more), and the first row of a symbol has
+        # cnt=1 — an ANSI divide-by-zero. The clamped value is only
+        # ever read under the cnt=20 gate, where cnt-1 = 19.
+        sx, sxx, cnt = F.col("_sx"), F.col("_sxx"), F.col("_cnt")
+        t = t.withColumns(
+            {
+                "_sma": sx / cnt,
+                "_sd": F.sqrt(
+                    F.greatest(
+                        (sxx - sx * sx / cnt)
+                        / F.greatest(cnt - 1, F.lit(1)),
+                        F.lit(0.0),
+                    )
+                ),
+            }
         )
+        sma, sd = F.col("_sma"), F.col("_sd")
         full = cnt == 20
         return t.select(
             "symbol",
