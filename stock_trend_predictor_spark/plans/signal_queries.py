@@ -1055,5 +1055,95 @@ FROM bands
             ).alias("pct_b"),
         )
 
+    @register(
+        "stochastic_oscillator_14",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE},
+win AS (
+    SELECT symbol, ts, tick_id, close,
+           min(close) OVER w AS mn,
+           max(close) OVER w AS mx,
+           count(*) OVER w AS cnt
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), k AS (
+    SELECT symbol, ts, tick_id, close,
+           CASE WHEN cnt = 14 AND mx > mn
+                THEN {stable_round_sql('100 * (close - mn) / (mx - mn)', 6)}
+           END AS pct_k
+    FROM win
+), d AS (
+    SELECT symbol, ts, tick_id, close, pct_k,
+           CAST(SUM(CAST(pct_k AS DECIMAL(27,6))) OVER w3 AS DOUBLE) AS ks,
+           COUNT(pct_k) OVER w3 AS kc
+    FROM k
+    WINDOW w3 AS (PARTITION BY symbol ORDER BY ts, tick_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, tick_id, close, pct_k,
+       CASE WHEN kc = 3 THEN {stable_round_sql('ks / 3', 6)} END AS pct_d
+FROM d
+""",
+        doc="Stochastic oscillator %K(14)/%D(3) per symbol: close "
+        "position inside the rolling 14-row [min, max] range, smoothed "
+        "by a 3-row SMA. Window min/max of doubles are exact "
+        "cross-engine; the %D average sums the 6-dp-rounded %K in "
+        "decimal so the smoothing is order-independent. A flat 14-row "
+        "window (max == min) yields NULL %K, and %D requires 3 defined "
+        "%K rows — both gates identical in the oracle. Nested windows "
+        "share ONE symbol shuffle (the %K projection is bound before "
+        "the %D frame, per the no-window-CSE rule).",
+    )
+    def stochastic_oscillator_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        w14 = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(-13, 0)
+        )
+        t = t.withColumns(
+            {
+                "_mn": F.min("close").over(w14),
+                "_mx": F.max("close").over(w14),
+                "_cnt": F.count(F.lit(1)).over(w14),
+            }
+        )
+        t = t.withColumn(
+            "pct_k",
+            F.when(
+                (F.col("_cnt") == 14) & (F.col("_mx") > F.col("_mn")),
+                stable_round(
+                    100.0
+                    * (F.col("close") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn")),
+                    6,
+                ),
+            ),
+        )
+        w3 = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(-2, 0)
+        )
+        t = t.withColumns(
+            {
+                "_ks": F.sum(F.col("pct_k").cast(DECIMAL_T))
+                .over(w3)
+                .cast("double"),
+                "_kc": F.count("pct_k").over(w3),
+            }
+        )
+        return t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            "pct_k",
+            F.when(
+                F.col("_kc") == 3, stable_round(F.col("_ks") / 3.0, 6)
+            ).alias("pct_d"),
+        )
+
 
 _register()

@@ -212,3 +212,27 @@ def test_bpe_pairs_counts_match_bruteforce(spark, sf_dir):
         for r in REGISTRY["bpe_pair_merge_candidates"].fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_stochastic_oscillator_bounds_and_gates(spark, sf_dir):
+    """%K and %D in [0, 100] wherever defined; %D defined only where
+    three consecutive %K values exist, and equals their mean."""
+    from collections import defaultdict
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["stochastic_oscillator_14"].fn(spark, sf_dir).collect()
+    by_sym = defaultdict(list)
+    for r in rows:
+        by_sym[r.symbol].append(r)
+    assert any(r.pct_d is not None for r in rows)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        for i, r in enumerate(rs):
+            if r.pct_k is not None:
+                assert 0.0 <= r.pct_k <= 100.0
+            if r.pct_d is not None:
+                assert 0.0 <= r.pct_d <= 100.0
+                ks = [rs[j].pct_k for j in (i - 2, i - 1, i)]
+                assert all(k is not None for k in ks)
+                assert abs(r.pct_d - sum(ks) / 3) < 1e-5
