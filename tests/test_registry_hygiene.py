@@ -32,12 +32,15 @@ def test_oracles_reference_only_registered_views():
                 q.oracle,
             )
         )
-        # CTE / subquery aliases declared anywhere ("x AS (") and
-        # table functions are legitimate targets
+        # CTE / subquery aliases declared anywhere ("x AS (", including
+        # DuckDB's "x AS MATERIALIZED (") and table functions are
+        # legitimate targets
         ctes = set(
             m.group(1).lower()
             for m in re.finditer(
-                r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle
+                r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?"
+                r"\s+AS\s+(?:MATERIALIZED\s+)?\(",
+                q.oracle,
             )
         )
         table_fns = {"range", "generate_series", "unnest", "values"}
