@@ -187,6 +187,103 @@ FROM terms
 
     # ------------------------------------------------------------------
     @register(
+        "doc_bigram_perplexity",
+        oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+    SELECT doc_id,
+           unnest([{{'l': t[i], 'r': t[i + 1]}} FOR i IN range(1, len(t))]) AS p
+    FROM toks WHERE len(t) >= 2
+), pr AS MATERIALIZED (
+    SELECT doc_id, p.l AS l, p.r AS r FROM pairs
+), big AS MATERIALIZED (
+    SELECT l, r, count(*) AS c2 FROM pr GROUP BY 1, 2
+), uni AS MATERIALIZED (
+    SELECT l, count(*) AS c1 FROM pr GROUP BY 1
+), v AS (
+    SELECT count(DISTINCT tok) AS vocab
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+), scored AS (
+    SELECT pr.doc_id,
+           -ln((big.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab)) AS nll
+    FROM pr JOIN big USING (l, r) JOIN uni USING (l) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {stable_round_sql(
+           'CAST(SUM(CAST(nll AS DECIMAL(27,18))) AS DOUBLE) / count(*)',
+           6)} AS avg_nll,
+       {stable_round_sql(
+           'exp(CAST(SUM(CAST(nll AS DECIMAL(27,18))) AS DOUBLE)'
+           ' / count(*))', 4)} AS ppl
+FROM scored GROUP BY doc_id
+""",
+        doc="Per-document perplexity under the corpus's own add-0.5-"
+        "smoothed bigram LM — the CCNet-style statistical quality "
+        "filter (high ppl = text unlike the corpus: noise, boilerplate "
+        "soup, wrong language). Each -ln P(r|l) is one fixed IEEE "
+        "expression on integer counts; per-doc totals sum in "
+        "decimal(27,18) so the score is partition-order independent. "
+        "Plan: ONE materialized pair table feeds the bigram counts, "
+        "the left-context counts, and the scoring join (3 consumers — "
+        "recompute would triple the explode); the count tables join "
+        "back by (l, r)/(l) hash keys, the vocab size is a broadcast "
+        "scalar, and the final agg is map-side combinable on doc_id.",
+    )
+    def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split("text", " ")
+        )
+        pairs = materialize_once(
+            docs.where(F.size("_toks") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_toks) - 1), i -> "
+                        "named_struct('l', element_at(_toks, i), "
+                        "'r', element_at(_toks, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.l", "p.r")
+        )
+        big = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c2"))
+        uni = pairs.groupBy("l").agg(F.count(F.lit(1)).alias("c1"))
+        v = docs.select(F.explode("_toks").alias("tok")).agg(
+            F.countDistinct("tok").alias("vocab")
+        )
+        nll = -F.log(
+            (F.col("c2") + F.lit(0.5))
+            / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+        )
+        scored = (
+            pairs.join(big, ["l", "r"])
+            .join(F.broadcast(uni), "l")
+            .crossJoin(F.broadcast(v))
+            .select("doc_id", nll.alias("nll"))
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("nll").cast(ENTROPY_DECIMAL))
+            .cast("double")
+            .alias("sum_nll"),
+        )
+        avg = F.col("sum_nll") / F.col("n_bigrams")
+        return agg.select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(avg, 6).alias("avg_nll"),
+            stable_round(F.exp(avg), 4).alias("ppl"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "stratified_sample_per_stratum",
         oracle=f"""
 WITH ranked AS (

@@ -236,3 +236,25 @@ def test_stochastic_oscillator_bounds_and_gates(spark, sf_dir):
                 ks = [rs[j].pct_k for j in (i - 2, i - 1, i)]
                 assert all(k is not None for k in ks)
                 assert abs(r.pct_d - sum(ks) / 3) < 1e-5
+
+
+def test_bigram_perplexity_consistency(spark, sf_dir):
+    """ppl == exp(avg_nll) (up to output rounding); n_bigrams ==
+    n_tokens - 1 for every multi-token doc; avg_nll > 0 (probabilities
+    strictly < 1 under smoothing)."""
+    import math
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["doc_bigram_perplexity"].fn(spark, sf_dir).collect()
+    assert rows
+    n_tok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    multi = {d for d, n in n_tok.items() if n >= 2}
+    assert {r.doc_id for r in rows} == multi
+    for r in rows:
+        assert r.n_bigrams == n_tok[r.doc_id] - 1
+        assert r.avg_nll > 0
+        assert abs(r.ppl - math.exp(r.avg_nll)) <= 1e-3 * r.ppl
