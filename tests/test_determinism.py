@@ -31,6 +31,14 @@ QUERIES = [
     "chunk_dup_fraction",           # global chunk counts at any width
     "sequence_packing",             # packing is a pure function of data
     "weighted_doc_sample",          # hash-u weighted sample, layout-proof
+    "dup_span_detection",           # gram window count + island merge
+    "dup_span_doc_fraction",        # zero-filled span budget per doc
+    "minhash_containment_pairs",    # banded candidates + containment cut
+    "rsi_cutler_14",                # decimal gain/loss window sums
+    "bollinger_bands_20",           # decimal sufficient-sum variance
+    "stochastic_oscillator_14",     # nested %K/%D windows
+    "bpe_pair_merge_candidates",    # (count DESC, pair) top-50 cutoff
+    "doc_bigram_perplexity",        # decimal(27,18) NLL sums
 ]
 
 

@@ -269,3 +269,35 @@ def test_triangle_count_no_cartesian(spark):
     # wedge + closing joins are hash/sort-merge equi-joins; the only
     # nested-loop join allowed is the final 1-row stats cross join
     assert plan.count("CartesianProduct") == 0
+
+
+def test_dup_span_no_cartesian_and_hash_only_shuffle(spark):
+    """The span pass must never plan a cartesian/BNLJ (it is linear by
+    construction), and the gram exchange must carry the 60-bit hash —
+    never gram text."""
+    plan = _plan(spark, "dup_span_detection")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_count_tables_broadcast(spark):
+    """The left-context count table and the vocab scalar broadcast;
+    the only shuffled join key is the (l, r) bigram."""
+    plan = _plan(spark, "doc_bigram_perplexity")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_indicator_windows_planned_once(spark):
+    """The no-window-CSE rule: each indicator must plan exactly ONE
+    Window operator batch per frame with its aggregates bound once —
+    Bollinger needs 3 sliding aggregates (sum, sum, count), not 37."""
+    plan = _plan(spark, "bollinger_bands_20")
+    # the ticks lag + the 20-row stats frame = 2 Window operators
+    assert plan.count("Window ") <= 2, plan.count("Window ")
+    # 3 bound aggregates appear in the frame spec; a CSE regression
+    # shows up as dozens of _we columns
+    import re
+
+    wes = set(re.findall(r"_we\d+", plan))
+    assert len(wes) <= 6, sorted(wes)
