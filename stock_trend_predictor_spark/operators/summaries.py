@@ -306,3 +306,113 @@ def cms_sink(token_stream: DataFrame, state_dir: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitters materialized view (round 3)
+# ---------------------------------------------------------------------
+
+
+def mg_reduce(counters: DataFrame, k: int = 64) -> DataFrame:
+    """Reduce a (token, lower_bound) counter table to <= k strictly
+    positive counters, Misra-Gries style: subtract the (k+1)-th
+    largest value from every counter and drop the non-positives.
+
+    The (k+1)-th largest is a TakeOrdered(k+1) + min — a heap cut, no
+    full sort — and ties around the cut don't matter because only the
+    VALUE is used. When fewer than k+1 counters exist the table is
+    already a valid summary and passes through untouched (subtracting
+    the minimum would wrongly erase mass).
+    """
+    kth = (
+        counters.orderBy(F.col("lower_bound").desc())
+        .limit(k + 1)
+        .agg(
+            F.min("lower_bound").alias("_sub"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+    )
+    return (
+        counters.crossJoin(F.broadcast(kth))
+        .select(
+            "token",
+            F.when(F.col("_m") < k + 1, F.col("lower_bound"))
+            .otherwise(F.col("lower_bound") - F.col("_sub"))
+            .alias("lower_bound"),
+        )
+        .where(F.col("lower_bound") > 0)
+    )
+
+
+def read_hh_state(spark, state_dir: str) -> DataFrame | None:
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_state_table,
+    )
+
+    return read_state_table(spark, state_dir, "counters")
+
+
+def update_hh_state(
+    spark,
+    batch: DataFrame,
+    state_dir: str,
+    token_col: str = "token",
+    k: int = 64,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one micro-batch into the persisted Misra-Gries summary.
+
+    Mergeable-summaries form (Agarwal et al., PODS'12): the batch's
+    exact counts add pointwise into the stored counters, then one
+    mg_reduce restores the <= k bound. The merged summary keeps the
+    union's guarantee — every token with total frequency >= N/(k+1)
+    since the stream began survives with lower_bound <= true count —
+    so the state is a candidate SUPERSET for exact re-counting, at k
+    rows forever, whatever the stream length. Replays are no-ops via
+    the state store's batch-id gate (operators/statestore.py).
+    """
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+    )
+
+    counts = batch.groupBy(F.col(token_col).alias("token")).agg(
+        F.count(F.lit(1)).alias("lower_bound")
+    )
+    prev = read_hh_state(spark, state_dir)
+    merged = (
+        counts
+        if prev is None
+        else prev.unionByName(counts)
+        .groupBy("token")
+        .agg(F.sum("lower_bound").alias("lower_bound"))
+    )
+    commit_state(
+        state_dir, {"counters": mg_reduce(merged, k)}, batch_id=batch_id
+    )
+
+
+def heavy_hitters_sink(
+    token_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    token_col: str = "token",
+    k: int = 64,
+):
+    """Continuously-maintained heavy-hitter candidates: each
+    micro-batch folds into a <= k-row Misra-Gries summary through the
+    replay-idempotent state store — the streaming twin of the batch
+    heavy_hitters_exact candidate pass (consumers re-count candidates
+    exactly against their corpus, same as the batch query)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_hh_state(
+            batch.sparkSession, batch, state_dir, token_col, k=k,
+            batch_id=batch_id,
+        )
+
+    return (
+        token_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

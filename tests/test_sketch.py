@@ -178,3 +178,95 @@ def test_cms_state_replay_idempotent(spark, tmp_path):
     assert after == sorted(
         tuple(r) for r in read_cms_state(spark, state).collect()
     )
+
+
+def test_hh_sink_stream_candidates_recover_exact_heavy_hitters(spark, tmp_path):
+    """Streamed Misra-Gries state (file stream -> foreachBatch merge)
+    must stay <= k rows AND remain a candidate superset: re-counting
+    its tokens exactly reproduces the batch heavy-hitter set; stored
+    lower bounds never exceed true counts."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        heavy_hitters_exact,
+        heavy_hitters_sink,
+        read_hh_state,
+    )
+
+    tok = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "hh_state")
+    tok.repartition(4).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = heavy_hitters_sink(stream, state, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    counters = read_hh_state(spark, state)
+    assert counters is not None
+    rows = counters.collect()
+    assert 0 < len(rows) <= 64  # summary-sized forever
+
+    true_counts = {
+        r.token: r.cnt
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in rows:
+        assert r.lower_bound <= true_counts[r.token]
+
+    # exact re-count restricted to streamed candidates == batch result
+    n_total = sum(true_counts.values())
+    import math
+
+    thresh = math.ceil(0.02 * n_total)
+    streamed = {
+        t for t, c in true_counts.items()
+        if t in {r.token for r in rows} and c >= thresh
+    }
+    batch = {
+        r.tok for r in heavy_hitters_exact(
+            tok.select(F.col("token").alias("tok")), threshold_frac=0.02
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_hh_state_replay_idempotent_and_merge_matches_oneshot(spark, tmp_path):
+    """Replayed batch ids are no-ops; merging batches sequentially
+    yields the same counters as summarizing the concatenation in one
+    update (the mergeable-summaries law on a small exact case)."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        read_hh_state,
+        update_hh_state,
+    )
+
+    b0 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "token string"
+    )
+    b1 = spark.createDataFrame([("a",)] * 2 + [("d",)] * 4, "token string")
+
+    s_seq = str(tmp_path / "seq")
+    update_hh_state(spark, b0, s_seq, batch_id=0)
+    update_hh_state(spark, b0, s_seq, batch_id=0)  # replay: must skip
+    after_replay = sorted(
+        tuple(r) for r in read_hh_state(spark, s_seq).collect()
+    )
+    update_hh_state(spark, b0, s_seq, batch_id=0)  # and again
+    assert after_replay == sorted(
+        tuple(r) for r in read_hh_state(spark, s_seq).collect()
+    )
+    update_hh_state(spark, b1, s_seq, batch_id=1)
+    seq = sorted(tuple(r) for r in read_hh_state(spark, s_seq).collect())
+
+    s_one = str(tmp_path / "one")
+    update_hh_state(spark, b0.unionAll(b1), s_one, batch_id=0)
+    one = sorted(tuple(r) for r in read_hh_state(spark, s_one).collect())
+    # k=64 >> distinct tokens here, so no reduction fires and the
+    # merge law is exact equality of counters
+    assert seq == one
