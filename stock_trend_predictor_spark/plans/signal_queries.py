@@ -1145,5 +1145,124 @@ FROM d
             ).alias("pct_d"),
         )
 
+    # ------------------------------------------------------------------
+    # MACD: truncated-tap EMAs with SHARED weight literals (the
+    # recursive EMA is not window-expressible; the tap form is the
+    # scalable equivalent — same policy as ewma_time_decay, weights
+    # below ~1% of head weight dropped). repr(float) feeds BOTH
+    # engines, so every product/sum is IEEE-identical.
+    # ------------------------------------------------------------------
+    def _ema_weights(alpha: float, taps: int) -> list[str]:
+        return [repr((1.0 - alpha) ** k) for k in range(taps)]
+
+    _W12 = _ema_weights(2.0 / 13.0, 18)
+    _W26 = _ema_weights(2.0 / 27.0, 36)
+    _WSIG = _ema_weights(2.0 / 10.0, 20)
+
+    def _ema_sql(col: str, weights: list[str], win: str) -> str:
+        # CAST every weight to DOUBLE: DuckDB parses a bare decimal
+        # literal as DECIMAL, and a 36-term decimal sum overflows
+        # DECIMAL(18); the cast also makes the den accumulate in
+        # double exactly like the Spark side — identical IEEE trees.
+        num = " + ".join(
+            f"coalesce(lag({col}, {k}) OVER {win}, 0.0)"
+            f" * CAST({w} AS DOUBLE)"
+            if k
+            else f"{col} * CAST({w} AS DOUBLE)"
+            for k, w in enumerate(weights)
+        )
+        den = " + ".join(
+            f"(CASE WHEN lag({col}, {k}) OVER {win} IS NULL"
+            f" THEN 0.0 ELSE CAST({w} AS DOUBLE) END)"
+            if k
+            else f"CAST({w} AS DOUBLE)"
+            for k, w in enumerate(weights)
+        )
+        return f"(({num}) / ({den}))"
+
+    def _ema_col(col: str, w: Window, weights: list[str]):
+        num = None
+        den = None
+        for k, wl in enumerate(weights):
+            wk = F.lit(float(wl))
+            tap = F.col(col) if k == 0 else F.lag(col, k).over(w)
+            tn = tap * wk if k == 0 else F.coalesce(tap, F.lit(0.0)) * wk
+            td = wk if k == 0 else F.when(tap.isNull(), F.lit(0.0)).otherwise(wk)
+            num = tn if num is None else num + tn
+            den = td if den is None else den + td
+        return num / den
+
+    @register(
+        "macd_crossover",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE},
+m AS (
+    SELECT symbol, ts, tick_id, close,
+           {_ema_sql('close', _W12, 'w')}
+           - {_ema_sql('close', _W26, 'w')} AS macd
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), s AS (
+    SELECT symbol, ts, tick_id, close, macd,
+           macd - {_ema_sql('macd', _WSIG, 'w')} AS hist
+    FROM m
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), x AS (
+    SELECT symbol, ts, tick_id, close, macd, hist,
+           lag(hist) OVER (PARTITION BY symbol ORDER BY ts, tick_id)
+               AS prev_hist
+    FROM s
+)
+SELECT symbol, ts, tick_id, close,
+       {stable_round_sql('macd', 6)} AS macd,
+       {stable_round_sql('macd - hist', 6)} AS macd_signal,
+       {stable_round_sql('hist', 6)} AS hist,
+       CASE WHEN prev_hist IS NOT NULL AND hist > 0 AND prev_hist <= 0
+                THEN 'bullish'
+            WHEN prev_hist IS NOT NULL AND hist < 0 AND prev_hist >= 0
+                THEN 'bearish'
+       END AS crossover
+FROM x
+""",
+        doc="MACD(12, 26, 9) per symbol with crossover signals: fast "
+        "minus slow truncated-tap EMA, a 9-span EMA signal line over "
+        "the bound macd column (nested EMA — second Window batch, "
+        "same symbol shuffle), and bullish/bearish flags where the "
+        "histogram crosses zero. Weights are shared repr(float) "
+        "literals and every tap sum is a fixed IEEE tree, so both "
+        "engines agree to the last ulp before 6-dp rounding. All "
+        "54+20 taps are lag() reads over ONE per-symbol sort — no "
+        "extra exchange versus a single moving average.",
+    )
+    def macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        w = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        t = t.withColumn(
+            "macd", _ema_col("close", w, _W12) - _ema_col("close", w, _W26)
+        )
+        # signal EMA runs over the BOUND macd column (next Window
+        # batch); hist likewise binds before its double use in the
+        # output and the crossover sign test (no window-expression CSE)
+        t = t.withColumn("hist", F.col("macd") - _ema_col("macd", w, _WSIG))
+        t = t.withColumn("prev_hist", F.lag("hist").over(w))
+        prev = F.col("prev_hist")
+        hist = F.col("hist")
+        return t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            stable_round(F.col("macd"), 6).alias("macd"),
+            stable_round(F.col("macd") - hist, 6).alias("macd_signal"),
+            stable_round(hist, 6).alias("hist"),
+            F.when(
+                prev.isNotNull() & (hist > 0) & (prev <= 0), F.lit("bullish")
+            )
+            .when(
+                prev.isNotNull() & (hist < 0) & (prev >= 0), F.lit("bearish")
+            )
+            .alias("crossover"),
+        )
+
 
 _register()

@@ -258,3 +258,31 @@ def test_bigram_perplexity_consistency(spark, sf_dir):
         assert r.n_bigrams == n_tok[r.doc_id] - 1
         assert r.avg_nll > 0
         assert abs(r.ppl - math.exp(r.avg_nll)) <= 1e-3 * r.ppl
+
+
+def test_macd_crossover_flags_match_histogram_signs(spark, sf_dir):
+    """Crossover labels must agree with the histogram sign transition
+    of the ordered per-symbol series; macd == macd_signal + hist up to
+    output rounding."""
+    from collections import defaultdict
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["macd_crossover"].fn(spark, sf_dir).collect()
+    by_sym = defaultdict(list)
+    for r in rows:
+        by_sym[r.symbol].append(r)
+    n_flags = 0
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        assert rs[0].crossover is None  # no previous histogram yet
+        for prev, cur in zip(rs, rs[1:]):
+            expect = None
+            if cur.hist > 0 and prev.hist <= 0:
+                expect = "bullish"
+            elif cur.hist < 0 and prev.hist >= 0:
+                expect = "bearish"
+            assert cur.crossover == expect, (sym, prev, cur)
+            n_flags += expect is not None
+            assert abs(cur.macd - (cur.macd_signal + cur.hist)) <= 2e-6
+    assert n_flags > 0
