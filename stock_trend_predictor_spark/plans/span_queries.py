@@ -290,3 +290,108 @@ WHERE {_CONT} >= 0.7
 
 
 _register()
+
+
+def _register_decision():
+    from stock_trend_predictor_spark.plans.registry import REGISTRY, register
+
+    # Compose the two heavy signal oracles as nested-WITH sub-CTEs —
+    # each keeps its own scope, so inner names (toks/pairs/...) don't
+    # collide; MATERIALIZED because both are referenced by the final
+    # join and DuckDB inlines CTEs (see graph_queries note).
+    _frac_oracle = REGISTRY["dup_span_doc_fraction"].oracle
+    _ppl_oracle = REGISTRY["doc_bigram_perplexity"].oracle
+
+    @register(
+        "corpus_keep_decision",
+        oracle=f"""
+WITH frac AS MATERIALIZED (
+{_frac_oracle}
+), pplx AS MATERIALIZED (
+{_ppl_oracle}
+), base AS (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS diversity,
+           md5(text) AS h
+    FROM documents
+), keepers AS (
+    SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
+)
+SELECT b.doc_id, b.lang, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       {stable_round_sql('b.diversity', 6)} AS diversity,
+       f.dup_fraction,
+       p.ppl,
+       CASE WHEN b.n_tokens < 20 THEN 'drop_short'
+            WHEN b.diversity < 0.3 THEN 'drop_low_diversity'
+            WHEN b.doc_id != k.keeper THEN 'drop_exact_dup'
+            WHEN coalesce(p.ppl, 0.0) > 32.0 THEN 'drop_perplexity'
+            WHEN f.dup_fraction >= 0.5 THEN 'drop_dup_spans'
+            WHEN f.dup_fraction > 0.05 THEN 'trim_spans'
+            ELSE 'keep' END AS decision
+FROM base b
+JOIN keepers k USING (h)
+JOIN frac f ON f.doc_id = b.doc_id
+LEFT JOIN pplx p ON p.doc_id = b.doc_id
+""",
+        doc="The composed per-document curation verdict a training-data "
+        "pipeline actually executes: quality gates (length, lexical "
+        "diversity) -> exact-dup keeper election -> bigram-LM "
+        "perplexity screen -> repeated-span budget, folded into one "
+        "prioritized keep/trim/drop decision column. Reuses the "
+        "registry's span and perplexity plans as sub-pipelines (their "
+        "oracles nest as scoped sub-CTEs, MATERIALIZED against "
+        "DuckDB's inlining); every doc appears exactly once, with "
+        "NULL ppl only for sub-bigram docs already dropped as short. "
+        "Shuffles: the md5 keeper election + the two signal joins, "
+        "all keyed on doc_id/digest — text never moves.",
+    )
+    def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+        frac = REGISTRY["dup_span_doc_fraction"].fn(spark, sf_dir).select(
+            "doc_id", "dup_fraction"
+        )
+        ppl = REGISTRY["doc_bigram_perplexity"].fn(spark, sf_dir).select(
+            "doc_id", "ppl"
+        )
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split("text", " ")
+        )
+        base = docs.select(
+            "doc_id",
+            "lang",
+            F.size("_toks").alias("n_tokens"),
+            (
+                F.size(F.array_distinct(F.col("_toks"))).cast("double")
+                / F.size("_toks")
+            ).alias("diversity"),
+            F.md5("text").alias("h"),
+        )
+        keepers = base.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+        j = (
+            base.join(keepers, "h")
+            .join(frac, "doc_id")
+            .join(ppl, "doc_id", "left")
+        )
+        decision = (
+            F.when(F.col("n_tokens") < 20, F.lit("drop_short"))
+            .when(F.col("diversity") < 0.3, F.lit("drop_low_diversity"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("drop_exact_dup"))
+            .when(F.coalesce("ppl", F.lit(0.0)) > 32.0,
+                  F.lit("drop_perplexity"))
+            .when(F.col("dup_fraction") >= 0.5, F.lit("drop_dup_spans"))
+            .when(F.col("dup_fraction") > 0.05, F.lit("trim_spans"))
+            .otherwise(F.lit("keep"))
+        )
+        return j.select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            stable_round("diversity", 6).alias("diversity"),
+            "dup_fraction",
+            "ppl",
+            decision.alias("decision"),
+        )
+
+
+_register_decision()

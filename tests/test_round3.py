@@ -286,3 +286,25 @@ def test_macd_crossover_flags_match_histogram_signs(spark, sf_dir):
             n_flags += expect is not None
             assert abs(cur.macd - (cur.macd_signal + cur.hist)) <= 2e-6
     assert n_flags > 0
+
+
+def test_corpus_keep_decision_priority_and_coverage(spark, sf_dir):
+    """Every document gets exactly one verdict; verdicts respect the
+    gate priority (a short doc is drop_short regardless of other
+    signals); keep-docs satisfy every gate."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["corpus_keep_decision"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    decisions = {r.decision for r in rows}
+    assert "keep" in decisions and len(decisions) >= 2
+    for r in rows:
+        if r.n_tokens < 20:
+            assert r.decision == "drop_short"
+        if r.decision == "keep":
+            assert r.n_tokens >= 20
+            assert r.diversity >= 0.3
+            assert r.ppl is not None and r.ppl <= 32.0
+            assert r.dup_fraction <= 0.05
