@@ -53,6 +53,7 @@ HEADLINE = [
     "bm25_doc_search",           # inverted-index scoring join
     "sketch_countmin_tokens",    # CMS cells + probe estimates
     "dup_span_detection",        # repeated-span dedup (gram window + islands)
+    "corpus_keep_decision",      # composed curation verdict (spans + ppl)
 ]
 
 
