@@ -761,3 +761,153 @@ LIMIT 50
 
 
 _register()
+
+
+#: BPE training iterations for bpe_train_merges.
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_rewrite_spark(ml, mr):
+    """Greedy left-to-right application of one merge rule (ml, mr) to
+    the bound token array column `_toks` — pure HOF expression.
+
+    Restricting rules to ml != mr (done at selection) makes matches
+    non-overlapping BY CONSTRUCTION (the right half of a match can't
+    start another), so the rewrite is positional, no sequential fold:
+    a position is dropped when consumed as a right half, replaced by
+    the merged token when it starts a match, kept otherwise.
+    """
+    return (
+        f"filter(transform(sequence(1, size(_toks)), i -> "
+        f"CASE WHEN i > 1 AND element_at(_toks, i - 1) = {ml}"
+        f"          AND element_at(_toks, i) = {mr} THEN NULL "
+        f"     WHEN element_at(_toks, i) = {ml}"
+        f"          AND try_element_at(_toks, i + 1) = {mr}"
+        f"       THEN concat({ml}, ' ', {mr}) "
+        f"     ELSE element_at(_toks, i) END), x -> x IS NOT NULL)"
+    )
+
+
+def _register_bpe_train():
+    from pyspark.sql import Window  # noqa: F401
+
+    from stock_trend_predictor_spark.plans.registry import register
+    from stock_trend_predictor_spark.sources.tables import materialize_once
+
+    def _pairs_cte(t: str) -> str:
+        return (
+            f"SELECT p.l AS l, p.r AS r, count(*) AS c FROM ("
+            f"SELECT unnest([{{'l': t[i], 'r': t[i + 1]}}"
+            f" FOR i IN range(1, len(t))]) AS p"
+            f" FROM {t} WHERE len(t) >= 2) GROUP BY 1, 2"
+        )
+
+    def _rewrite_cte(t: str, m: str) -> str:
+        return (
+            f"SELECT doc_id,"
+            f" [CASE WHEN t[i] = {m}.l AND t[i + 1] = {m}.r"
+            f"         THEN t[i] || ' ' || t[i + 1]"
+            f"       ELSE t[i] END"
+            f"  FOR i IN range(1, len(t) + 1)"
+            f"  IF NOT (i > 1 AND t[i - 1] = {m}.l AND t[i] = {m}.r)] AS t"
+            f" FROM {t} CROSS JOIN {m}"
+        )
+
+    _parts = [
+        "WITH t0 AS MATERIALIZED (\n"
+        "    SELECT doc_id, string_split(text, ' ') AS t FROM documents\n)"
+    ]
+    for k in range(BPE_TRAIN_ROUNDS):
+        _parts.append(
+            f", p{k} AS ({_pairs_cte(f't{k}')})"
+            f", m{k} AS MATERIALIZED ("
+            f"SELECT l, r, c FROM p{k} WHERE l != r"
+            f" ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if k < BPE_TRAIN_ROUNDS - 1:
+            _parts.append(
+                f", t{k + 1} AS MATERIALIZED ({_rewrite_cte(f't{k}', f'm{k}')})"
+            )
+    _parts.append(
+        "\nSELECT * FROM ("
+        + "\nUNION ALL\n".join(
+            f"SELECT {k} AS rank, l AS left_tok, r AS right_tok,"
+            f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+            for k in range(BPE_TRAIN_ROUNDS)
+        )
+        + ")"
+    )
+
+    @register(
+        "bpe_train_merges",
+        oracle="".join(_parts),
+        doc=f"Distributed BPE tokenizer training, {BPE_TRAIN_ROUNDS} "
+        "merge rounds: count adjacent pairs corpus-wide, adopt the "
+        "most frequent (count DESC, pair ASC tiebreak; self-pairs "
+        "excluded so greedy application is overlap-free and "
+        "positional), rewrite every document's token array with the "
+        "new symbol, repeat. Per round: ONE combinable pair-count "
+        "shuffle + a broadcast 1-row rule + a narrow HOF rewrite; "
+        "lineage truncated per round like the PageRank loop. The "
+        "oracle replays the identical rounds as chained MATERIALIZED "
+        "CTEs; a Python reference implementation must agree exactly "
+        "(tests/test_round3.py).",
+    )
+    def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cur = materialize_once(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", F.split("text", " ").alias("_toks")
+            )
+        )
+        rules = []
+        for k in range(BPE_TRAIN_ROUNDS):
+            pairs = (
+                cur.where(F.size("_toks") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(_toks) - 1), i -> "
+                            "named_struct('l', element_at(_toks, i), "
+                            "'r', element_at(_toks, i + 1)))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            top = (
+                pairs.where(F.col("l") != F.col("r"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(1)
+            )
+            rules.append(
+                top.select(
+                    F.lit(k).alias("rank"),
+                    F.col("l").alias("left_tok"),
+                    F.col("r").alias("right_tok"),
+                    F.col("c").cast("bigint").alias("pair_count"),
+                )
+            )
+            if k < BPE_TRAIN_ROUNDS - 1:
+                cur = materialize_once(
+                    cur.crossJoin(
+                        F.broadcast(
+                            top.select(
+                                F.col("l").alias("_ml"),
+                                F.col("r").alias("_mr"),
+                            )
+                        )
+                    ).select(
+                        "doc_id",
+                        F.expr(_bpe_rewrite_spark("_ml", "_mr")).alias(
+                            "_toks"
+                        ),
+                    )
+                )
+        out = rules[0]
+        for r in rules[1:]:
+            out = out.unionByName(r)
+        return out
+
+
+_register_bpe_train()

@@ -308,3 +308,49 @@ def test_corpus_keep_decision_priority_and_coverage(spark, sf_dir):
             assert r.diversity >= 0.3
             assert r.ppl is not None and r.ppl <= 32.0
             assert r.dup_fraction <= 0.05
+
+
+def test_bpe_train_merges_match_python_reference(spark, sf_dir):
+    """The distributed merge rules must equal a pure-Python greedy BPE
+    reference (self-pairs excluded, count DESC / pair ASC tiebreak,
+    left-to-right non-overlapping application) run on the same docs."""
+    from collections import Counter
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+    from stock_trend_predictor_spark.plans.text_queries import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    seqs = [
+        r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    expect = []
+    for _ in range(BPE_TRAIN_ROUNDS):
+        c = Counter()
+        for t in seqs:
+            for a, b in zip(t, t[1:]):
+                if a != b:
+                    c[(a, b)] += 1
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((l, r, cnt))
+        merged = l + " " + r
+        out = []
+        for t in seqs:
+            res, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            out.append(res)
+        seqs = out
+    got = sorted(
+        (r.rank, r.left_tok, r.right_tok, r.pair_count)
+        for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()
+    )
+    assert got == [
+        (k, l, r, c) for k, (l, r, c) in enumerate(expect)
+    ]
