@@ -813,21 +813,26 @@ def _register_bpe_train():
             f" FROM {t} CROSS JOIN {m}"
         )
 
-    _parts = [
-        "WITH t0 AS MATERIALIZED (\n"
-        "    SELECT doc_id, string_split(text, ' ') AS t FROM documents\n)"
-    ]
-    for k in range(BPE_TRAIN_ROUNDS):
-        _parts.append(
-            f", p{k} AS ({_pairs_cte(f't{k}')})"
-            f", m{k} AS MATERIALIZED ("
-            f"SELECT l, r, c FROM p{k} WHERE l != r"
-            f" ORDER BY c DESC, l, r LIMIT 1)"
-        )
-        if k < BPE_TRAIN_ROUNDS - 1:
-            _parts.append(
-                f", t{k + 1} AS MATERIALIZED ({_rewrite_cte(f't{k}', f'm{k}')})"
+    def _chain_sql(rewrite_last: bool) -> list[str]:
+        parts = [
+            "WITH t0 AS MATERIALIZED (\n"
+            "    SELECT doc_id, string_split(text, ' ') AS t FROM documents\n)"
+        ]
+        for k in range(BPE_TRAIN_ROUNDS):
+            parts.append(
+                f", p{k} AS ({_pairs_cte(f't{k}')})"
+                f", m{k} AS MATERIALIZED ("
+                f"SELECT l, r, c FROM p{k} WHERE l != r"
+                f" ORDER BY c DESC, l, r LIMIT 1)"
             )
+            if k < BPE_TRAIN_ROUNDS - 1 or rewrite_last:
+                parts.append(
+                    f", t{k + 1} AS MATERIALIZED "
+                    f"({_rewrite_cte(f't{k}', f'm{k}')})"
+                )
+        return parts
+
+    _parts = _chain_sql(rewrite_last=False)
     _parts.append(
         "\nSELECT * FROM ("
         + "\nUNION ALL\n".join(
@@ -854,6 +859,17 @@ def _register_bpe_train():
         "(tests/test_round3.py).",
     )
     def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rules, _ = _bpe_train_frames(spark, sf_dir, rewrite_last=False)
+        out = rules[0]
+        for r in rules[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def _bpe_train_frames(
+        spark: SparkSession, sf_dir: str, rewrite_last: bool
+    ):
+        """Run the merge-adoption loop; return (per-round rule frames,
+        final token-array frame)."""
         cur = materialize_once(
             load_table(spark, sf_dir, "documents").select(
                 "doc_id", F.split("text", " ").alias("_toks")
@@ -888,7 +904,7 @@ def _register_bpe_train():
                     F.col("c").cast("bigint").alias("pair_count"),
                 )
             )
-            if k < BPE_TRAIN_ROUNDS - 1:
+            if k < BPE_TRAIN_ROUNDS - 1 or rewrite_last:
                 cur = materialize_once(
                     cur.crossJoin(
                         F.broadcast(
@@ -904,10 +920,52 @@ def _register_bpe_train():
                         ),
                     )
                 )
-        out = rules[0]
-        for r in rules[1:]:
-            out = out.unionByName(r)
-        return out
+        return rules, cur
+
+    _apply_parts = _chain_sql(rewrite_last=True)
+    _apply_parts.append(f"""
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_before,
+       CAST(len(tf.t) AS BIGINT) AS n_tokens_after,
+       {stable_round_sql(
+           "CAST(len(tf.t) AS DOUBLE) / len(string_split(d.text, ' '))", 6)}
+         AS compression
+FROM documents d JOIN t{BPE_TRAIN_ROUNDS} tf ON tf.doc_id = d.doc_id
+""")
+
+    @register(
+        "bpe_apply_vocab",
+        oracle="".join(_apply_parts),
+        doc="Tokenizer application — the measurement half of BPE "
+        "training: every document re-segmented with all "
+        f"{BPE_TRAIN_ROUNDS} learned merges, reporting before/after "
+        "token counts and the per-doc compression ratio (the metric "
+        "that decides whether a vocab is worth shipping). Same "
+        "checkpointed rewrite loop as bpe_train_merges with the final "
+        "rule applied too; the join back to documents is doc_id-keyed. "
+        "Oracle replays the identical chain.",
+    )
+    def bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, final = _bpe_train_frames(spark, sf_dir, rewrite_last=True)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias(
+                "n_tokens_before"
+            ),
+        )
+        after = final.select(
+            "doc_id", F.size("_toks").cast("bigint").alias("n_tokens_after")
+        )
+        return docs.join(after, "doc_id").select(
+            "doc_id",
+            "n_tokens_before",
+            "n_tokens_after",
+            stable_round(
+                F.col("n_tokens_after").cast("double")
+                / F.col("n_tokens_before"),
+                6,
+            ).alias("compression"),
+        )
 
 
 _register_bpe_train()

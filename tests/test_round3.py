@@ -354,3 +354,18 @@ def test_bpe_train_merges_match_python_reference(spark, sf_dir):
     assert got == [
         (k, l, r, c) for k, (l, r, c) in enumerate(expect)
     ]
+
+
+def test_bpe_apply_vocab_compression_bounds(spark, sf_dir):
+    """After-counts never exceed before-counts; every merged doc
+    shrinks by exactly the number of rule applications (each merge
+    removes one token), so compression is in (0, 1]."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["bpe_apply_vocab"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert any(r.n_tokens_after < r.n_tokens_before for r in rows)
+    for r in rows:
+        assert 0 < r.n_tokens_after <= r.n_tokens_before
+        assert 0.0 < r.compression <= 1.0
