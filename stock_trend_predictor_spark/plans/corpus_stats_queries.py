@@ -1,0 +1,465 @@
+"""Corpus-comparison statistics: chi-square token keyness, Benford
+first-digit conformance, and Zipf rank-frequency fits.
+
+A training-data curation pipeline needs more than per-document quality
+scores (quality_queries) — it needs CORPUS-level distribution checks:
+which tokens are over-represented in one slice vs the rest (keyness —
+the standard contaminated-subcorpus detector), whether a numeric
+column's digit distribution looks organic (Benford — a classic
+synthetic/fabricated-data screen), and whether the token frequency
+curve follows the Zipf power law natural language obeys (a corpus
+whose fitted exponent is far from ~1 is boilerplate or template spam).
+
+All three are exact-count aggregations: the only doubles are final
+test statistics derived from bigint counts by a fixed tree of IEEE
+ops, identical cross-engine, then stable_round()ed. No Python
+anywhere; the token explode is the same whitespace split every
+text-tier query shares, so at 100 TB these ride the same
+map-side-combinable (token -> count) shuffle as tfidf/vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import load_table
+
+#: chi-square validity floor: drop tokens with fewer total occurrences.
+KEYNESS_MIN_COUNT = 5
+#: number of keyness terms reported.
+KEYNESS_TOP_K = 50
+#: Zipf fit uses the top-N tokens per language by frequency.
+ZIPF_TOP_N = 200
+#: PMI support floor and report size.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    _chi2 = (
+        "(ta + tb) * (a * d - b * c) * (a * d - b * c)"
+        " / ((a + b) * (c + d) * ta * tb)"
+    )
+
+    @register(
+        "chi2_token_keyness",
+        oracle=f"""
+WITH toks AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+), counts AS (
+    SELECT token,
+           CAST(SUM(is_en) AS BIGINT) AS en_count,
+           CAST(SUM(1 - is_en) AS BIGINT) AS rest_count
+    FROM toks GROUP BY 1
+), totals AS (
+    SELECT CAST(SUM(en_count) AS BIGINT) AS total_en,
+           CAST(SUM(rest_count) AS BIGINT) AS total_rest
+    FROM counts
+), scored AS (
+    SELECT token, en_count, rest_count,
+           CAST(en_count AS DOUBLE) AS a,
+           CAST(rest_count AS DOUBLE) AS b,
+           CAST(total_en - en_count AS DOUBLE) AS c,
+           CAST(total_rest - rest_count AS DOUBLE) AS d,
+           CAST(total_en AS DOUBLE) AS ta,
+           CAST(total_rest AS DOUBLE) AS tb
+    FROM counts, totals
+    WHERE en_count + rest_count >= {KEYNESS_MIN_COUNT}
+)
+SELECT token, en_count, rest_count,
+       {stable_round_sql(_chi2, 6)} AS chi2
+FROM scored
+ORDER BY {_chi2} DESC, token
+LIMIT {KEYNESS_TOP_K}
+""",
+        doc="Chi-square keyness: the 2x2 contingency test of each "
+        "token's frequency in the English slice vs the rest of the "
+        "corpus, top-50 most distinctive terms. The classic detector "
+        "for a contaminated or off-distribution subcorpus before "
+        "training. Exact bigint counts feed a fixed double expression "
+        "(written with identical op order in both engines, so the "
+        "statistic is bit-deterministic); ordering is on the "
+        "unrounded statistic with the token string as total-order "
+        "tiebreak. One (token -> count) combinable shuffle + a "
+        "2-row totals broadcast; top-k is TakeOrderedAndProject.",
+    )
+    def chi2_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        counts = toks.groupBy("token").agg(
+            F.sum("is_en").alias("en_count"),
+            F.sum(F.lit(1) - F.col("is_en")).alias("rest_count"),
+        )
+        totals = counts.agg(
+            F.sum("en_count").alias("total_en"),
+            F.sum("rest_count").alias("total_rest"),
+        )
+        scored = (
+            counts.where(
+                F.col("en_count") + F.col("rest_count") >= KEYNESS_MIN_COUNT
+            )
+            .join(F.broadcast(totals))
+            .withColumns(
+                {
+                    "a": F.col("en_count").cast("double"),
+                    "b": F.col("rest_count").cast("double"),
+                    "c": (F.col("total_en") - F.col("en_count")).cast("double"),
+                    "d": (F.col("total_rest") - F.col("rest_count")).cast(
+                        "double"
+                    ),
+                    "ta": F.col("total_en").cast("double"),
+                    "tb": F.col("total_rest").cast("double"),
+                }
+            )
+        )
+        a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+        ta, tb = F.col("ta"), F.col("tb")
+        chi2 = (
+            (ta + tb)
+            * (a * d - b * c)
+            * (a * d - b * c)
+            / ((a + b) * (c + d) * ta * tb)
+        )
+        return (
+            scored.withColumn("_chi2", chi2)
+            .orderBy(F.desc("_chi2"), "token")
+            .limit(KEYNESS_TOP_K)
+            .select(
+                "token",
+                "en_count",
+                "rest_count",
+                stable_round("_chi2", 6).alias("chi2"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "benford_first_digit",
+        oracle=f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM lineitem WHERE l_extendedprice > 0
+), obs AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(SUM(count(*)) OVER () AS BIGINT) AS n_total
+    FROM digits GROUP BY 1
+)
+SELECT digit, n_obs,
+       {stable_round_sql('CAST(n_obs AS DOUBLE) / n_total', 6)} AS obs_frac,
+       {stable_round_sql('ln(1.0 + 1.0 / digit) / ln(10.0)', 6)}
+           AS benford_frac,
+       {stable_round_sql(
+           '(n_obs - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))'
+           ' * (n_obs - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))'
+           ' / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))', 6)}
+           AS chi2_term
+FROM obs
+""",
+        doc="Benford's-law first-digit screen on lineitem prices: "
+        "observed vs expected log10(1 + 1/d) digit fractions with "
+        "per-digit chi-square contributions — the standard organic-"
+        "vs-fabricated numeric-data check a curation pipeline runs "
+        "on ingested tabular sources. The first digit is extracted "
+        "through a decimal(18,2) cast then string head, NOT "
+        "floor(x/10^floor(log10 x)): decimal-to-string formatting is "
+        "plain and identical cross-engine, while log10 at exact "
+        "powers of ten is allowed to land a ULP low and would "
+        "misclassify 1000.00 as digit 9. One 9-group combinable "
+        "aggregate; nothing else shuffles.",
+    )
+    def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_extendedprice") > 0
+        )
+        digit = F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1
+        ).cast("bigint")
+        obs = (
+            li.select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .withColumn(
+                "n_total", F.sum("n_obs").over(Window.partitionBy())
+            )
+        )
+        p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+        exp_n = F.col("n_total") * p
+        dev = F.col("n_obs") - exp_n
+        return obs.select(
+            "digit",
+            "n_obs",
+            stable_round(F.col("n_obs").cast("double") / F.col("n_total"), 6)
+            .alias("obs_frac"),
+            stable_round(p, 6).alias("benford_frac"),
+            stable_round(dev * dev / exp_n, 6).alias("chi2_term"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "zipf_fit_per_lang",
+        oracle=f"""
+WITH toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), counts AS (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+    FROM toks GROUP BY 1, 2
+), ranked AS (
+    SELECT lang, freq,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY freq DESC, token) AS rank
+    FROM counts
+), pts AS (
+    SELECT lang, ln(CAST(rank AS DOUBLE)) AS x,
+           ln(CAST(freq AS DOUBLE)) AS y
+    FROM ranked WHERE rank <= {ZIPF_TOP_N}
+), sums AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(27,18))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x * y AS DECIMAL(27,18))) AS DOUBLE) AS sxy
+    FROM pts GROUP BY 1
+)
+SELECT lang, n AS n_points,
+       {stable_round_sql(
+           '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} AS zipf_slope,
+       {stable_round_sql(
+           '(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n',
+           6)} AS intercept
+FROM sums
+""",
+        doc="Zipf rank-frequency fit per language: OLS slope of "
+        "ln(freq) vs ln(rank) over each language's top-200 tokens. "
+        "Natural text fits slope ~ -1; a corpus slice whose fitted "
+        "exponent is far off is template spam or boilerplate — a "
+        "cheap whole-slice quality gate to run before training. "
+        "Ranking uses (freq DESC, token) so the top-N cut is a total "
+        "order; the regression comes from decimal-exact sufficient "
+        "sums (ln values summed at (27,18)). The rank window only "
+        "ever sees (lang, token, count) aggregates — per-lang "
+        "vocabulary, not documents — and the slope aggregate is "
+        "5 rows. Same scale shape as vocab_topk_tokens.",
+    )
+    def zipf_fit_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        counts = (
+            docs.select(
+                "lang", F.explode(F.split("text", " ")).alias("token")
+            )
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        rk = Window.partitionBy("lang").orderBy(F.desc("freq"), "token")
+        pts = (
+            counts.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= ZIPF_TOP_N)
+            .select(
+                "lang",
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("freq").cast("double")).alias("y"),
+            )
+        )
+        x, y = F.col("x"), F.col("y")
+        dt = "decimal(27,18)"
+        sums = pts.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(dt)).cast("double").alias("sx"),
+            F.sum(y.cast(dt)).cast("double").alias("sy"),
+            F.sum((x * x).cast(dt)).cast("double").alias("sxx"),
+            F.sum((x * y).cast(dt)).cast("double").alias("sxy"),
+        )
+        n = F.col("n")
+        sx, sy = F.col("sx"), F.col("sy")
+        sxx, sxy = F.col("sxx"), F.col("sxy")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return sums.select(
+            "lang",
+            n.alias("n_points"),
+            stable_round(slope, 6).alias("zipf_slope"),
+            stable_round((sy - slope * sx) / n, 6).alias("intercept"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "token_pmi_collocations",
+        oracle=f"""
+WITH bg AS (
+    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                  i -> {{'w1': string_split(text, ' ')[i],
+                        'w2': string_split(text, ' ')[i + 1]}}),
+                  recursive := true)
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+), c AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt FROM bg GROUP BY 1, 2
+), m AS (
+    SELECT w1, w2, pair_cnt,
+           CAST(sum(pair_cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt,
+           CAST(sum(pair_cnt) OVER (PARTITION BY w2) AS BIGINT) AS w2_cnt,
+           CAST(sum(pair_cnt) OVER () AS BIGINT) AS total
+    FROM c
+), scored AS (
+    SELECT w1, w2, pair_cnt, w1_cnt, w2_cnt,
+           ln((CAST(pair_cnt AS DOUBLE) * total)
+              / (CAST(w1_cnt AS DOUBLE) * w2_cnt))
+               / (-ln(CAST(pair_cnt AS DOUBLE) / total)) AS npmi
+    FROM m WHERE pair_cnt >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, pair_cnt, w1_cnt, w2_cnt,
+       {stable_round_sql('npmi', 6)} AS npmi
+FROM scored
+ORDER BY npmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+""",
+        doc="Normalized pointwise mutual information over adjacent "
+        "token pairs: the standard collocation extractor ('new york'-"
+        "style multiword units) a tokenizer/vocab pipeline runs before "
+        "merging frequent pairs. npmi = pmi / -ln p(w1,w2) in [-1, 1]. "
+        "Bigrams pair adjacent tokens INSIDE the array (transform over "
+        "an index sequence, same as token_bigram_condprob — no "
+        "explode-then-self-join); marginal counts come from windows "
+        "over the AGGREGATED pair table, which is vocabulary^2-"
+        "bounded, not corpus-sized. At 100 TB the marginals should "
+        "come from two extra groupBys on the pair table (three "
+        "combinable shuffles of count rows) rather than whole-table "
+        "windows; at registry scale the window form keeps the plan "
+        "to one pass. Both engines evaluate the identical double "
+        "expression tree on identical bigint counts.",
+    )
+    def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = (
+            docs.where(F.size(F.split("text", " ")) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 1), "
+                        "i -> struct(try_element_at(split(text, ' '), i) AS w1, "
+                        "try_element_at(split(text, ' '), i + 1) AS w2))"
+                    )
+                ).alias("p")
+            )
+            .select("p.w1", "p.w2")
+        )
+        c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+        m = c.withColumns(
+            {
+                "w1_cnt": F.sum("pair_cnt").over(Window.partitionBy("w1")),
+                "w2_cnt": F.sum("pair_cnt").over(Window.partitionBy("w2")),
+                "total": F.sum("pair_cnt").over(Window.partitionBy()),
+            }
+        ).where(F.col("pair_cnt") >= PMI_MIN_COUNT)
+        pc = F.col("pair_cnt").cast("double")
+        pmi = F.log(
+            pc * F.col("total") / (F.col("w1_cnt").cast("double") * F.col("w2_cnt"))
+        )
+        npmi = pmi / (-F.log(pc / F.col("total")))
+        return (
+            m.withColumn("_npmi", npmi)
+            .orderBy(F.desc("_npmi"), "w1", "w2")
+            .limit(PMI_TOP_K)
+            .select(
+                "w1",
+                "w2",
+                "pair_cnt",
+                "w1_cnt",
+                "w2_cnt",
+                stable_round("_npmi", 6).alias("npmi"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "ngram_novelty_decay",
+        oracle="""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1] || ' ' ||
+                       string_split(text, ' ')[i + 2])) AS gram
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+), per_doc AS (
+    SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n_occ
+    FROM grams GROUP BY 1, 2
+), first_seen AS (
+    SELECT doc_id, gram, n_occ,
+           min(doc_id) OVER (PARTITION BY gram) AS first_doc
+    FROM per_doc
+)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+       CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+           AS n_novel,
+       floor(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+FROM first_seen GROUP BY 1
+""",
+        doc="Corpus diversity decay curve: for each document (in "
+        "doc_id ingestion order), the fraction of its distinct "
+        "3-grams never seen in any earlier document. A healthy "
+        "training corpus decays slowly; a scrape full of templated "
+        "pages collapses toward zero novelty — this is the curve "
+        "data-mixture teams plot before committing a crawl snapshot. "
+        "Novelty attribution is via min(doc_id) over the distinct "
+        "(doc, gram) table — one combinable pre-aggregate collapses "
+        "within-doc repeats BEFORE the gram-keyed shuffle, so the "
+        "window input is distinct-gram-bounded. At 100 TB the "
+        "min-per-gram would be a groupBy broadcast-joined back "
+        "(gram keys are too hot for a single window partition only "
+        "if one gram dominates; the distinct table is fine) — "
+        "documented swap, same result.",
+    )
+    def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        grams = (
+            docs.where(F.size(F.split("text", " ")) >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 2), "
+                        "i -> concat_ws(' ', "
+                        "try_element_at(split(text, ' '), i), "
+                        "try_element_at(split(text, ' '), i + 1), "
+                        "try_element_at(split(text, ' '), i + 2)))"
+                    )
+                ).alias("gram"),
+            )
+        )
+        per_doc = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("n_occ")
+        )
+        first = per_doc.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+        )
+        novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+        return first.groupBy("doc_id").agg(
+            F.sum("n_occ").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            novel.alias("n_novel"),
+            stable_round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+
+
+_register()

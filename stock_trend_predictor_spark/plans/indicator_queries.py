@@ -1,0 +1,438 @@
+"""Technical-indicator tier 2: ATR, OBV, momentum battery, banded
+Mann-Kendall trend test, and realized volatility.
+
+The reference is a stock TREND predictor whose feature pipeline stops
+at pct_change / rolling means computed row-at-a-time in pandas
+(reference features_engineering.py:1-60, ml_model/train_model.py:20-35
+labels movement from close deltas). This module supplies the rest of
+the standard trend-analysis toolbox a user of that pipeline would
+reach for next, each as pure Catalyst window expressions over ONE
+per-symbol sort — the same shuffle the ticks() view already pays, so
+every indicator here is marginal-shuffle-free at 100 TB.
+
+Determinism (the driver value-hashes Spark vs DuckDB):
+- Rolling sums accumulate in decimal over a uniquely-ordered
+  (ts, tick_id) window; min/max/lag pick exact input doubles.
+- sign() comparisons are exact (integer-summed), never float-summed.
+- ln() appears only inside stable_round(, 6) outputs (same contract as
+  the entropy/perplexity queries, hash-green since round 2).
+- Window aggregates are bound to real columns ONCE before deriving
+  indicators — Catalyst does not CSE window expressions (see the
+  rsi_cutler_14 note; inline reuse planned 37 sliding aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    DECIMAL_T,
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    load_table,
+    ticks,
+)
+
+#: squared log-returns are ~1e-6..1e-2; (27,18) keeps every stored
+#: digit exact so the sum is order-independent (same reasoning as
+#: quality_queries.ENTROPY_DECIMAL).
+RET2_DECIMAL = "decimal(27,18)"
+
+#: Mann-Kendall band width: pairs (t, t-k) for k = 1..MK_BAND.
+MK_BAND = 10
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    @register(
+        "atr_14_daily",
+        oracle=f"""
+WITH bars AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY 1, 2
+), tr AS (
+    SELECT symbol, bar_start, high, low, close,
+           greatest(
+               high - low,
+               abs(high - coalesce(lag(close) OVER w, high)),
+               abs(low - coalesce(lag(close) OVER w, low))) AS tr
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+), win AS (
+    SELECT symbol, bar_start, tr,
+           CAST(SUM(CAST(tr AS DECIMAL(27,6))) OVER v AS DOUBLE) AS s_tr,
+           COUNT(*) OVER v AS cnt
+    FROM tr
+    WINDOW v AS (PARTITION BY symbol ORDER BY bar_start
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_start,
+       {stable_round_sql('tr', 6)} AS true_range,
+       CASE WHEN cnt = 14
+            THEN {stable_round_sql('s_tr / 14', 6)} END AS atr14
+FROM win
+""",
+        doc="Average True Range (14) over daily bars: bars come from "
+        "the same min/max/arg_max resample as resample_ohlc_bars, the "
+        "true range folds the overnight gap in via the previous close "
+        "(first bar degrades to high-low), and ATR is the 14-bar SMA "
+        "of TR summed in decimal (the SMA variant over Wilder's "
+        "recursion for the same reason as rsi_cutler_14: one window "
+        "aggregate, scalable and oracle-exact). Two shuffles total — "
+        "the bar group-by and the per-symbol sort — and the bar table "
+        "is tiny (symbols x days), so the sort is nearly free at any "
+        "scale; the heavy work is the map-side-combinable resample.",
+    )
+    def atr_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        bars = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").alias("bar_start"),
+        ).agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+        w = Window.partitionBy("symbol").orderBy("bar_start")
+        bars = bars.withColumn("prev_close", F.lag("close").over(w))
+        tr = F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.coalesce("prev_close", "high")),
+            F.abs(F.col("low") - F.coalesce("prev_close", "low")),
+        )
+        bars = bars.withColumn("tr", tr)
+        v = (
+            Window.partitionBy("symbol")
+            .orderBy("bar_start")
+            .rowsBetween(-13, 0)
+        )
+        bars = bars.withColumns(
+            {
+                "_s": F.sum(F.col("tr").cast(DECIMAL_T)).over(v).cast("double"),
+                "_cnt": F.count(F.lit(1)).over(v),
+            }
+        )
+        return bars.select(
+            "symbol",
+            "bar_start",
+            stable_round("tr", 6).alias("true_range"),
+            F.when(
+                F.col("_cnt") == 14, stable_round(F.col("_s") / 14, 6)
+            ).alias("atr14"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "obv_tick_flow",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+dirs AS (
+    SELECT symbol, ts, tick_id, close,
+           CAST(sign(close - open) AS BIGINT) AS dir
+    FROM ticks WHERE open IS NOT NULL
+)
+SELECT symbol, ts, tick_id, close,
+       SUM(dir) OVER w AS obv_ticks,
+       CAST(SUM(CAST(dir * close AS DECIMAL(27,6))) OVER w AS DOUBLE)
+           AS obv_value
+FROM dirs
+WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        doc="On-balance volume per symbol. The reference's close-only "
+        "tick stream (data_collection/fetch_stock.py:54-58) carries no "
+        "volume field, so two documented proxies: obv_ticks "
+        "accumulates the up/down direction itself (volume = 1 per "
+        "tick, an exact integer sum), obv_value weights each tick by "
+        "its price level (direction x close, decimal-summed). Both "
+        "running sums share one per-symbol sort — the ticks() view's "
+        "existing shuffle — and accumulate exactly, so the cumulative "
+        "series is bit-identical cross-engine at any partitioning.",
+    )
+    def obv_tick_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        d = F.signum(F.col("close") - F.col("open")).cast("bigint")
+        t = t.withColumn("dir", d)
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            F.sum("dir").over(w).alias("obv_ticks"),
+            F.sum((F.col("dir") * F.col("close")).cast(DECIMAL_T))
+            .over(w)
+            .cast("double")
+            .alias("obv_value"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "roc_momentum_battery",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+win AS (
+    SELECT symbol, ts, tick_id, close,
+           lag(close, 10) OVER s AS close_10,
+           max(close) OVER v AS hh14,
+           min(close) OVER v AS ll14,
+           COUNT(*) OVER v AS cnt
+    FROM ticks
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id),
+           v AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, tick_id, close,
+       {stable_round_sql('close - close_10', 6)} AS momentum10,
+       CASE WHEN close_10 <> 0
+            THEN {stable_round_sql('100.0 * (close - close_10) / close_10', 6)}
+       END AS roc10,
+       CASE WHEN cnt = 14 AND hh14 <> ll14
+            THEN {stable_round_sql('-100.0 * (hh14 - close) / (hh14 - ll14)', 6)}
+       END AS williams_r14
+FROM win
+""",
+        doc="Momentum battery per symbol: 10-tick momentum (close "
+        "minus lag-10 close), 10-tick rate-of-change in percent — the "
+        "distributed form of the reference's pct_change feature "
+        "(features_engineering.py pct_change on the driver) — and "
+        "Williams %R over the last 14 closes (rolling max/min pick "
+        "exact input doubles, so no summation error exists at all). "
+        "The lag and the rolling extrema share one per-symbol sort; "
+        "rows before a full lookback yield NULL rather than a "
+        "truncated-window lie.",
+    )
+    def roc_momentum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        v = s.rowsBetween(-13, 0)
+        t = t.withColumns(
+            {
+                "close_10": F.lag("close", 10).over(s),
+                "hh14": F.max("close").over(v),
+                "ll14": F.min("close").over(v),
+                "cnt": F.count(F.lit(1)).over(v),
+            }
+        )
+        c, c10 = F.col("close"), F.col("close_10")
+        hh, ll = F.col("hh14"), F.col("ll14")
+        return t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            stable_round(c - c10, 6).alias("momentum10"),
+            F.when(c10 != 0, stable_round(100.0 * (c - c10) / c10, 6)).alias(
+                "roc10"
+            ),
+            F.when(
+                (F.col("cnt") == 14) & (hh != ll),
+                stable_round(-100.0 * (hh - c) / (hh - ll), 6),
+            ).alias("williams_r14"),
+        )
+
+    # ------------------------------------------------------------------
+    _mk_lag_cols = ",\n           ".join(
+        f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)
+    )
+    _mk_union = "\n    UNION ALL ".join(
+        f"SELECT symbol, close - c{k} AS diff FROM lagged WHERE c{k} IS NOT NULL"
+        for k in range(1, MK_BAND + 1)
+    )
+
+    @register(
+        "mann_kendall_banded",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+lagged AS (
+    SELECT symbol, close,
+           {_mk_lag_cols}
+    FROM ticks
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), pairs AS (
+    {_mk_union}
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       SUM(CAST(sign(diff) AS BIGINT)) AS s_stat,
+       {stable_round_sql('CAST(SUM(CAST(sign(diff) AS BIGINT)) AS DOUBLE)'
+                         ' / count(*)', 6)} AS trend_score
+FROM pairs GROUP BY 1
+""",
+        doc=f"Banded Mann-Kendall trend test per symbol: S = sum of "
+        f"sign(x_t - x_(t-k)) over all ticks and bands k = 1..{MK_BAND}. "
+        "The classic test sums over ALL O(n^2) pairs — quadratic per "
+        "key, unusable on a 100 TB hypertable — so this is the banded "
+        "restriction (only pairs within MK_BAND steps), which keeps "
+        "the monotone-trend signal, is linear in n, and needs exactly "
+        "one per-symbol sort producing all ten lag columns at once "
+        "(stack() unpivots, no re-sort per band). sign() is exact and "
+        "integer-summed, so S is bit-deterministic; trend_score = "
+        "S / n_pairs in [-1, 1] is the per-symbol monotony verdict — "
+        "the distributed, testable form of the reference's up/down "
+        "movement label (ml_model/train_model.py:20-35).",
+    )
+    def mann_kendall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        t = t.withColumns(
+            {f"c{k}": F.lag("close", k).over(s) for k in range(1, MK_BAND + 1)}
+        )
+        stack_args = ", ".join(f"c{k}" for k in range(1, MK_BAND + 1))
+        pairs = t.selectExpr(
+            "symbol",
+            "close",
+            f"stack({MK_BAND}, {stack_args}) AS ck",
+        ).where(F.col("ck").isNotNull())
+        sgn = F.signum(F.col("close") - F.col("ck")).cast("bigint")
+        return pairs.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(sgn).alias("s_stat"),
+            stable_round(
+                F.sum(sgn).cast("double") / F.count(F.lit(1)), 6
+            ).alias("trend_score"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "realized_vol_daily",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ln(close / open) AS r
+    FROM ticks
+    WHERE open IS NOT NULL AND open > 0 AND close > 0
+)
+SELECT symbol, day,
+       CAST(count(*) AS BIGINT) AS n_returns,
+       {stable_round_sql(
+           'sqrt(CAST(SUM(CAST(r * r AS DECIMAL(27,18))) AS DOUBLE))', 6)}
+           AS realized_vol,
+       {stable_round_sql(
+           'CAST(SUM(CAST(abs(r) AS DECIMAL(27,18))) AS DOUBLE) / count(*)',
+           6)} AS mean_abs_ret
+FROM rets GROUP BY 1, 2
+""",
+        doc="Realized volatility per symbol-day: sqrt of the sum of "
+        "squared tick-level log returns (the canonical realized-"
+        "variance estimator), plus mean absolute return. Log returns "
+        "come from the ticks() view's existing lag (open = previous "
+        "close), so the only new work is one map-side-combinable "
+        "aggregate — r^2 terms are summed in decimal(27,18) (they are "
+        "~1e-6; a (27,6) cast would zero them) making the sum order-"
+        "independent, and ln() sits inside the same stable_round(6) "
+        "contract the entropy queries have held hash-green since "
+        "round 2. Grouping is by the RETURN's day (boundary returns "
+        "attach to the later day) — documented, deterministic.",
+    )
+    def realized_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & (F.col("open") > 0) & (F.col("close") > 0)
+        )
+        r = F.log(F.col("close") / F.col("open"))
+        rets = t.select(
+            "symbol",
+            F.date_trunc("day", "ts").alias("day"),
+            r.alias("r"),
+        )
+        rr = F.col("r") * F.col("r")
+        return rets.groupBy("symbol", "day").agg(
+            F.count(F.lit(1)).alias("n_returns"),
+            stable_round(
+                F.sqrt(F.sum(rr.cast(RET2_DECIMAL)).cast("double")), 6
+            ).alias("realized_vol"),
+            stable_round(
+                F.sum(F.abs(F.col("r")).cast(RET2_DECIMAL)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_ret"),
+        )
+
+    # ------------------------------------------------------------------
+    _ts_union = "\n    UNION ALL ".join(
+        f"SELECT symbol, (close - c{k}) / {k}.0 AS slope"
+        f" FROM lagged WHERE c{k} IS NOT NULL"
+        for k in range(1, MK_BAND + 1)
+    )
+
+    @register(
+        "theil_sen_banded_slope",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+lagged AS (
+    SELECT symbol, close,
+           {_mk_lag_cols_sql()}
+    FROM ticks
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), slopes AS (
+    {_ts_union}
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_slopes,
+       {stable_round_sql('quantile_cont(slope, 0.5)', 6)} AS ts_slope,
+       {stable_round_sql('quantile_cont(slope, 0.25)', 6)} AS slope_q1,
+       {stable_round_sql('quantile_cont(slope, 0.75)', 6)} AS slope_q3
+FROM slopes GROUP BY 1
+""",
+        doc=f"Banded Theil-Sen trend estimator per symbol: the median "
+        f"of per-step slopes (x_t - x_(t-k)) / k over bands "
+        f"k = 1..{MK_BAND} — the robust companion to the banded "
+        "Mann-Kendall S (same banding rationale: the classic "
+        "all-pairs estimator is O(n^2) per key; the banded form keeps "
+        "the robustness to outlier ticks and is linear). The same "
+        "one-sort ten-lag stack feeds both queries. Median/quartiles "
+        "are exact interpolated percentiles over the slope multiset — "
+        "order-independent by definition, so no decimal trick is "
+        "needed; both engines sort the identical multiset and average "
+        "the identical middle doubles.",
+    )
+    def theil_sen_banded_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        t = t.withColumns(
+            {f"c{k}": F.lag("close", k).over(s) for k in range(1, MK_BAND + 1)}
+        )
+        stack_args = ", ".join(
+            f"(close - c{k}) / {k}.0D" for k in range(1, MK_BAND + 1)
+        )
+        slopes = t.selectExpr(
+            "symbol", f"stack({MK_BAND}, {stack_args}) AS slope"
+        ).where(F.col("slope").isNotNull())
+        return slopes.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_slopes"),
+            stable_round(F.percentile("slope", F.lit(0.5)), 6).alias(
+                "ts_slope"
+            ),
+            stable_round(F.percentile("slope", F.lit(0.25)), 6).alias(
+                "slope_q1"
+            ),
+            stable_round(F.percentile("slope", F.lit(0.75)), 6).alias(
+                "slope_q3"
+            ),
+        )
+
+
+def _mk_lag_cols_sql() -> str:
+    return ",\n           ".join(
+        f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)
+    )
+
+
+_register()

@@ -1,0 +1,163 @@
+"""Law tests for the round-3b query batch: indicator tier 2 (ATR, OBV,
+momentum battery, banded Mann-Kendall, realized volatility) and corpus
+statistics (chi-square keyness, Benford, Zipf).
+
+These complement the oracle-parity suite (which proves Spark == DuckDB
+bit-for-bit) with properties an oracle can't express: bounds, window
+gating, step-size invariants, and brute-force Python cross-checks.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from stock_trend_predictor_spark.plans import REGISTRY
+
+
+def _by_symbol(rows, key="symbol"):
+    out = defaultdict(list)
+    for r in rows:
+        out[getattr(r, key)].append(r)
+    return out
+
+
+def test_atr_gating_and_tr_floor(spark, sf_dir):
+    """TR >= high-low >= 0 by construction; ATR is NULL until a full
+    14-bar window exists (exactly 13 leading NULLs per symbol) and
+    positive afterwards."""
+    rows = REGISTRY["atr_14_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for sym, rs in _by_symbol(rows).items():
+        rs.sort(key=lambda r: r.bar_start)
+        nulls = [i for i, r in enumerate(rs) if r.atr14 is None]
+        assert nulls == list(range(min(13, len(rs)))), sym
+        for r in rs:
+            assert r.true_range >= -1e-9
+            if r.atr14 is not None:
+                assert r.atr14 > 0.0
+
+
+def test_obv_steps_and_consistency(spark, sf_dir):
+    """obv_ticks moves by exactly sign(close-open) each tick — steps
+    in {-1, 0, +1} — and the final value equals the sum of all
+    steps; obv_value's step magnitude is |close| of the same tick."""
+    rows = REGISTRY["obv_tick_flow"].fn(spark, sf_dir).collect()
+    assert rows
+    for sym, rs in _by_symbol(rows).items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        prev_t, prev_v = 0, 0.0
+        for r in rs:
+            step = r.obv_ticks - prev_t
+            assert step in (-1, 0, 1), sym
+            vstep = r.obv_value - prev_v
+            # decimal(27,6) truncation of dir*close -> 1e-6 tolerance
+            assert abs(abs(vstep) - (abs(r.close) if step else 0.0)) < 2e-6
+            prev_t, prev_v = r.obv_ticks, r.obv_value
+
+
+def test_momentum_battery_gates_and_bounds(spark, sf_dir):
+    """momentum/roc NULL for the first 10 rows per symbol; Williams %R
+    in [-100, 0] wherever defined; roc sign == momentum sign."""
+    rows = REGISTRY["roc_momentum_battery"].fn(spark, sf_dir).collect()
+    assert rows
+    for sym, rs in _by_symbol(rows).items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        for i, r in enumerate(rs):
+            if i < 10:
+                assert r.momentum10 is None and r.roc10 is None
+            if r.williams_r14 is not None:
+                assert -100.0 - 1e-9 <= r.williams_r14 <= 1e-9
+            if r.roc10 is not None and r.momentum10 is not None:
+                assert (r.roc10 > 0) == (r.momentum10 > 0) or r.momentum10 == 0
+
+
+def test_mann_kendall_pair_count_and_bounds(spark, sf_dir):
+    """n_pairs == sum over k=1..10 of max(n_sym - k, 0) (every banded
+    pair counted once); |S| <= n_pairs; trend_score == S/n_pairs."""
+    rows = REGISTRY["mann_kendall_banded"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_by_sym = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert rows
+    for r in rows:
+        n = n_by_sym[r.symbol]
+        expect_pairs = sum(max(n - k, 0) for k in range(1, 11))
+        assert r.n_pairs == expect_pairs
+        assert abs(r.s_stat) <= r.n_pairs
+        assert abs(r.trend_score - r.s_stat / r.n_pairs) < 1e-6
+        assert -1.0 <= r.trend_score <= 1.0
+
+
+def test_realized_vol_matches_python(spark, sf_dir):
+    """Brute-force the realized vol of every symbol-day in Python from
+    the raw events; the engine must agree to rounding tolerance."""
+    rows = REGISTRY["realized_vol_daily"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    expect = {}
+    for sym, ticks in series.items():
+        ticks.sort()
+        for (_, _, prev), (ts, _, cur) in zip(ticks, ticks[1:]):
+            if prev > 0 and cur > 0:
+                day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+                expect.setdefault((sym, day), []).append(math.log(cur / prev))
+    assert rows
+    for r in rows:
+        rets = expect[(r.symbol, r.day)]
+        assert r.n_returns == len(rets)
+        assert abs(r.realized_vol - math.sqrt(sum(x * x for x in rets))) < 1e-5
+        assert r.realized_vol >= 0.0
+
+
+def test_chi2_keyness_matches_python(spark, sf_dir):
+    """Brute-force the 2x2 chi-square per token in Python; the
+    engine's top-k set and statistics must agree."""
+    rows = REGISTRY["chi2_token_keyness"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    en, rest = Counter(), Counter()
+    for d in docs:
+        (en if d.lang == "en" else rest).update(d.text.split(" "))
+    ta, tb = sum(en.values()), sum(rest.values())
+    scored = []
+    for tok in set(en) | set(rest):
+        a, b = float(en[tok]), float(rest[tok])
+        if a + b < 5:
+            continue
+        c, d_ = ta - a, tb - b
+        chi2 = (ta + tb) * (a * d_ - b * c) ** 2 / ((a + b) * (c + d_) * ta * tb)
+        scored.append((chi2, tok, int(a), int(b)))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expect = scored[:50]
+    assert len(rows) == len(expect)
+    for r, (chi2, tok, a, b) in zip(rows, expect):
+        assert (r.token, r.en_count, r.rest_count) == (tok, a, b)
+        assert abs(r.chi2 - chi2) < 1e-5
+
+
+def test_benford_is_a_distribution(spark, sf_dir):
+    """Digits 1..9 each present, observed fractions sum to ~1, expected
+    fractions are exactly log10(1 + 1/d), chi2 terms nonnegative."""
+    rows = REGISTRY["benford_first_digit"].fn(spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.benford_frac - math.log10(1 + 1 / r.digit)) < 1e-5
+        assert r.chi2_term >= 0.0
+
+
+def test_zipf_slope_negative_and_topn(spark, sf_dir):
+    """Every language's fitted rank-frequency slope is negative (more
+    frequent tokens rank earlier by construction) and the fit uses at
+    most ZIPF_TOP_N points."""
+    from stock_trend_predictor_spark.plans.corpus_stats_queries import ZIPF_TOP_N
+
+    rows = REGISTRY["zipf_fit_per_lang"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_points <= ZIPF_TOP_N
+        assert r.zipf_slope < 0.0
