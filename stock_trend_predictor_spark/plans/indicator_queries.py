@@ -428,6 +428,117 @@ FROM slopes GROUP BY 1
             ),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "beta_vs_market_hourly",
+        oracle=f"""
+WITH hourly AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           arg_min(value, ts) AS first_px,
+           arg_max(value, ts) AS last_px
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT symbol, hour, (last_px - first_px) / first_px AS r
+    FROM hourly WHERE first_px > 0
+), market AS (
+    SELECT hour,
+           CAST(SUM(CAST(r AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS rm
+    FROM rets GROUP BY 1
+), joined AS (
+    SELECT s.symbol, s.r AS rs, m.rm FROM rets s JOIN market m USING (hour)
+), sums AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(rs AS DECIMAL(27,18))) AS DOUBLE) AS s_rs,
+           CAST(SUM(CAST(rm AS DECIMAL(27,18))) AS DOUBLE) AS s_rm,
+           CAST(SUM(CAST(rs * rm AS DECIMAL(27,18))) AS DOUBLE) AS s_rsrm,
+           CAST(SUM(CAST(rm * rm AS DECIMAL(27,18))) AS DOUBLE) AS s_rmrm,
+           CAST(SUM(CAST(rs * rs AS DECIMAL(27,18))) AS DOUBLE) AS s_rsrs
+    FROM joined GROUP BY 1
+)
+SELECT symbol, n AS n_hours,
+       {stable_round_sql(
+           '(n * s_rsrm - s_rs * s_rm) / (n * s_rmrm - s_rm * s_rm)', 6)}
+           AS beta,
+       {stable_round_sql(
+           '(s_rs - (n * s_rsrm - s_rs * s_rm)'
+           ' / (n * s_rmrm - s_rm * s_rm) * s_rm) / n', 6)} AS alpha,
+       {stable_round_sql(
+           '(n * s_rsrm - s_rs * s_rm)'
+           ' / sqrt((n * s_rmrm - s_rm * s_rm) * (n * s_rsrs - s_rs * s_rs))',
+           6)} AS corr_mkt
+FROM sums
+""",
+        doc="Per-symbol CAPM beta against the equal-weight market: "
+        "within-hour returns per symbol (arg_min/arg_max bar "
+        "endpoints), the market return as the cross-sectional mean "
+        "per hour, then beta/alpha/correlation from decimal-exact "
+        "sufficient sums. This is the cross-SECTIONAL companion to "
+        "the per-symbol indicators — the reference's per-ticker "
+        "pipeline (ml_model/train_model.py fits each symbol in "
+        "isolation) has no notion of market co-movement at all. "
+        "Shape at 100 TB: one combinable (symbol, hour) resample, "
+        "a market table of #hours rows (AQE broadcasts it back), one "
+        "combinable per-symbol aggregate — no window over the full "
+        "series, no driver state. Products of ~1e-3 returns are "
+        "summed at decimal(27,18) so every stored digit is exact.",
+    )
+    def beta_vs_market_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        ).agg(
+            F.min_by("value", "ts").alias("first_px"),
+            F.max_by("value", "ts").alias("last_px"),
+        )
+        rets = hourly.where(F.col("first_px") > 0).select(
+            "symbol",
+            "hour",
+            ((F.col("last_px") - F.col("first_px")) / F.col("first_px")).alias(
+                "r"
+            ),
+        )
+        dt = "decimal(27,18)"
+        market = rets.groupBy("hour").agg(
+            (F.sum(F.col("r").cast(dt)).cast("double") / F.count(F.lit(1))).alias(
+                "rm"
+            )
+        )
+        joined = rets.join(market, "hour").select(
+            "symbol", F.col("r").alias("rs"), "rm"
+        )
+        rs, rm = F.col("rs"), F.col("rm")
+        sums = joined.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rs.cast(dt)).cast("double").alias("s_rs"),
+            F.sum(rm.cast(dt)).cast("double").alias("s_rm"),
+            F.sum((rs * rm).cast(dt)).cast("double").alias("s_rsrm"),
+            F.sum((rm * rm).cast(dt)).cast("double").alias("s_rmrm"),
+            F.sum((rs * rs).cast(dt)).cast("double").alias("s_rsrs"),
+        )
+        n = F.col("n")
+        s_rs, s_rm = F.col("s_rs"), F.col("s_rm")
+        s_rsrm, s_rmrm, s_rsrs = (
+            F.col("s_rsrm"),
+            F.col("s_rmrm"),
+            F.col("s_rsrs"),
+        )
+        beta = (n * s_rsrm - s_rs * s_rm) / (n * s_rmrm - s_rm * s_rm)
+        return sums.select(
+            "symbol",
+            n.alias("n_hours"),
+            stable_round(beta, 6).alias("beta"),
+            stable_round((s_rs - beta * s_rm) / n, 6).alias("alpha"),
+            stable_round(
+                (n * s_rsrm - s_rs * s_rm)
+                / F.sqrt(
+                    (n * s_rmrm - s_rm * s_rm) * (n * s_rsrs - s_rs * s_rs)
+                ),
+                6,
+            ).alias("corr_mkt"),
+        )
+
 
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(

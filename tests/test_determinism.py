@@ -39,6 +39,13 @@ QUERIES = [
     "stochastic_oscillator_14",     # nested %K/%D windows
     "bpe_pair_merge_candidates",    # (count DESC, pair) top-50 cutoff
     "doc_bigram_perplexity",        # decimal(27,18) NLL sums
+    "atr_14_daily",                 # decimal TR window sums over bars
+    "theil_sen_banded_slope",       # percentile over the slope multiset
+    "realized_vol_daily",           # decimal(27,18) squared-return sums
+    "beta_vs_market_hourly",        # market mean join + sufficient sums
+    "chi2_token_keyness",           # unrounded-chi2 top-50 cut
+    "token_pmi_collocations",       # unrounded-npmi top-50 cut
+    "ngram_novelty_decay",          # min(doc_id) attribution per gram
 ]
 
 

@@ -114,6 +114,78 @@ def test_realized_vol_matches_python(spark, sf_dir):
         assert r.realized_vol >= 0.0
 
 
+def test_beta_vs_market_matches_python(spark, sf_dir):
+    """Brute-force hourly returns, the equal-weight market, and the
+    OLS beta per symbol in Python; the engine must agree."""
+    rows = REGISTRY["beta_vs_market_hourly"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    px = defaultdict(list)
+    for e in ev:
+        px[(e.event_type, e.ts.replace(minute=0, second=0, microsecond=0))].append(
+            (e.ts, e.value)
+        )
+    rets = {}
+    for (sym, hour), ticks in px.items():
+        ticks.sort()
+        first, last = ticks[0][1], ticks[-1][1]
+        if first > 0:
+            rets[(sym, hour)] = (last - first) / first
+    hours = defaultdict(list)
+    for (sym, hour), r in rets.items():
+        hours[hour].append(r)
+    market = {h: sum(rs) / len(rs) for h, rs in hours.items()}
+    per_sym = defaultdict(list)
+    for (sym, hour), r in rets.items():
+        per_sym[sym].append((r, market[hour]))
+    assert rows
+    for row in rows:
+        pairs = per_sym[row.symbol]
+        n = len(pairs)
+        s_rs = sum(p[0] for p in pairs)
+        s_rm = sum(p[1] for p in pairs)
+        s_rsrm = sum(p[0] * p[1] for p in pairs)
+        s_rmrm = sum(p[1] * p[1] for p in pairs)
+        beta = (n * s_rsrm - s_rs * s_rm) / (n * s_rmrm - s_rm * s_rm)
+        assert row.n_hours == n
+        assert abs(row.beta - beta) < 1e-4
+        assert abs(row.alpha - (s_rs - beta * s_rm) / n) < 1e-4
+        assert -1.0 - 1e-9 <= row.corr_mkt <= 1.0 + 1e-9
+
+
+def test_theil_sen_between_quartiles(spark, sf_dir):
+    """q1 <= median slope <= q3, and the slope count equals the
+    Mann-Kendall pair count (same banding)."""
+    ts_rows = {r.symbol: r for r in REGISTRY["theil_sen_banded_slope"].fn(spark, sf_dir).collect()}
+    mk_rows = {r.symbol: r for r in REGISTRY["mann_kendall_banded"].fn(spark, sf_dir).collect()}
+    assert ts_rows.keys() == mk_rows.keys()
+    for sym, r in ts_rows.items():
+        assert r.slope_q1 <= r.ts_slope <= r.slope_q3
+        assert r.n_slopes == mk_rows[sym].n_pairs
+
+
+def test_pmi_bounds_and_support(spark, sf_dir):
+    """npmi in [-1, 1]; every reported pair meets the support floor;
+    marginals dominate the pair count."""
+    rows = REGISTRY["token_pmi_collocations"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.npmi <= 1.0 + 1e-9
+        assert r.pair_cnt >= 5
+        assert r.w1_cnt >= r.pair_cnt and r.w2_cnt >= r.pair_cnt
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The lowest doc_id has novelty 1.0 by definition; novelty is a
+    valid fraction and n_novel <= n_distinct_grams everywhere."""
+    rows = REGISTRY["ngram_novelty_decay"].fn(spark, sf_dir).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_distinct_grams <= r.n_grams
+
+
 def test_chi2_keyness_matches_python(spark, sf_dir):
     """Brute-force the 2x2 chi-square per token in Python; the
     engine's top-k set and statistics must agree."""
