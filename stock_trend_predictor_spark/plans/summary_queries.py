@@ -279,6 +279,76 @@ GROUP BY p.i, p.j
             F.col("n").alias("n"),
         )
 
+    @register(
+        "embedding_pca_projection",
+        oracle=None,  # eigendecomposition is not SQL-expressible;
+        # numpy cross-check law in tests/test_summaries.py
+        doc="PCA projection of every embedding onto the top-2 "
+        "principal components — the distributed back half of the "
+        "covariance query: the d x d moment matrix (a model-sized "
+        "driver artifact, same policy as IVF centroids) is "
+        "eigendecomposed on the driver, the two leading eigenvectors "
+        "are sign-fixed (largest-|component| entry made positive, so "
+        "the output is unique) and broadcast as array literals, and "
+        "each row's coordinates are a JVM-side zip_with/aggregate dot "
+        "product minus the precomputed mean offset — no Python, no "
+        "shuffle in the projection pass at all. At 100 TB: one "
+        "gram-partial pass (d^2 doubles per partition) + one narrow "
+        "map — the standard large-scale PCA shape. Also emits each "
+        "component's explained-variance ratio as constant columns so "
+        "the projection is self-describing.",
+    )
+    def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+
+        from stock_trend_predictor_spark.operators.summaries import (
+            gram_partials,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        agg = (
+            gram_partials(emb, vec_col="embedding")
+            .groupBy("i", "j")
+            .agg(
+                F.sum("sxy").alias("sxy"),
+                F.sum("si").alias("si"),
+                F.sum("n").alias("n"),
+            )
+            .collect()  # d*(d+1)/2 rows — parameter-sized by design
+        )
+        d = max(r.j for r in agg) + 1
+        n = agg[0].n
+        sxy = np.zeros((d, d))
+        si = np.zeros(d)
+        for r in agg:
+            sxy[r.i, r.j] = sxy[r.j, r.i] = r.sxy
+            if r.i == r.j:
+                si[r.i] = r.si
+        mu = si / n
+        cov = (sxy - np.outer(si, si) / n) / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1]
+        evals, evecs = evals[order], evecs[:, order]
+        comps = []
+        for k in range(2):
+            v = evecs[:, k]
+            pivot = int(np.argmax(np.abs(v)))  # ties: lowest index wins
+            comps.append(v if v[pivot] > 0 else -v)
+        evr = evals[:2] / evals.sum()
+
+        x = F.col("embedding").cast("array<double>")
+        cols = {"vec_id": F.col("vec_id"), "label": F.col("label")}
+        for k, v in enumerate(comps, start=1):
+            lit_v = F.array(*[F.lit(float(w)) for w in v])
+            dot = F.aggregate(
+                F.zip_with(x, lit_v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+            cols[f"pc{k}"] = stable_round(dot - float(np.dot(mu, comps[k - 1])), 6)
+            cols[f"evr{k}"] = stable_round(F.lit(float(evr[k - 1])), 6)
+        return emb.select(*[c.alias(name) for name, c in cols.items()])
+
     hash28_sql_mod = (
         hash28_sql("token || '#' || CAST(j AS VARCHAR)") + f" % {CMS_WIDTH}"
     )

@@ -158,3 +158,33 @@ def test_ivf_semantic_dedup_recall(spark, sf_dir):
     assert got <= truth  # exact-verify step => no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """The distributed PCA projection must equal numpy's: same top-2
+    eigenvectors (after the same sign fix), same centered dot
+    products, and a valid explained-variance split."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["embedding_pca_projection"].fn(spark, sf_dir).collect()
+    x = _np_embeddings(spark, sf_dir)
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    comps = []
+    for k in range(2):
+        v = evecs[:, k]
+        piv = int(np.argmax(np.abs(v)))
+        comps.append(v if v[piv] > 0 else -v)
+    proj = (x - mu) @ np.stack(comps, axis=1)
+    got = {r.vec_id: r for r in rows}
+    assert len(got) == x.shape[0]
+    for i in range(x.shape[0]):
+        r = got[i]
+        assert abs(r.pc1 - proj[i, 0]) < 1e-4, i
+        assert abs(r.pc2 - proj[i, 1]) < 1e-4, i
+    one = rows[0]
+    assert one.evr1 >= one.evr2 > 0.0
+    assert one.evr1 + one.evr2 <= 1.0 + 1e-9
