@@ -540,6 +540,198 @@ FROM sums
         )
 
 
+    # ------------------------------------------------------------------
+    @register(
+        "seasonal_decompose_hod",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+trended AS (
+    SELECT symbol, ts, tick_id, close,
+           CASE WHEN COUNT(*) OVER w = 25 THEN
+               CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER w AS DOUBLE) / 25
+           END AS trend
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), det AS (
+    SELECT symbol, ts, tick_id, close, trend,
+           close - trend AS detrended,
+           CAST(hour(ts) AS BIGINT) AS hod
+    FROM trended
+), seas AS (
+    SELECT symbol, hod,
+           CAST(SUM(CAST(detrended AS DECIMAL(27,6))) AS DOUBLE)
+               / count(detrended) AS seasonal
+    FROM det WHERE detrended IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.symbol, d.ts, d.tick_id, d.close,
+       {stable_round_sql('d.trend', 6)} AS trend,
+       {stable_round_sql('s.seasonal', 6)} AS seasonal,
+       {stable_round_sql('d.detrended - s.seasonal', 6)} AS residual
+FROM det d LEFT JOIN seas s ON s.symbol = d.symbol AND s.hod = d.hod
+""",
+        doc="Classical seasonal decomposition per symbol: trend = "
+        "centered 25-tick moving average (NULL at the edges — never a "
+        "truncated-window lie), seasonal = the mean detrended value "
+        "per (symbol, hour-of-day), residual = the rest. The additive "
+        "decompose every forecasting pipeline runs before modeling; "
+        "the reference's features stop at raw rolling means. One "
+        "symbol sort for the trend window, one 24-row-per-symbol "
+        "seasonal aggregate joined back (AQE broadcast), all sums "
+        "decimal-exact. The hour-of-day seasonal table is symbols x "
+        "24 rows at ANY data scale.",
+    )
+    def seasonal_decompose_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(-12, 12)
+        )
+        t = t.withColumns(
+            {
+                "_s": F.sum(F.col("close").cast(DECIMAL_T)).over(w).cast(
+                    "double"
+                ),
+                "_cnt": F.count(F.lit(1)).over(w),
+            }
+        )
+        det = t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            F.when(F.col("_cnt") == 25, F.col("_s") / 25).alias("trend"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        ).withColumn("detrended", F.col("close") - F.col("trend"))
+        seas = (
+            det.where(F.col("detrended").isNotNull())
+            .groupBy("symbol", "hod")
+            .agg(
+                (
+                    F.sum(F.col("detrended").cast(DECIMAL_T)).cast("double")
+                    / F.count("detrended")
+                ).alias("seasonal")
+            )
+        )
+        return det.join(seas, ["symbol", "hod"], "left").select(
+            "symbol",
+            "ts",
+            "tick_id",
+            "close",
+            stable_round("trend", 6).alias("trend"),
+            stable_round("seasonal", 6).alias("seasonal"),
+            stable_round(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "changepoint_binary_split",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+pre AS (
+    SELECT symbol, ts, tick_id, close,
+           CAST(row_number() OVER s AS BIGINT) AS k,
+           CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER s AS DOUBLE) AS sk,
+           CAST(SUM(CAST(close * close AS DECIMAL(27,6))) OVER s AS DOUBLE)
+               AS ssk
+    FROM ticks
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(close AS DECIMAL(27,6))) AS DOUBLE) AS sn,
+           CAST(SUM(CAST(close * close AS DECIMAL(27,6))) AS DOUBLE) AS ssn
+    FROM ticks GROUP BY 1
+), gains AS (
+    SELECT p.symbol, p.ts, p.k, t.n,
+           (t.ssn - t.sn * t.sn / t.n)
+           - ((p.ssk - p.sk * p.sk / p.k)
+              + ((t.ssn - p.ssk)
+                 - (t.sn - p.sk) * (t.sn - p.sk) / (t.n - p.k))) AS gain,
+           p.sk / p.k AS left_mean,
+           (t.sn - p.sk) / (t.n - p.k) AS right_mean
+    FROM pre p JOIN tot t USING (symbol)
+    WHERE p.k < t.n
+), best AS (
+    SELECT *, row_number() OVER (PARTITION BY symbol
+                                 ORDER BY gain DESC, k) AS rk
+    FROM gains
+)
+SELECT symbol, k AS split_k, ts AS split_ts,
+       {stable_round_sql('gain', 6)} AS sse_gain,
+       {stable_round_sql('left_mean', 6)} AS left_mean,
+       {stable_round_sql('right_mean', 6)} AS right_mean
+FROM best WHERE rk = 1
+""",
+        doc="Single change-point detection per symbol (binary "
+        "segmentation, first split): the split k maximizing the SSE "
+        "reduction between one-segment and two-segment mean models — "
+        "computed for EVERY candidate split from decimal-exact prefix "
+        "sums (Sk, SSk) against the per-symbol totals, then argmax "
+        "via one rank window with a deterministic (gain DESC, k) "
+        "tiebreak. This is the O(n)-per-key form: no nested loop, no "
+        "per-candidate rescan — one prefix-sum sort, a totals "
+        "broadcast, a rank. Iterating it top-down gives full binary "
+        "segmentation; each round is this same plan on the segment "
+        "table. Both engines compute identical doubles from identical "
+        "exact prefix sums, so the argmax row matches exactly.",
+    )
+    def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        s = (
+            Window.partitionBy("symbol")
+            .orderBy("ts", "tick_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = F.col("close")
+        pre = t.withColumns(
+            {
+                "k": F.row_number()
+                .over(Window.partitionBy("symbol").orderBy("ts", "tick_id"))
+                .cast("bigint"),
+                "sk": F.sum(c.cast(DECIMAL_T)).over(s).cast("double"),
+                "ssk": F.sum((c * c).cast(DECIMAL_T)).over(s).cast("double"),
+            }
+        )
+        tot = t.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(c.cast(DECIMAL_T)).cast("double").alias("sn"),
+            F.sum((c * c).cast(DECIMAL_T)).cast("double").alias("ssn"),
+        )
+        g = pre.join(tot, "symbol").where(F.col("k") < F.col("n"))
+        k, n = F.col("k"), F.col("n")
+        sk, ssk = F.col("sk"), F.col("ssk")
+        sn, ssn = F.col("sn"), F.col("ssn")
+        gain = (ssn - sn * sn / n) - (
+            (ssk - sk * sk / k) + ((ssn - ssk) - (sn - sk) * (sn - sk) / (n - k))
+        )
+        g = g.withColumns(
+            {
+                "gain": gain,
+                "left_mean": sk / k,
+                "right_mean": (sn - sk) / (n - k),
+            }
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("symbol").orderBy(F.desc("gain"), "k")
+        )
+        return (
+            g.withColumn("rk", rk)
+            .where(F.col("rk") == 1)
+            .select(
+                "symbol",
+                F.col("k").alias("split_k"),
+                F.col("ts").alias("split_ts"),
+                stable_round("gain", 6).alias("sse_gain"),
+                stable_round("left_mean", 6).alias("left_mean"),
+                stable_round("right_mean", 6).alias("right_mean"),
+            )
+        )
+
+
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(
         f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)

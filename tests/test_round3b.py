@@ -233,3 +233,54 @@ def test_zipf_slope_negative_and_topn(spark, sf_dir):
     for r in rows:
         assert 0 < r.n_points <= ZIPF_TOP_N
         assert r.zipf_slope < 0.0
+
+
+def test_seasonal_decompose_identity_and_gates(spark, sf_dir):
+    """trend is NULL at the first/last 12 rows per symbol; wherever
+    trend is defined, close == trend + seasonal + residual (to
+    rounding); per-(symbol,hod) residual means are ~0."""
+    rows = REGISTRY["seasonal_decompose_hod"].fn(spark, sf_dir).collect()
+    assert rows
+    resid = defaultdict(list)
+    for sym, rs in _by_symbol(rows).items():
+        rs.sort(key=lambda r: (r.ts, r.tick_id))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            if i < 12 or i >= n - 12:
+                assert r.trend is None, (sym, i)
+            else:
+                assert r.trend is not None
+                assert abs(r.close - (r.trend + r.seasonal + r.residual)) < 5e-6
+                resid[(sym, r.ts.hour)].append(r.residual)
+    for key, vals in resid.items():
+        assert abs(sum(vals) / len(vals)) < 1e-4, key
+
+
+def test_changepoint_matches_python_bruteforce(spark, sf_dir):
+    """The argmax split equals an O(n^2)-free Python prefix-sum brute
+    force per symbol, and the SSE gain is nonnegative."""
+    rows = {r.symbol: r for r in REGISTRY["changepoint_binary_split"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert rows
+    for sym, ticks in series.items():
+        ticks.sort()
+        xs = [t[2] for t in ticks]
+        n = len(xs)
+        sn, ssn = sum(xs), sum(x * x for x in xs)
+        best = None
+        sk = ssk = 0.0
+        for k in range(1, n):
+            sk += xs[k - 1]
+            ssk += xs[k - 1] * xs[k - 1]
+            gain = (ssn - sn * sn / n) - (
+                (ssk - sk * sk / k) + ((ssn - ssk) - (sn - sk) ** 2 / (n - k))
+            )
+            if best is None or gain > best[0] + 1e-9:
+                best = (gain, k)
+        r = rows[sym]
+        assert r.split_k == best[1], sym
+        assert abs(r.sse_gain - best[0]) < 1e-3
+        assert r.sse_gain >= 0.0
