@@ -301,3 +301,54 @@ def test_indicator_windows_planned_once(spark):
 
     wes = set(re.findall(r"_we\d+", plan))
     assert len(wes) <= 6, sorted(wes)
+
+
+def test_mann_kendall_single_exchange(spark):
+    """All ten lag columns and the sign aggregate must ride ONE
+    symbol exchange — extra exchanges mean the stack re-sorted."""
+    plan = _plan(spark, "mann_kendall_banded")
+    assert plan.count("Exchange") <= 2  # sort shuffle + final agg
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window ") <= 1  # one lag batch
+
+
+def test_theil_sen_shares_the_lag_plan(spark):
+    """Same banding, same single-sort shape as Mann-Kendall."""
+    plan = _plan(spark, "theil_sen_banded_slope")
+    assert plan.count("Window ") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_changepoint_no_rescan_per_candidate(spark):
+    """Prefix sums + a totals join + one rank — never a nested loop
+    over candidate splits."""
+    plan = _plan(spark, "changepoint_binary_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window ") <= 3  # prefix sums batch + rank
+
+
+def test_beta_market_table_broadcast(spark):
+    """The per-hour market table must come back as a broadcast join,
+    not a shuffled SMJ against the returns."""
+    plan = _plan(spark, "beta_vs_market_hourly")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keyness_windows_on_aggregated_counts(spark):
+    """chi2/PMI marginals must window over the aggregated count table
+    (post-HashAggregate), and the top-50 must be a heap cut."""
+    for name in ("chi2_token_keyness", "token_pmi_collocations"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_novelty_preaggregates_before_gram_shuffle(spark):
+    """The (doc, gram) distinct pre-aggregate must run before the
+    gram-keyed exchange so within-doc repeats never shuffle, and no
+    document text may enter an exchange."""
+    plan = _plan(spark, "ngram_novelty_decay")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 4
