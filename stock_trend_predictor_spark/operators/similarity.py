@@ -178,3 +178,79 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of per-query candidates.
+
+    ``candidates`` is (query_id, neighbor_id, sim) — the output shape
+    of :func:`brute_force_topk` / :func:`lsh_topk`. Each query's
+    candidate set is joined back to its vectors (one neighbor_id-keyed
+    equi-join) and re-ranked in ONE Arrow batch per query with the
+    greedy MMR rule: pick argmax of
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``,
+    k times. The right distributed split for this operator: candidate
+    GENERATION scales with the corpus (broadcast queries, narrow scan,
+    heap top-N); the selection is O(k * |candidates| * dim) per query
+    on a bounded candidate set — Arrow-local, never a shuffle.
+
+    Deterministic: candidates are processed in neighbor_id order and
+    numpy argmax takes the first maximum, so exact score ties select
+    the lowest neighbor_id; selection order is the output rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand_vecs = candidates.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("cv"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "sim", "cv")
+
+    out_schema = (
+        "query_id long, neighbor_id long, relevance double, "
+        "mmr_score double, mmr_rank int"
+    )
+
+    def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        x = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        sims = (x @ x.T) / np.outer(norms, norms)
+        rel = pdf["sim"].to_numpy().astype(np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_to_sel = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            penalty = np.where(
+                np.isfinite(max_to_sel), max_to_sel, 0.0
+            ) * (1.0 - lam)
+            mmr = lam * rel - (penalty if chosen else 0.0)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))
+            chosen.append(best)
+            scores.append(float(mmr_masked[best]))
+            avail[best] = False
+            max_to_sel = np.maximum(max_to_sel, sims[:, best])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[chosen].to_numpy(),
+                "relevance": rel[chosen],
+                "mmr_score": np.array(scores),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand_vecs.groupBy("query_id").applyInPandas(select_mmr, out_schema)

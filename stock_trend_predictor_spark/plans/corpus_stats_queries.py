@@ -39,6 +39,10 @@ ZIPF_TOP_N = 200
 #: PMI support floor and report size.
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
+#: fixed phrase for the positional search demo (both tokens are in the
+#: synthetic corpus vocabulary).
+PHRASE_W1 = "table"
+PHRASE_W2 = "scan"
 
 
 def _register():
@@ -459,6 +463,59 @@ FROM first_seen GROUP BY 1
             stable_round(
                 novel.cast("double") / F.count(F.lit(1)), 6
             ).alias("novelty"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "phrase_search_positional",
+        oracle=f"""
+WITH hits AS (
+    SELECT doc_id,
+           list_filter(range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] = '{PHRASE_W1}'
+                            AND string_split(text, ' ')[i + 1]
+                                = '{PHRASE_W2}') AS pos_list
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(pos_list) AS BIGINT) AS n_matches,
+       CAST(pos_list[1] AS BIGINT) AS first_pos
+FROM hits WHERE len(pos_list) > 0
+""",
+        doc=f"Positional phrase search for the exact phrase "
+        f"'{PHRASE_W1} {PHRASE_W2}': the Spark side runs the REAL "
+        "inverted-index shape — posexplode to (doc_id, pos, token) "
+        "postings, filter each term's posting list, equi-join on "
+        "(doc_id, pos + 1 = pos) — the positional-AND every search "
+        "engine executes; only (doc_id, pos) pairs for the two terms "
+        "ever shuffle, never text. The DuckDB oracle computes the "
+        "same matches as a per-document array expression, so the "
+        "equality also proves the index path == the scan path. At "
+        "100 TB the postings would be the materialized "
+        "inverted_index_postings table bucketed by token; this query "
+        "is its consumption pattern.",
+    )
+    def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        p1 = toks.where(F.col("token") == PHRASE_W1).select(
+            "doc_id", F.col("pos").alias("pos1")
+        )
+        p2 = toks.where(F.col("token") == PHRASE_W2).select(
+            "doc_id", F.col("pos").alias("pos2")
+        )
+        hits = p1.join(
+            p2,
+            (p1["doc_id"] == p2["doc_id"])
+            & (p2["pos2"] == p1["pos1"] + F.lit(1)),
+        ).select(p1["doc_id"], "pos1")
+        return hits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            # 1-based to match the oracle's list indexing
+            (F.min("pos1") + F.lit(1)).cast("bigint").alias("first_pos"),
         )
 
 

@@ -336,5 +336,33 @@ FROM pairs
             ).alias("centroid_cos"),
         )
 
+    @register(
+        "mmr_diverse_topk",
+        oracle=None,  # greedy set-valued recursion is not SQL-
+        # expressible; exact-equality Python law in tests/test_similarity.py
+        doc="Maximal Marginal Relevance diverse top-10 for the same 8 "
+        "query vectors as knn_bruteforce_cosine: exact top-50 "
+        "candidates per query (broadcast queries, narrow corpus scan, "
+        "heap cut), then the greedy lam=0.7 MMR selection inside ONE "
+        "Arrow batch per query (operators/similarity.py::mmr_rerank). "
+        "The curation/retrieval operator that stops near-duplicate "
+        "neighbors from crowding a result set — candidate generation "
+        "scales with the corpus, the k x 50 x dim selection never "
+        "shuffles. Deterministic: ties select the lowest neighbor_id.",
+    )
+    def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import mmr_rerank
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cands = brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=50)
+        res = mmr_rerank(cands, emb, k=10, lam=0.7)
+        return res.select(
+            "query_id",
+            "neighbor_id",
+            stable_round(F.col("relevance"), 6).alias("relevance"),
+            stable_round(F.col("mmr_score"), 6).alias("mmr_score"),
+            "mmr_rank",
+        )
+
 
 _register()

@@ -83,3 +83,82 @@ def test_vectorized_matches_expression(spark, emb):
     for a, b in zip(expr_top, np_top):
         # BLAS vs sequential fold: identical to ~1e-12 relative
         assert abs(a["sim"] - b["sim"]) < 1e-9
+
+
+def test_mmr_selection_matches_python(spark, sf_dir):
+    """The distributed MMR re-rank must equal an exact greedy Python
+    MMR over the same candidates: same ids, same order, same scores."""
+    import numpy as np
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    got = REGISTRY["mmr_diverse_topk"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=50).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    lam = 0.7
+    by_q = {}
+    for r in cands:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.sim))
+    expect = {}
+    for q, cl in by_q.items():
+        cl.sort()  # neighbor_id order == operator's tie-break order
+        ids = [c[0] for c in cl]
+        rel = np.array([c[1] for c in cl])
+        x = np.stack([vecs[i] for i in ids])
+        norms = np.linalg.norm(x, axis=1)
+        sims = (x @ x.T) / np.outer(norms, norms)
+        chosen, max_to_sel = [], np.full(len(ids), -np.inf)
+        avail = np.ones(len(ids), dtype=bool)
+        sel = []
+        for _ in range(10):
+            pen = np.where(np.isfinite(max_to_sel), max_to_sel, 0.0) * (1 - lam)
+            mmr = lam * rel - (pen if chosen else 0.0)
+            mmr = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr))
+            chosen.append(best)
+            sel.append((ids[best], float(mmr[best])))
+            avail[best] = False
+            max_to_sel = np.maximum(max_to_sel, sims[:, best])
+        expect[q] = sel
+    assert got
+    for r in got:
+        nid, score = expect[r.query_id][r.mmr_rank - 1]
+        assert r.neighbor_id == nid, (r.query_id, r.mmr_rank)
+        assert abs(r.mmr_score - score) < 1e-5
+    # diversity sanity: MMR must not simply replay the relevance order
+    knn = {(r.query_id, r.rank): r.neighbor_id
+           for r in REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).collect()}
+    mmr_order = {(r.query_id, r.mmr_rank): r.neighbor_id for r in got}
+    assert any(
+        knn.get(k) != mmr_order.get(k) for k in mmr_order
+    ), "MMR output identical to pure-relevance ranking"
+
+
+def test_phrase_search_matches_python(spark, sf_dir):
+    """Positional-index join == Python substring-over-token scan."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+    from stock_trend_predictor_spark.plans.corpus_stats_queries import (
+        PHRASE_W1,
+        PHRASE_W2,
+    )
+
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in REGISTRY["phrase_search_positional"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expect = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        pos = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE_W1 and toks[i + 1] == PHRASE_W2
+        ]
+        if pos:
+            expect[d.doc_id] = (len(pos), pos[0])
+    assert got == expect and got  # non-empty at every SF
