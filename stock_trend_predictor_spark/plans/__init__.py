@@ -19,6 +19,7 @@ from stock_trend_predictor_spark.plans import summary_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import text_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import timeseries_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import tpch_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import trend_queries  # noqa: F401 (after signal/indicator: composes their oracles)
 from stock_trend_predictor_spark.plans.registry import (
     REGISTRY,
     Query,

@@ -284,3 +284,23 @@ def test_changepoint_matches_python_bruteforce(spark, sf_dir):
         assert r.split_k == best[1], sym
         assert abs(r.sse_gain - best[0]) < 1e-3
         assert r.sse_gain >= 0.0
+
+
+def test_trend_consensus_votes_consistent_with_components(spark, sf_dir):
+    """up_votes must equal the recomputed vote sum from the component
+    queries, and the verdict must follow the 3/1 thresholds."""
+    rows = REGISTRY["trend_consensus_verdict"].fn(spark, sf_dir).collect()
+    mk = {r.symbol: r.trend_score for r in REGISTRY["mann_kendall_banded"].fn(spark, sf_dir).collect()}
+    assert rows and set(mk) == {r.symbol for r in rows}
+    for r in rows:
+        votes = (
+            (1 if r.trend_score > 0.02 else 0)
+            + (1 if r.ts_slope > 0 else 0)
+            + (1 if r.rsi_last > 50 else 0)
+            + (1 if r.obv_last > 0 else 0)
+        )
+        assert r.up_votes == votes
+        assert r.trend_score == mk[r.symbol]
+        expect = "up" if votes >= 3 else ("down" if votes <= 1 else "mixed")
+        assert r.verdict == expect
+        assert 0.0 <= r.rsi_last <= 100.0
