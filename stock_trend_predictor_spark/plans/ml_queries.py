@@ -371,5 +371,61 @@ GROUP BY symbol, bin
             ),
         )
 
+    @register(
+        "logistic_movement_irls",
+        oracle=None,  # iterative GLM — not SQL-expressible; exact
+        # algorithm replication law in tests/test_ml.py
+        doc="Distributed logistic regression via IRLS on the movement "
+        "label (up if this tick's delta > 0) from the previous three "
+        "tick deltas — the classifier form of the reference's movement "
+        "prediction (ml_model/train_model.py), fitted WITHOUT the "
+        "driver-resident frame: each of 4 Newton steps is one "
+        "map-side-combinable shuffle of the d x d weighted moments "
+        "(decimal(27,18) sums — order-independent), a 4 x 4 driver "
+        "solve, and a broadcast of the new coefficients "
+        "(ml/irls.py::fit_logistic_irls). Output: one row per "
+        "coefficient with the shared fit metrics; rows-only (the "
+        "Python law test replays the identical algorithm).",
+    )
+    def logistic_movement_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from stock_trend_predictor_spark.ml.irls import fit_logistic_irls
+
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        w = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        t = t.withColumn("delta", F.col("close") - F.col("open")).withColumns(
+            {f"d{k}": F.lag("delta", k).over(w) for k in (1, 2, 3)}
+        )
+        feats = t.where(
+            F.col("d1").isNotNull()
+            & F.col("d2").isNotNull()
+            & F.col("d3").isNotNull()
+        ).select(
+            "d1", "d2", "d3", (F.col("delta") > 0).cast("int").alias("up")
+        )
+        # 4 IRLS passes + the metrics pass re-read this frame — share
+        # the lag computation once instead of replaying the sort 5x.
+        feats = materialize_once(feats)
+        beta, metrics = fit_logistic_irls(
+            feats, ["d1", "d2", "d3"], "up", iters=4
+        )
+        names = ["intercept", "d1", "d2", "d3"]
+        rows = [
+            (
+                name,
+                float(b),
+                int(metrics["n_rows"]),
+                float(metrics["accuracy"]),
+                float(metrics["logloss"]),
+            )
+            for name, b in zip(names, beta)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "feature string, beta double, n_rows long, "
+            "accuracy double, logloss double",
+        )
+
 
 _register()

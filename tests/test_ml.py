@@ -185,3 +185,53 @@ def test_pickled_blob_model_registry_entry(spark, sf_dir):
     assert {"o_custkey", "o_orderkey", "n_rows", "predicted", "residual"} == set(
         df.columns
     )
+
+
+def test_irls_logistic_matches_numpy_replay(spark, sf_dir):
+    """The distributed IRLS fit must match a numpy replay of the same
+    4 Newton steps on the same rows (tolerance = libm exp ULP drift),
+    and the fitted train logloss must beat the uninformed ln(2)."""
+    import math
+
+    import numpy as np
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["logistic_movement_irls"].fn(spark, sf_dir).collect()
+    got = {r.feature: r for r in rows}
+    assert set(got) == {"intercept", "d1", "d2", "d3"}
+
+    # rebuild the identical training frame in python
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = {}
+    for e in ev:
+        series.setdefault(e.event_type, []).append((e.ts, e.event_id, e.value))
+    X, y = [], []
+    for sym, ticks in series.items():
+        ticks.sort()
+        deltas = [b[2] - a[2] for a, b in zip(ticks, ticks[1:])]
+        for i in range(3, len(deltas)):
+            X.append([1.0, deltas[i - 1], deltas[i - 2], deltas[i - 3]])
+            y.append(1.0 if deltas[i] > 0 else 0.0)
+    X, y = np.array(X), np.array(y)
+    assert len(y) == got["intercept"].n_rows
+
+    beta = np.zeros(4)
+    for _ in range(4):
+        eta = X @ beta
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = p * (1 - p)
+        z = eta + (y - p) / w
+        a = (X * w[:, None]).T @ X
+        b = (X * w[:, None]).T @ z
+        beta = np.linalg.solve(a, b)
+    for i, name in enumerate(["intercept", "d1", "d2", "d3"]):
+        assert abs(got[name].beta - beta[i]) < 1e-5, name
+
+    eta = X @ beta
+    p = 1.0 / (1.0 + np.exp(-eta))
+    ll = -(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12)).mean()
+    r = got["intercept"]
+    assert abs(r.logloss - ll) < 1e-6
+    assert r.logloss < math.log(2.0)
+    assert abs(r.accuracy - ((p >= 0.5) == y).mean()) < 1e-9
