@@ -427,5 +427,42 @@ GROUP BY symbol, bin
             "accuracy double, logloss double",
         )
 
+    @register(
+        "isotonic_calibration_pava",
+        oracle=None,  # PAVA's stack recursion is not SQL-expressible;
+        # sklearn-free Python replay law in tests/test_ml.py
+        doc="Per-symbol isotonic calibration of the closed-form "
+        "model's predictions via pool-adjacent-violators "
+        "(ml/isotonic.py): the best MONOTONE least-squares step map "
+        "from predicted to actual close — the calibration layer "
+        "model_calibration_bins's fixed deciles approximate. Exact-"
+        "tie predictions pool in a decimal-exact pre-aggregate (one "
+        "combinable shuffle), so the per-key Arrow batch sees one row "
+        "per DISTINCT prediction and PAVA runs O(n) on that; output "
+        "is the step function itself (x ranges, fitted level, "
+        "support), a model-sized table per key.",
+    )
+    def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.ml.isotonic import isotonic_fit_per_key
+
+        t = (
+            ticks(spark, sf_dir)
+            .where(F.col("open").isNotNull() & F.col("close").isNotNull())
+            .select("symbol", "ts", "open", "close")
+        )
+        models = train_linreg_per_key(t)
+        scored = score_with_models(t, models)
+        res = isotonic_fit_per_key(
+            scored, key="symbol", x="predicted_close", y="close"
+        )
+        return res.select(
+            "symbol",
+            "step_idx",
+            "x_lo",
+            "x_hi",
+            F.round(F.col("fitted"), 6).alias("fitted"),
+            "n_rows",
+        )
+
 
 _register()

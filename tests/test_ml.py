@@ -235,3 +235,67 @@ def test_irls_logistic_matches_numpy_replay(spark, sf_dir):
     assert abs(r.logloss - ll) < 1e-6
     assert r.logloss < math.log(2.0)
     assert abs(r.accuracy - ((p >= 0.5) == y).mean()) < 1e-9
+
+
+def test_isotonic_pava_matches_python_and_laws(spark, sf_dir):
+    """PAVA laws: fitted levels strictly increasing across steps,
+    x ranges ordered and disjoint, weighted fitted sum == raw y sum
+    (pooling preserves mass), and exact equality with a Python PAVA
+    replay over the same (predicted, close) pairs."""
+    from collections import defaultdict
+
+    from stock_trend_predictor_spark.ml.pergroup import (
+        score_with_models,
+        train_linreg_per_key,
+    )
+    from stock_trend_predictor_spark.plans import REGISTRY
+    from stock_trend_predictor_spark.sources.tables import ticks
+
+    got = defaultdict(list)
+    for r in REGISTRY["isotonic_calibration_pava"].fn(spark, sf_dir).collect():
+        got[r.symbol].append(r)
+
+    t = (
+        ticks(spark, sf_dir)
+        .where(F.col("open").isNotNull() & F.col("close").isNotNull())
+        .select("symbol", "ts", "open", "close")
+    )
+    scored = score_with_models(t, train_linreg_per_key(t)).collect()
+    pairs = defaultdict(list)
+    for r in scored:
+        pairs[r.symbol].append((r.predicted_close, r.close))
+
+    assert got and set(got) == set(pairs)
+    for sym, steps in got.items():
+        steps.sort(key=lambda r: r.step_idx)
+        # structural laws
+        for a, b in zip(steps, steps[1:]):
+            assert a.fitted < b.fitted + 1e-12, sym  # non-decreasing
+            assert a.x_hi <= b.x_lo, sym  # ordered, disjoint ranges
+        total_n = sum(s.n_rows for s in steps)
+        assert total_n == len(pairs[sym])
+        mass = sum(s.fitted * s.n_rows for s in steps)
+        assert abs(mass - sum(y for _, y in pairs[sym])) < 1e-2
+        # python PAVA replay on pooled (x, sum_y, n)
+        pooled = defaultdict(lambda: [0.0, 0])
+        for x, y in pairs[sym]:
+            pooled[x][0] += y
+            pooled[x][1] += 1
+        blocks = []
+        for x in sorted(pooled):
+            sy, n = pooled[x]
+            blocks.append([x, x, sy, n])
+            while (
+                len(blocks) > 1
+                and blocks[-2][2] / blocks[-2][3] > blocks[-1][2] / blocks[-1][3]
+            ):
+                _, hi2, s2, n2 = blocks.pop()
+                blocks[-1][1] = hi2
+                blocks[-1][2] += s2
+                blocks[-1][3] += n2
+        assert len(blocks) == len(steps), sym
+        for s, b in zip(steps, blocks):
+            assert abs(s.x_lo - b[0]) < 1e-9
+            assert abs(s.x_hi - b[1]) < 1e-9
+            assert abs(s.fitted - b[2] / b[3]) < 1e-5
+            assert s.n_rows == b[3]
