@@ -54,6 +54,13 @@ HEADLINE = [
     "sketch_countmin_tokens",    # CMS cells + probe estimates
     "dup_span_detection",        # repeated-span dedup (gram window + islands)
     "corpus_keep_decision",      # composed curation verdict (spans + ppl)
+    # round-3b additions (same rationale: heaviest of the new plans;
+    # everything above stays frozen for series continuity).
+    "trend_consensus_verdict",   # composed 4-indicator verdict
+    "token_pmi_collocations",    # bigram pair table + marginal windows
+    "ngram_novelty_decay",       # 3-gram min-attribution window
+    "seasonal_decompose_hod",    # full-series trend window + hod join
+    "mmr_diverse_topk",          # candidate topk + Arrow MMR selection
 ]
 
 

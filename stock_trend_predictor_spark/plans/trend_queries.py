@@ -67,31 +67,86 @@ def _register():
         "Kendall monotony, Theil-Sen robust slope, latest RSI level, "
         "and on-balance tick flow, majority-voted into up / mixed / "
         "down. Mirrors corpus_keep_decision's composition pattern on "
-        "the stock side: registry plans reused as sub-pipelines, "
-        "their oracles nested as MATERIALIZED sub-CTEs. All four "
-        "signals reduce to one row per symbol before the joins, so "
-        "the verdict layer moves symbols-count rows however large "
-        "the tick history is.",
+        "the stock side: the ORACLE nests the four sub-pipelines' SQL "
+        "as MATERIALIZED sub-CTEs verbatim, while the Spark plan FUSES "
+        "them: all four signals are windows/lags over the identical "
+        "(symbol, ts, tick_id) sort, so one Window batch computes the "
+        "ten trend lags, the RSI gain/loss sums, and the tick "
+        "direction in a single exchange (4 independent sorts in the "
+        "composed form -> 1; oracle equality proves the fusion "
+        "changes nothing). All four signals reduce to one row per "
+        "symbol before the verdict joins, so the vote layer moves "
+        "symbols-count rows however large the tick history is.",
     )
     def trend_consensus_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-        mk = REGISTRY["mann_kendall_banded"].fn(spark, sf_dir).select(
-            "symbol", "trend_score"
+        from pyspark.sql.window import Window
+
+        from stock_trend_predictor_spark.functions.exact import (
+            DECIMAL_T,
+            stable_round,
         )
-        tsl = REGISTRY["theil_sen_banded_slope"].fn(spark, sf_dir).select(
-            "symbol", "ts_slope"
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+            ticks,
         )
-        rsi = (
-            REGISTRY["rsi_cutler_14"].fn(spark, sf_dir)
-            .where(F.col("rsi14").isNotNull())
-            .groupBy("symbol")
-            .agg(F.max_by("rsi14", "ts").alias("rsi_last"))
+
+        t = ticks(spark, sf_dir)
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        v = s.rowsBetween(-13, 0)
+        delta = F.col("close") - F.col("open")
+        # ONE Window batch over one sort: trend lags + RSI sums + dir.
+        # RSI note: the standalone rsi_cutler_14 drops the null-open
+        # head row BEFORE windowing; here the window runs on the
+        # unfiltered frame but sums/counts skip the null delta, so for
+        # every row past the symbol head the 14-row frames contain the
+        # identical delta set — and only the LAST row's RSI feeds the
+        # verdict. Oracle equality (which replays the standalone
+        # form) proves the equivalence.
+        base = t.withColumns(
+            {
+                **{f"c{k}": F.lag("close", k).over(s) for k in range(1, 11)},
+                "_sg": F.sum(F.greatest(delta, F.lit(0.0)).cast(DECIMAL_T))
+                .over(v)
+                .cast("double"),
+                "_sl": F.sum(F.greatest(-delta, F.lit(0.0)).cast(DECIMAL_T))
+                .over(v)
+                .cast("double"),
+                "_cnt": F.count(delta).over(v),
+                "_dir": F.signum(delta).cast("bigint"),
+            }
         )
-        obv = (
-            REGISTRY["obv_tick_flow"].fn(spark, sf_dir)
-            .groupBy("symbol")
-            .agg(F.max_by("obv_ticks", "ts").alias("obv_last"))
+        base = materialize_once(base)
+
+        stack_args = ", ".join(f"{k}, c{k}" for k in range(1, 11))
+        pairs = base.selectExpr(
+            "symbol",
+            "close",
+            f"stack(10, {stack_args}) AS (k, ck)",
+        ).where(F.col("ck").isNotNull())
+        sgn = F.signum(F.col("close") - F.col("ck")).cast("bigint")
+        slope = (F.col("close") - F.col("ck")) / F.col("k").cast("double")
+        trend = pairs.groupBy("symbol").agg(
+            stable_round(
+                F.sum(sgn).cast("double") / F.count(F.lit(1)), 6
+            ).alias("trend_score"),
+            stable_round(
+                F.percentile(slope, F.lit(0.5)), 6
+            ).alias("ts_slope"),
         )
-        j = mk.join(tsl, "symbol").join(rsi, "symbol").join(obv, "symbol")
+
+        sg, sl = F.col("_sg"), F.col("_sl")
+        rsi14 = F.when(
+            F.col("_cnt") == 14,
+            F.when(sl == 0.0, F.lit(100.0)).otherwise(
+                stable_round(100.0 - 100.0 / (1.0 + sg / sl), 6)
+            ),
+        )
+        last = base.withColumn("_rsi", rsi14).groupBy("symbol").agg(
+            F.max_by("_rsi", F.when(F.col("_rsi").isNotNull(), F.col("ts")))
+            .alias("rsi_last"),
+            F.sum("_dir").alias("obv_last"),
+        )
+        j = trend.join(last, "symbol")
         up = (
             F.when(F.col("trend_score") > 0.02, 1).otherwise(0)
             + F.when(F.col("ts_slope") > 0, 1).otherwise(0)
