@@ -356,5 +356,128 @@ WHERE a.digest_a IS DISTINCT FROM b.digest_b
             "rows_b",
         )
 
+    # ------------------------------------------------------------------
+    # Poisson(1) CDF steps for the deterministic Poisson bootstrap.
+    _POIS = (
+        "0.36787944117144233",
+        "0.7357588823428847",
+        "0.9196986029286058",
+        "0.9810118431238462",
+        "0.9963401531726563",
+    )
+    _B = 100
+
+    from stock_trend_predictor_spark.functions.text import hash28, hash28_sql
+
+    _u_sql = (
+        hash28_sql(
+            "CAST(e.event_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)"
+        )
+        + " / 268435456.0"
+    )
+    _w_sql = (
+        f"CASE WHEN u < {_POIS[0]} THEN 0 WHEN u < {_POIS[1]} THEN 1"
+        f" WHEN u < {_POIS[2]} THEN 2 WHEN u < {_POIS[3]} THEN 3"
+        f" WHEN u < {_POIS[4]} THEN 4 ELSE 5 END"
+    )
+
+    @register(
+        "bootstrap_ci_value_mean",
+        oracle=f"""
+WITH reps AS (
+    SELECT e.event_type, e.value, r.b,
+           {_u_sql} AS u
+    FROM events e, range({_B}) r(b)
+), weighted AS (
+    SELECT event_type, b,
+           CAST(SUM({_w_sql}) AS BIGINT) AS sw,
+           CAST(SUM(CAST(({_w_sql}) * value AS DECIMAL(27,6))) AS DOUBLE)
+               AS sxw
+    FROM reps GROUP BY 1, 2
+), means AS (
+    SELECT event_type, b, sxw / sw AS mean_b
+    FROM weighted WHERE sw > 0
+), point AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+               AS point_mean
+    FROM events GROUP BY 1
+)
+SELECT m.event_type,
+       CAST(count(*) AS BIGINT) AS n_reps,
+       {stable_round_sql('any_value(p.point_mean)', 6)} AS point_mean,
+       {stable_round_sql('quantile_cont(m.mean_b, 0.025)', 6)} AS ci_lo,
+       {stable_round_sql('quantile_cont(m.mean_b, 0.975)', 6)} AS ci_hi
+FROM means m JOIN point p USING (event_type)
+GROUP BY 1
+""",
+        doc=f"Deterministic Poisson bootstrap: a 95% CI for the mean "
+        f"value per event_type from {_B} replicates, each row's "
+        "replicate weight drawn Poisson(1) via the md5-hash uniform "
+        "of (event_id, replicate) pushed through the exact CDF steps "
+        "— the DISTRIBUTED bootstrap (Kleiner et al.'s observation: "
+        "multinomial resampling needs global coordination, "
+        "per-row Poisson weights need none and are exchangeable). "
+        "Hash-seeded, so both engines draw the identical weights and "
+        "the CI is bit-reproducible — rerunnable on any cluster "
+        "layout. Shuffle cost: the replicate explode map-side "
+        "combines to #types x B weighted-sum rows; percentiles run "
+        "over B-row groups. The same shape bootstraps ANY "
+        "decimal-summable statistic at 100 TB.",
+    )
+    def bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        reps = ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        )
+        u = hash28(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ) / F.lit(268435456.0)
+        reps = reps.withColumn("u", u)
+        w = (
+            F.when(F.col("u") < float(_POIS[0]), 0)
+            .when(F.col("u") < float(_POIS[1]), 1)
+            .when(F.col("u") < float(_POIS[2]), 2)
+            .when(F.col("u") < float(_POIS[3]), 3)
+            .when(F.col("u") < float(_POIS[4]), 4)
+            .otherwise(5)
+        )
+        weighted = reps.groupBy("event_type", "b").agg(
+            F.sum(w).cast("bigint").alias("sw"),
+            F.sum((w * F.col("value")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sxw"),
+        )
+        means = weighted.where(F.col("sw") > 0).select(
+            "event_type", (F.col("sxw") / F.col("sw")).alias("mean_b")
+        )
+        point = ev.groupBy("event_type").agg(
+            (
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("point_mean")
+        )
+        return (
+            means.join(point, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_reps"),
+                stable_round(F.any_value("point_mean"), 6).alias("point_mean"),
+                stable_round(
+                    F.percentile("mean_b", F.lit(0.025)), 6
+                ).alias("ci_lo"),
+                stable_round(
+                    F.percentile("mean_b", F.lit(0.975)), 6
+                ).alias("ci_hi"),
+            )
+        )
+
 
 _register()

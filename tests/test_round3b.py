@@ -304,3 +304,50 @@ def test_trend_consensus_votes_consistent_with_components(spark, sf_dir):
         expect = "up" if votes >= 3 else ("down" if votes <= 1 else "mixed")
         assert r.verdict == expect
         assert 0.0 <= r.rsi_last <= 100.0
+
+
+def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
+    """Replay the hash-seeded Poisson bootstrap in Python for every
+    event_type: identical replicate weights -> identical CI bounds
+    (to rounding); basic CI laws hold."""
+    import hashlib
+
+    rows = REGISTRY["bootstrap_ci_value_mean"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563]
+
+    def weight(event_id, b):
+        u = int(hashlib.md5(f"{event_id}:{b}".encode()).hexdigest()[:7], 16) / 268435456.0
+        for k, c in enumerate(cdf):
+            if u < c:
+                return k
+        return 5
+
+    by_type = defaultdict(list)
+    for e in ev:
+        by_type[e.event_type].append((e.event_id, e.value))
+    assert rows
+    for r in rows:
+        assert r.n_reps == 100
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.point_mean <= r.ci_hi  # CI brackets the mean
+        data = by_type[r.symbol if hasattr(r, "symbol") else r.event_type]
+        means = []
+        for b in range(100):
+            sw = sxw = 0.0
+            for eid, v in data:
+                w = weight(eid, b)
+                sw += w
+                sxw += w * v
+            if sw > 0:
+                means.append(sxw / sw)
+        means.sort()
+
+        def q(p):
+            i = (len(means) - 1) * p
+            lo, hi = int(i), min(int(i) + 1, len(means) - 1)
+            return means[lo] + (means[hi] - means[lo]) * (i - lo)
+
+        assert abs(r.ci_lo - q(0.025)) < 1e-4
+        assert abs(r.ci_hi - q(0.975)) < 1e-4
