@@ -732,6 +732,121 @@ FROM best WHERE rk = 1
         )
 
 
+    # ------------------------------------------------------------------
+    @register(
+        "crosscorr_leadlag_hourly",
+        oracle=f"""
+WITH hourly AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           arg_min(value, ts) AS first_px,
+           arg_max(value, ts) AS last_px
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT symbol, hour, (last_px - first_px) / first_px AS r
+    FROM hourly WHERE first_px > 0
+), shifted AS (
+    SELECT b.symbol AS sym_b, b.r AS rb,
+           b.hour + INTERVAL (l.lag) HOUR AS hour,
+           CAST(l.lag AS BIGINT) AS lag
+    FROM rets b, range(4) l(lag)
+), joined AS (
+    SELECT a.symbol AS sym_a, s.sym_b, s.lag, a.r AS ra, s.rb
+    FROM rets a JOIN shifted s USING (hour)
+    WHERE a.symbol <> s.sym_b
+), sums AS (
+    SELECT sym_a, sym_b, lag, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ra AS DECIMAL(27,18))) AS DOUBLE) AS sa,
+           CAST(SUM(CAST(rb AS DECIMAL(27,18))) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(ra * rb AS DECIMAL(27,18))) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(ra * ra AS DECIMAL(27,18))) AS DOUBLE) AS saa,
+           CAST(SUM(CAST(rb * rb AS DECIMAL(27,18))) AS DOUBLE) AS sbb
+    FROM joined GROUP BY 1, 2, 3
+)
+SELECT sym_a, sym_b, lag, n AS n_hours,
+       {stable_round_sql(
+           '(n * sab - sa * sb)'
+           ' / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))', 6)}
+           AS xcorr
+FROM sums WHERE n >= 30
+""",
+        doc="Lead-lag cross-correlation matrix: corr(r_a(h), "
+        "r_b(h - lag)) for every ordered symbol pair at lags 0-3 "
+        "hours — lag 0 is the plain return-correlation matrix, "
+        "lag > 0 asks whether b's moves LEAD a's (the cross-symbol "
+        "predictive structure the reference's per-ticker models are "
+        "blind to; the ACF query is this matrix's diagonal). The lag "
+        "shift is a 4x explode of the (symbol, hour) RETURN grid — "
+        "hours-sized, not ticks-sized — then one equi-join on the "
+        "shifted hour and a combinable decimal sufficient-sum "
+        "aggregate per (pair, lag). No window over raw ticks, no "
+        "range join; pairs-squared cost is bounded by the symbol "
+        "universe, never the data.",
+    )
+    def crosscorr_leadlag_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        ).agg(
+            F.min_by("value", "ts").alias("first_px"),
+            F.max_by("value", "ts").alias("last_px"),
+        )
+        rets = hourly.where(F.col("first_px") > 0).select(
+            "symbol",
+            "hour",
+            ((F.col("last_px") - F.col("first_px")) / F.col("first_px")).alias(
+                "r"
+            ),
+        )
+        shifted = rets.select(
+            F.col("symbol").alias("sym_b"),
+            F.col("r").alias("rb"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lag"),
+            "hour",
+        ).select(
+            "sym_b",
+            "rb",
+            F.col("lag").cast("bigint").alias("lag"),
+            F.expr("timestampadd(HOUR, lag, hour)").alias("hour"),
+        )
+        joined = (
+            rets.join(shifted, "hour")
+            .where(F.col("symbol") != F.col("sym_b"))
+            .select(
+                F.col("symbol").alias("sym_a"),
+                "sym_b",
+                "lag",
+                F.col("r").alias("ra"),
+                "rb",
+            )
+        )
+        dt = "decimal(27,18)"
+        ra, rb = F.col("ra"), F.col("rb")
+        sums = joined.groupBy("sym_a", "sym_b", "lag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ra.cast(dt)).cast("double").alias("sa"),
+            F.sum(rb.cast(dt)).cast("double").alias("sb"),
+            F.sum((ra * rb).cast(dt)).cast("double").alias("sab"),
+            F.sum((ra * ra).cast(dt)).cast("double").alias("saa"),
+            F.sum((rb * rb).cast(dt)).cast("double").alias("sbb"),
+        )
+        n = F.col("n")
+        sa, sb = F.col("sa"), F.col("sb")
+        sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+        return sums.where(n >= 30).select(
+            "sym_a",
+            "sym_b",
+            "lag",
+            n.alias("n_hours"),
+            stable_round(
+                (n * sab - sa * sb)
+                / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                6,
+            ).alias("xcorr"),
+        )
+
+
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(
         f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)

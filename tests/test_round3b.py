@@ -351,3 +351,20 @@ def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
 
         assert abs(r.ci_lo - q(0.025)) < 1e-4
         assert abs(r.ci_hi - q(0.975)) < 1e-4
+
+
+def test_crosscorr_symmetry_and_bounds(spark, sf_dir):
+    """xcorr in [-1, 1]; at lag 0 the matrix is symmetric
+    (corr(a,b) == corr(b,a)); 80 rows = 20 ordered pairs x 4 lags
+    when every pair overlaps >= 30 hours."""
+    rows = REGISTRY["crosscorr_leadlag_hourly"].fn(spark, sf_dir).collect()
+    assert rows
+    lag0 = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+        assert 0 <= r.lag <= 3
+        assert r.n_hours >= 30
+        if r.lag == 0:
+            lag0[(r.sym_a, r.sym_b)] = r.xcorr
+    for (a, b), v in lag0.items():
+        assert abs(lag0[(b, a)] - v) < 1e-9, (a, b)
