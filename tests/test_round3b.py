@@ -368,3 +368,42 @@ def test_crosscorr_symmetry_and_bounds(spark, sf_dir):
             lag0[(r.sym_a, r.sym_b)] = r.xcorr
     for (a, b), v in lag0.items():
         assert abs(lag0[(b, a)] - v) < 1e-9, (a, b)
+
+
+def test_hurst_matches_python_and_range(spark, sf_dir):
+    """Replay the R/S computation in Python (same blocks, same
+    population std) and compare the fitted exponent; H must land in
+    a sane (0, 1.2) band for real series."""
+    rows = {r.symbol: r for r in REGISTRY["hurst_exponent_rs"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert rows
+    for sym, ticks in series.items():
+        ticks.sort()
+        xs = [t[2] for t in ticks]
+        pts = []
+        total_blocks = 0
+        for n in (8, 32, 128):
+            rs_vals = []
+            for b in range(len(xs) // n):
+                blk_vals = xs[b * n:(b + 1) * n]
+                m = sum(blk_vals) / n
+                cum, dev = 0.0, []
+                for t_, x in enumerate(blk_vals, start=1):
+                    cum += x
+                    dev.append(cum - t_ * m)
+                var = sum(x * x for x in blk_vals) / n - m * m
+                if var > 0:
+                    rs_vals.append((max(dev) - min(dev)) / math.sqrt(var))
+            if rs_vals:
+                pts.append((math.log(n), math.log(sum(rs_vals) / len(rs_vals))))
+                total_blocks += len(rs_vals)
+        xbar = sum(p[0] for p in pts) / len(pts)
+        sxy = sum((p[0] - xbar) * p[1] for p in pts)
+        sxx = sum((p[0] - xbar) ** 2 for p in pts)
+        r = rows[sym]
+        assert r.total_blocks == total_blocks
+        assert abs(r.hurst - sxy / sxx) < 1e-3, sym
+        assert 0.0 < r.hurst < 1.2
