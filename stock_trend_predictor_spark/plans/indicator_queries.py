@@ -1004,6 +1004,145 @@ FROM fit WHERE n_sizes = 3
         )
 
 
+    # ------------------------------------------------------------------
+    @register(
+        "cointegration_engle_granger",
+        oracle=f"""
+WITH hourly AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           arg_max(value, ts) AS px
+    FROM events GROUP BY 1, 2
+), aligned AS (
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.hour,
+           a.px AS pa, b.px AS pb
+    FROM hourly a JOIN hourly b USING (hour)
+    WHERE a.symbol <> b.symbol
+), ols AS (
+    SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(pa AS DECIMAL(27,6))) AS DOUBLE) AS sa,
+           CAST(SUM(CAST(pb AS DECIMAL(27,6))) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(pa * pb AS DECIMAL(27,6))) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(pb * pb AS DECIMAL(27,6))) AS DOUBLE) AS sbb
+    FROM aligned GROUP BY 1, 2
+), resid AS (
+    SELECT al.sym_a, al.sym_b, al.hour,
+           al.pa - ((o.sa - ((o.n * o.sab - o.sa * o.sb)
+                              / (o.n * o.sbb - o.sb * o.sb)) * o.sb) / o.n)
+                 - ((o.n * o.sab - o.sa * o.sb)
+                    / (o.n * o.sbb - o.sb * o.sb)) * al.pb AS e
+    FROM aligned al
+    JOIN ols o ON o.sym_a = al.sym_a AND o.sym_b = al.sym_b
+), lagged AS (
+    SELECT sym_a, sym_b,
+           lag(e) OVER (PARTITION BY sym_a, sym_b ORDER BY hour) AS e0,
+           e - lag(e) OVER (PARTITION BY sym_a, sym_b ORDER BY hour) AS de
+    FROM resid
+), adf AS (
+    SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e0 * e0 AS DECIMAL(27,6))) AS DOUBLE) AS see,
+           CAST(SUM(CAST(e0 * de AS DECIMAL(27,6))) AS DOUBLE) AS sed,
+           CAST(SUM(CAST(de * de AS DECIMAL(27,6))) AS DOUBLE) AS sdd
+    FROM lagged WHERE e0 IS NOT NULL GROUP BY 1, 2
+), stats AS (
+    SELECT o.sym_a, o.sym_b, a.n AS n_obs,
+           (o.n * o.sab - o.sa * o.sb) / (o.n * o.sbb - o.sb * o.sb)
+               AS hedge_beta,
+           a.sed / a.see AS gamma,
+           sqrt(((a.sdd - 2 * (a.sed / a.see) * a.sed
+                  + (a.sed / a.see) * (a.sed / a.see) * a.see)
+                 / (a.n - 1)) / a.see) AS se
+    FROM ols o JOIN adf a ON a.sym_a = o.sym_a AND a.sym_b = o.sym_b
+)
+SELECT sym_a, sym_b, n_obs,
+       {stable_round_sql('hedge_beta', 6)} AS hedge_beta,
+       {stable_round_sql('gamma / se', 6)} AS df_stat,
+       gamma / se < -1.95 AS cointegrated_5pct
+FROM stats WHERE n_obs >= 30
+""",
+        doc="Engle-Granger cointegration test per ordered symbol "
+        "pair — the statistical basis of pairs trading, which no "
+        "per-ticker model in the reference can express. Step 1: OLS "
+        "hedge ratio of a's hourly price on b's (decimal sufficient "
+        "sums over the aligned hours grid). Step 2: Dickey-Fuller on "
+        "the residual spread — gamma and its standard error derive "
+        "ENTIRELY from three more decimal sums (See, SeD, SDD), since "
+        "the residual-variance term expands as SDD - 2g*SeD + g^2*See "
+        "— so the whole two-stage test is two combinable aggregates, "
+        "one hours-grid join, and one per-pair lag window over "
+        "hours-sized data. df_stat < -1.95 flags a stationary spread "
+        "at ~5% (no-intercept DF critical value; the flag is a "
+        "screening heuristic, the statistic is the contract). Raw "
+        "ticks are touched exactly once, in the hourly resample.",
+    )
+    def cointegration_engle_granger(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        ).agg(F.max_by("value", "ts").alias("px"))
+        a = hourly.select(
+            F.col("symbol").alias("sym_a"), "hour", F.col("px").alias("pa")
+        )
+        b = hourly.select(
+            F.col("symbol").alias("sym_b"), "hour", F.col("px").alias("pb")
+        )
+        aligned = a.join(b, "hour").where(F.col("sym_a") != F.col("sym_b"))
+        pa, pb = F.col("pa"), F.col("pb")
+        ols = aligned.groupBy("sym_a", "sym_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pa.cast(DECIMAL_T)).cast("double").alias("sa"),
+            F.sum(pb.cast(DECIMAL_T)).cast("double").alias("sb"),
+            F.sum((pa * pb).cast(DECIMAL_T)).cast("double").alias("sab"),
+            F.sum((pb * pb).cast(DECIMAL_T)).cast("double").alias("sbb"),
+        )
+        beta = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+            F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+        )
+        alpha = (F.col("sa") - beta * F.col("sb")) / F.col("n")
+        resid = aligned.join(
+            F.broadcast(ols), ["sym_a", "sym_b"]
+        ).select(
+            "sym_a",
+            "sym_b",
+            "hour",
+            (pa - alpha - beta * pb).alias("e"),
+        )
+        w = Window.partitionBy("sym_a", "sym_b").orderBy("hour")
+        lagged = resid.withColumn("e0", F.lag("e").over(w)).select(
+            "sym_a",
+            "sym_b",
+            "e0",
+            (F.col("e") - F.col("e0")).alias("de"),
+        ).where(F.col("e0").isNotNull())
+        e0, de = F.col("e0"), F.col("de")
+        adf = lagged.groupBy("sym_a", "sym_b").agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum((e0 * e0).cast(DECIMAL_T)).cast("double").alias("see"),
+            F.sum((e0 * de).cast(DECIMAL_T)).cast("double").alias("sed"),
+            F.sum((de * de).cast(DECIMAL_T)).cast("double").alias("sdd"),
+        )
+        stats = adf.join(F.broadcast(ols), ["sym_a", "sym_b"])
+        g = F.col("sed") / F.col("see")
+        se = F.sqrt(
+            (
+                (F.col("sdd") - 2 * g * F.col("sed") + g * g * F.col("see"))
+                / (F.col("n_obs") - 1)
+            )
+            / F.col("see")
+        )
+        return stats.where(F.col("n_obs") >= 30).select(
+            "sym_a",
+            "sym_b",
+            "n_obs",
+            stable_round(beta, 6).alias("hedge_beta"),
+            stable_round(g / se, 6).alias("df_stat"),
+            (g / se < -1.95).alias("cointegrated_5pct"),
+        )
+
+
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(
         f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)

@@ -407,3 +407,45 @@ def test_hurst_matches_python_and_range(spark, sf_dir):
         assert r.total_blocks == total_blocks
         assert abs(r.hurst - sxy / sxx) < 1e-3, sym
         assert 0.0 < r.hurst < 1.2
+
+
+def test_cointegration_matches_python(spark, sf_dir):
+    """Replay the two-stage Engle-Granger computation in Python and
+    compare hedge ratio and DF statistic per ordered pair."""
+    rows = {(r.sym_a, r.sym_b): r
+            for r in REGISTRY["cointegration_engle_granger"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    px = {}
+    for e in ev:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        k = (e.event_type, h)
+        if k not in px or e.ts > px[k][0]:
+            px[k] = (e.ts, e.value)
+    syms = sorted({s for s, _ in px})
+    hours = sorted({h for _, h in px})
+    assert rows
+    for sa in syms:
+        for sb in syms:
+            if sa == sb:
+                continue
+            pts = [(px[(sa, h)][1], px[(sb, h)][1])
+                   for h in hours if (sa, h) in px and (sb, h) in px]
+            n = len(pts)
+            s_a = sum(p[0] for p in pts); s_b = sum(p[1] for p in pts)
+            s_ab = sum(p[0] * p[1] for p in pts)
+            s_bb = sum(p[1] * p[1] for p in pts)
+            beta = (n * s_ab - s_a * s_b) / (n * s_bb - s_b * s_b)
+            alpha = (s_a - beta * s_b) / n
+            e_ = [pa - alpha - beta * pb for pa, pb in pts]
+            e0 = e_[:-1]
+            de = [b - a for a, b in zip(e_, e_[1:])]
+            see = sum(x * x for x in e0)
+            sed = sum(x * y for x, y in zip(e0, de))
+            sdd = sum(y * y for y in de)
+            g = sed / see
+            se = math.sqrt(((sdd - 2 * g * sed + g * g * see) / (len(de) - 1)) / see)
+            r = rows[(sa, sb)]
+            assert r.n_obs == len(de)
+            assert abs(r.hedge_beta - beta) < 1e-4
+            assert abs(r.df_stat - g / se) < 1e-3
+            assert r.cointegrated_5pct == (g / se < -1.95)
