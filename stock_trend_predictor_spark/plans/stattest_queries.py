@@ -1,0 +1,315 @@
+"""Statistical hypothesis tests over the tick stream: Wald-Wolfowitz
+runs test, ARCH(1) LM test, and the Ljung-Box Q portmanteau.
+
+The diagnostics a quant runs BEFORE trusting a trend model: is the
+up/down sequence even non-random (runs test)? does volatility cluster
+(ARCH)? is there any serial correlation to exploit at all (Ljung-Box)?
+The reference trains its classifier without asking any of these
+(ml_model/train_model.py fits directly on raw deltas).
+
+All three reduce to decimal-exact sufficient sums over one per-symbol
+sort — counts and sums are order-independent, the test statistics are
+fixed IEEE trees on them, and the accept/reject flags compare against
+published critical-value constants. One shuffle per test at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_trend_predictor_spark.functions.exact import (
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+
+#: wide decimal for delta^2 / delta^4 products: integer part up to 1e26
+#: (deltas reach ~1e4, so 4th-power sums need the width), 12 exact dp.
+HI_DECIMAL = "decimal(38,12)"
+
+#: chi-square critical values: chi2(1) and chi2(10) at 5%.
+CHI2_1_5PCT = 3.841
+CHI2_10_5PCT = 18.307
+
+LB_LAGS = 10
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    @register(
+        "runs_test_updown",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+dirs AS (
+    SELECT symbol, ts, tick_id,
+           CAST(sign(close - open) AS BIGINT) AS dir
+    FROM ticks WHERE open IS NOT NULL AND close <> open
+), seq AS (
+    SELECT symbol, dir,
+           lag(dir) OVER (PARTITION BY symbol
+                          ORDER BY ts, tick_id) AS prev_dir
+    FROM dirs
+), counts AS (
+    SELECT symbol,
+           CAST(count(*) FILTER (WHERE dir = 1) AS BIGINT) AS n_up,
+           CAST(count(*) FILTER (WHERE dir = -1) AS BIGINT) AS n_down,
+           CAST(1 + count(*) FILTER (WHERE prev_dir IS NOT NULL
+                                     AND dir <> prev_dir) AS BIGINT) AS runs
+    FROM seq GROUP BY 1
+), stats AS (
+    SELECT symbol, n_up, n_down, runs,
+           2.0 * n_up * n_down / (n_up + n_down) + 1.0 AS mu,
+           sqrt((2.0 * n_up * n_down)
+                * (2.0 * n_up * n_down - n_up - n_down)
+                / ((CAST(n_up + n_down AS DOUBLE))
+                   * (n_up + n_down) * (n_up + n_down - 1))) AS sigma
+    FROM counts WHERE n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+)
+SELECT symbol, n_up, n_down, runs,
+       {stable_round_sql('(runs - mu) / sigma', 6)} AS z_stat,
+       abs((runs - mu) / sigma) > 1.96 AS nonrandom_5pct
+FROM stats
+""",
+        doc="Wald-Wolfowitz runs test on the up/down tick sequence "
+        "per symbol: too FEW runs = trending, too MANY = mean-"
+        "reverting, |z| <= 1.96 = indistinguishable from a coin — "
+        "the first sanity check before training any movement "
+        "classifier. Zero deltas are excluded (classic dichotomous "
+        "form). Counts are exact integers off one per-symbol sort "
+        "(the lag finds run boundaries); mu/sigma are closed-form "
+        "doubles on those integers, identical cross-engine.",
+    )
+    def runs_test_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & (F.col("close") != F.col("open"))
+        )
+        d = F.signum(F.col("close") - F.col("open")).cast("bigint")
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        seq = t.select("symbol", "ts", "tick_id", d.alias("dir")).withColumn(
+            "prev_dir", F.lag("dir").over(s)
+        )
+        counts = seq.groupBy("symbol").agg(
+            F.count(F.when(F.col("dir") == 1, 1)).alias("n_up"),
+            F.count(F.when(F.col("dir") == -1, 1)).alias("n_down"),
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        F.col("prev_dir").isNotNull()
+                        & (F.col("dir") != F.col("prev_dir")),
+                        1,
+                    )
+                )
+            ).cast("bigint").alias("runs"),
+        )
+        n1, n2 = F.col("n_up"), F.col("n_down")
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        sigma = F.sqrt(
+            (2.0 * n1 * n2)
+            * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+        )
+        z = (F.col("runs") - mu) / sigma
+        return counts.where((n1 > 0) & (n2 > 0) & (n1 + n2 > 1)).select(
+            "symbol",
+            "n_up",
+            "n_down",
+            "runs",
+            stable_round(z, 6).alias("z_stat"),
+            (F.abs(z) > 1.96).alias("nonrandom_5pct"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "arch_lm_test",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+sq AS (
+    SELECT symbol, ts, tick_id,
+           (close - open) * (close - open) AS x
+    FROM ticks WHERE open IS NOT NULL
+), lagged AS (
+    SELECT symbol, x,
+           lag(x) OVER (PARTITION BY symbol ORDER BY ts, tick_id) AS y
+    FROM sq
+), sums AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM lagged WHERE y IS NOT NULL GROUP BY 1
+), stats AS (
+    SELECT symbol, n,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM sums
+)
+SELECT symbol, n AS n_pairs,
+       {stable_round_sql('n * r2', 6)} AS lm_stat,
+       n * r2 > {CHI2_1_5PCT} AS arch_present_5pct
+FROM stats
+""",
+        doc="ARCH(1) Lagrange-multiplier test per symbol: regress the "
+        "squared tick delta on its lag; LM = n * R^2 vs chi2(1). "
+        "Significant = volatility clusters, so a homoskedastic "
+        "movement model (the reference's) is misspecified and "
+        "vol-aware features (realized_vol_daily, EWMA) earn their "
+        "keep. R^2 of the single-lag regression is corr^2 — five "
+        "decimal(38,12) sufficient sums (delta^4 terms need the "
+        "width) over the existing per-symbol sort, nothing else.",
+    )
+    def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        x = (F.col("close") - F.col("open")) * (
+            F.col("close") - F.col("open")
+        )
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        lagged = (
+            t.select("symbol", "ts", "tick_id", x.alias("x"))
+            .withColumn("y", F.lag("x").over(s))
+            .where(F.col("y").isNotNull())
+        )
+        xx, yy = F.col("x"), F.col("y")
+        sums = lagged.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xx.cast(HI_DECIMAL)).cast("double").alias("sx"),
+            F.sum(yy.cast(HI_DECIMAL)).cast("double").alias("sy"),
+            F.sum((xx * yy).cast(HI_DECIMAL)).cast("double").alias("sxy"),
+            F.sum((xx * xx).cast(HI_DECIMAL)).cast("double").alias("sxx"),
+            F.sum((yy * yy).cast(HI_DECIMAL)).cast("double").alias("syy"),
+        )
+        n = F.col("n")
+        sx, sy = F.col("sx"), F.col("sy")
+        sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+        r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return sums.select(
+            "symbol",
+            n.alias("n_pairs"),
+            stable_round(n * r2, 6).alias("lm_stat"),
+            (n * r2 > CHI2_1_5PCT).alias("arch_present_5pct"),
+        )
+
+    # ------------------------------------------------------------------
+    _lb_lag_cols = ",\n           ".join(
+        f"lag(r, {k}) OVER s AS r{k}" for k in range(1, LB_LAGS + 1)
+    )
+    _lb_union = "\n    UNION ALL ".join(
+        f"SELECT symbol, {k} AS k, r, r{k} AS rk FROM lagged"
+        f" WHERE r{k} IS NOT NULL"
+        for k in range(1, LB_LAGS + 1)
+    )
+
+    @register(
+        "ljung_box_q",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, ts, tick_id, close - open AS r
+    FROM ticks WHERE open IS NOT NULL
+), base AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS rbar,
+           CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE)
+             - count(*) * (CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE)
+                           / count(*))
+                       * (CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE)
+                           / count(*)) AS css
+    FROM rets GROUP BY 1
+), lagged AS (
+    SELECT symbol, r,
+           {_lb_lag_cols}
+    FROM rets
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), pairs AS (
+    {_lb_union}
+), rho AS (
+    SELECT p.symbol, p.k, b.n,
+           CAST(SUM(CAST((p.r - b.rbar) * (p.rk - b.rbar)
+                         AS DECIMAL(38,12))) AS DOUBLE) / b.css AS rho_k
+    FROM pairs p JOIN base b USING (symbol)
+    GROUP BY p.symbol, p.k, b.n, b.css
+)
+SELECT symbol, CAST(any_value(n) AS BIGINT) AS n_obs,
+       {stable_round_sql(
+           'any_value(n) * (any_value(n) + 2)'
+           ' * SUM(rho_k * rho_k / (n - k))', 6)} AS q_stat,
+       any_value(n) * (any_value(n) + 2)
+         * SUM(rho_k * rho_k / (n - k)) > {CHI2_10_5PCT}
+           AS autocorrelated_5pct
+FROM rho GROUP BY 1
+""",
+        doc=f"Ljung-Box portmanteau on tick deltas per symbol: "
+        f"Q = n(n+2) * sum over k=1..{LB_LAGS} of rho_k^2/(n-k) vs "
+        "chi2(10) — 'is there ANY serial correlation to model?', the "
+        "go/no-go gate for the whole trend-prediction premise. "
+        "Autocorrelations use the standard full-series-mean "
+        "normalization: one base aggregate per symbol (mean + "
+        "centered sum of squares), ten lag columns off ONE sort "
+        "(same stack shape as the banded Mann-Kendall), cross "
+        "products decimal-summed per (symbol, lag), and the "
+        "10-term Q fold per symbol. The 10-row-per-symbol rho table "
+        "is the only thing the final aggregate touches.",
+    )
+    def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        rets = t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            (F.col("close") - F.col("open")).alias("r"),
+        )
+        r = F.col("r")
+        rbar = F.sum(r.cast("decimal(27,6)")).cast("double") / F.count(
+            F.lit(1)
+        )
+        base = rets.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            rbar.alias("rbar"),
+            (
+                F.sum((r * r).cast(HI_DECIMAL)).cast("double")
+                - F.count(F.lit(1)) * rbar * rbar
+            ).alias("css"),
+        )
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        lagged = rets.withColumns(
+            {f"r{k}": F.lag("r", k).over(s) for k in range(1, LB_LAGS + 1)}
+        )
+        stack_args = ", ".join(f"{k}, r{k}" for k in range(1, LB_LAGS + 1))
+        pairs = lagged.selectExpr(
+            "symbol", "r", f"stack({LB_LAGS}, {stack_args}) AS (k, rk)"
+        ).where(F.col("rk").isNotNull())
+        rho = (
+            pairs.join(F.broadcast(base), "symbol")
+            .groupBy("symbol", "k", "n", "css")
+            .agg(
+                (
+                    F.sum(
+                        (
+                            (F.col("r") - F.col("rbar"))
+                            * (F.col("rk") - F.col("rbar"))
+                        ).cast(HI_DECIMAL)
+                    ).cast("double")
+                    / F.first("css")
+                ).alias("rho_k")
+            )
+        )
+        n = F.any_value("n")
+        q = n * (n + 2) * F.sum(
+            F.col("rho_k") * F.col("rho_k") / (F.col("n") - F.col("k"))
+        )
+        return rho.groupBy("symbol").agg(
+            n.cast("bigint").alias("n_obs"),
+            stable_round(q, 6).alias("q_stat"),
+            (q > CHI2_10_5PCT).alias("autocorrelated_5pct"),
+        )
+
+
+_register()

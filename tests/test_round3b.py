@@ -449,3 +449,54 @@ def test_cointegration_matches_python(spark, sf_dir):
             assert abs(r.hedge_beta - beta) < 1e-4
             assert abs(r.df_stat - g / se) < 1e-3
             assert r.cointegrated_5pct == (g / se < -1.95)
+
+
+def test_stattest_battery_matches_python(spark, sf_dir):
+    """Replay the runs test and ARCH LM in Python; Ljung-Box checked
+    for structure (n_obs, Q >= 0) plus a lag-1 rho cross-check
+    against the ACF-free direct computation."""
+    runs = {r.symbol: r for r in REGISTRY["runs_test_updown"].fn(spark, sf_dir).collect()}
+    arch = {r.symbol: r for r in REGISTRY["arch_lm_test"].fn(spark, sf_dir).collect()}
+    lb = {r.symbol: r for r in REGISTRY["ljung_box_q"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert runs and arch and lb
+    for sym, ticks in series.items():
+        ticks.sort()
+        deltas = [b[2] - a[2] for a, b in zip(ticks, ticks[1:])]
+        # runs test
+        dirs = [1 if d > 0 else -1 for d in deltas if d != 0]
+        n1 = sum(1 for d in dirs if d == 1)
+        n2 = len(dirs) - n1
+        r_count = 1 + sum(1 for a, b in zip(dirs, dirs[1:]) if a != b)
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        sigma = math.sqrt(
+            (2 * n1 * n2) * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        rr = runs[sym]
+        assert (rr.n_up, rr.n_down, rr.runs) == (n1, n2, r_count)
+        assert abs(rr.z_stat - (r_count - mu) / sigma) < 1e-5
+        # ARCH LM
+        xs = [d * d for d in deltas]
+        pairs = list(zip(xs[1:], xs[:-1]))
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs); syy = sum(p[1] ** 2 for p in pairs)
+        r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ar = arch[sym]
+        assert ar.n_pairs == n
+        assert abs(ar.lm_stat - n * r2) < 1e-3
+        # Ljung-Box structure + lag-1 rho check
+        q = lb[sym]
+        assert q.n_obs == len(deltas)
+        assert q.q_stat >= 0.0
+        rbar = sum(deltas) / len(deltas)
+        css = sum((d - rbar) ** 2 for d in deltas)
+        rho1 = sum((a - rbar) * (b - rbar) for a, b in zip(deltas[1:], deltas[:-1])) / css
+        nn = len(deltas)
+        contrib1 = nn * (nn + 2) * rho1 * rho1 / (nn - 1)
+        assert q.q_stat >= contrib1 - 1e-6  # lag-1 term is part of Q
