@@ -311,5 +311,179 @@ FROM rho GROUP BY 1
             (q > CHI2_10_5PCT).alias("autocorrelated_5pct"),
         )
 
+    # ------------------------------------------------------------------
+    VR_Q = 4
+    _VR_Z_SQL = (
+        f"(ratio - 1.0) / sqrt(2.0 * ({VR_Q} - 1.0)"
+        f" * (2.0 * {VR_Q} - 1.0) / (3.0 * {VR_Q} * n1))"
+    )
+
+    @register(
+        "variance_ratio_test",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, ts, tick_id, close,
+           close - open AS r1,
+           close - lag(close, {VR_Q}) OVER s AS rq
+    FROM ticks
+    WHERE open IS NOT NULL
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), sums AS (
+    SELECT symbol,
+           CAST(count(r1) AS BIGINT) AS n1,
+           CAST(SUM(CAST(r1 AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(r1 * r1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+           CAST(count(rq) AS BIGINT) AS nq,
+           CAST(SUM(CAST(rq AS DECIMAL(27,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(rq * rq AS DECIMAL(38,12))) AS DOUBLE) AS sqq
+    FROM rets GROUP BY 1
+), vr AS (
+    SELECT symbol, n1,
+           ((sqq - sq * sq / nq) / nq)
+           / ({VR_Q} * ((s11 - s1 * s1 / n1) / n1)) AS ratio
+    FROM sums WHERE n1 > {VR_Q} AND nq > 0
+)
+SELECT symbol, n1 AS n_obs,
+       {stable_round_sql('ratio', 6)} AS vr{VR_Q},
+       {stable_round_sql(_VR_Z_SQL, 6)} AS z_stat
+FROM vr
+""",
+        doc=f"Lo-MacKinlay variance-ratio test per symbol at q = "
+        f"{VR_Q}: under a random walk, the variance of {VR_Q}-tick "
+        "returns is exactly q times the 1-tick variance; VR > 1 = "
+        "momentum, VR < 1 = mean reversion — the quantitative "
+        "companion to the runs test, and the direct empirical check "
+        "of the reference's premise that short-horizon movement is "
+        "predictable at all. Both return horizons come from the SAME "
+        "per-symbol sort (the q-lag reuses the window); variances "
+        "from decimal sufficient sums ((38,12) for the squared "
+        "terms); the homoskedastic z uses the closed-form asymptotic "
+        "variance 2(q-1)(2q-1)/(3qn).",
+    )
+    def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        rets = t.select(
+            "symbol",
+            (F.col("close") - F.col("open")).alias("r1"),
+            (F.col("close") - F.lag("close", VR_Q).over(s)).alias("rq"),
+        )
+        r1, rq = F.col("r1"), F.col("rq")
+        sums = rets.groupBy("symbol").agg(
+            F.count(r1).alias("n1"),
+            F.sum(r1.cast("decimal(27,6)")).cast("double").alias("s1"),
+            F.sum((r1 * r1).cast(HI_DECIMAL)).cast("double").alias("s11"),
+            F.count(rq).alias("nq"),
+            F.sum(rq.cast("decimal(27,6)")).cast("double").alias("sq"),
+            F.sum((rq * rq).cast(HI_DECIMAL)).cast("double").alias("sqq"),
+        )
+        n1, nq = F.col("n1"), F.col("nq")
+        var1 = (F.col("s11") - F.col("s1") * F.col("s1") / n1) / n1
+        varq = (F.col("sqq") - F.col("sq") * F.col("sq") / nq) / nq
+        ratio = varq / (VR_Q * var1)
+        z = (ratio - 1.0) / F.sqrt(
+            2.0 * (VR_Q - 1.0) * (2.0 * VR_Q - 1.0) / (3.0 * VR_Q * n1)
+        )
+        return sums.where((n1 > VR_Q) & (nq > 0)).select(
+            "symbol",
+            n1.alias("n_obs"),
+            stable_round(ratio, 6).alias(f"vr{VR_Q}"),
+            stable_round(z, 6).alias("z_stat"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "kpss_level_stat",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, ts, tick_id, close - open AS r
+    FROM ticks WHERE open IS NOT NULL
+), base AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS rbar,
+           CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             - (CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*))
+               * (CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*))
+               AS s2
+    FROM rets GROUP BY 1
+), partials AS (
+    SELECT rt.symbol,
+           CAST(SUM(CAST(rt.r AS DECIMAL(27,6))) OVER w AS DOUBLE)
+             - row_number() OVER w2 * b.rbar AS st
+    FROM rets rt JOIN base b USING (symbol)
+    WINDOW w AS (PARTITION BY rt.symbol ORDER BY rt.ts, rt.tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY rt.symbol ORDER BY rt.ts, rt.tick_id)
+), eta AS (
+    SELECT p.symbol, b.n,
+           CAST(SUM(CAST(p.st * p.st AS DECIMAL(38,12))) AS DOUBLE)
+             / (CAST(b.n AS DOUBLE) * b.n * b.s2) AS stat
+    FROM partials p JOIN base b USING (symbol)
+    GROUP BY 1, 2, b.s2
+)
+SELECT symbol, n AS n_obs,
+       {stable_round_sql('stat', 6)} AS kpss_stat,
+       stat > 0.463 AS nonstationary_5pct
+FROM eta
+""",
+        doc="KPSS level-stationarity statistic per symbol (lag-0 "
+        "long-run variance): eta = sum of squared partial sums of "
+        "the demeaned tick deltas over n^2 * sigma^2, vs the 0.463 "
+        "5% critical value — the complement of the Dickey-Fuller "
+        "direction used in the cointegration test (KPSS's null IS "
+        "stationarity). The running partial sum accumulates in "
+        "decimal over the uniquely-ordered window (exact at any "
+        "partitioning, same pattern as cusum_drift_summary); the "
+        "mean joins in from a one-row-per-symbol broadcast. One "
+        "per-symbol sort + two combinable aggregates.",
+    )
+    def kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        rets = t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            (F.col("close") - F.col("open")).alias("r"),
+        )
+        r = F.col("r")
+        rbar = F.sum(r.cast("decimal(27,6)")).cast("double") / F.count(
+            F.lit(1)
+        )
+        base = rets.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            rbar.alias("rbar"),
+            (
+                F.sum((r * r).cast(HI_DECIMAL)).cast("double")
+                / F.count(F.lit(1))
+                - rbar * rbar
+            ).alias("s2"),
+        )
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        run = s.rowsBetween(Window.unboundedPreceding, 0)
+        partials = rets.join(F.broadcast(base), "symbol").select(
+            "symbol",
+            "n",
+            "s2",
+            (
+                F.sum(r.cast("decimal(27,6)")).over(run).cast("double")
+                - F.row_number().over(s) * F.col("rbar")
+            ).alias("st"),
+        )
+        st = F.col("st")
+        eta = partials.groupBy("symbol", "n", "s2").agg(
+            (
+                F.sum((st * st).cast(HI_DECIMAL)).cast("double")
+                / (F.col("n").cast("double") * F.col("n") * F.col("s2"))
+            ).alias("stat")
+        )
+        return eta.select(
+            "symbol",
+            F.col("n").alias("n_obs"),
+            stable_round(F.col("stat"), 6).alias("kpss_stat"),
+            (F.col("stat") > 0.463).alias("nonstationary_5pct"),
+        )
+
 
 _register()

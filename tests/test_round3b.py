@@ -500,3 +500,47 @@ def test_stattest_battery_matches_python(spark, sf_dir):
         nn = len(deltas)
         contrib1 = nn * (nn + 2) * rho1 * rho1 / (nn - 1)
         assert q.q_stat >= contrib1 - 1e-6  # lag-1 term is part of Q
+
+
+def test_vr_and_kpss_match_python(spark, sf_dir):
+    """Replay the variance ratio and KPSS computations in Python."""
+    vr = {r.symbol: r for r in REGISTRY["variance_ratio_test"].fn(spark, sf_dir).collect()}
+    kp = {r.symbol: r for r in REGISTRY["kpss_level_stat"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert vr and kp
+    q = 4
+    for sym, ticks in series.items():
+        ticks.sort()
+        closes = [t[2] for t in ticks]
+        r1 = [b - a for a, b in zip(closes, closes[1:])]
+        # the query's lag(close, q) runs on the open-filtered sequence
+        # (rows 2..n of the raw series)
+        filt = closes[1:]
+        rq = [filt[j] - filt[j - q] for j in range(q, len(filt))]
+
+        def var(xs):
+            m = sum(xs) / len(xs)
+            return sum(x * x for x in xs) / len(xs) - m * m
+
+        ratio = var(rq) / (q * var(r1))
+        n1 = len(r1)
+        z = (ratio - 1.0) / math.sqrt(2 * (q - 1) * (2 * q - 1) / (3 * q * n1))
+        rv = vr[sym]
+        assert rv.n_obs == n1
+        assert abs(getattr(rv, f"vr{q}") - ratio) < 1e-4, sym
+        assert abs(rv.z_stat - z) < 1e-3
+        # KPSS
+        rbar = sum(r1) / n1
+        s2 = sum(x * x for x in r1) / n1 - rbar * rbar
+        cum, ssq = 0.0, 0.0
+        for x in r1:
+            cum += x - rbar
+            ssq += cum * cum
+        stat = ssq / (n1 * n1 * s2)
+        rk = kp[sym]
+        assert rk.n_obs == n1
+        assert abs(rk.kpss_stat - stat) < 1e-4, sym
+        assert rk.nonstationary_5pct == (stat > 0.463)
