@@ -485,5 +485,97 @@ FROM eta
             (F.col("stat") > 0.463).alias("nonstationary_5pct"),
         )
 
+    # ------------------------------------------------------------------
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+
+    _sub = {
+        name: REGISTRY[name].oracle
+        for name in (
+            "runs_test_updown",
+            "arch_lm_test",
+            "ljung_box_q",
+            "variance_ratio_test",
+            "kpss_level_stat",
+        )
+    }
+
+    @register(
+        "stat_tests_panel",
+        oracle=f"""
+WITH runs_t AS MATERIALIZED (
+{_sub['runs_test_updown']}
+), arch_t AS MATERIALIZED (
+{_sub['arch_lm_test']}
+), lb_t AS MATERIALIZED (
+{_sub['ljung_box_q']}
+), vr_t AS MATERIALIZED (
+{_sub['variance_ratio_test']}
+), kpss_t AS MATERIALIZED (
+{_sub['kpss_level_stat']}
+)
+SELECT r.symbol,
+       r.z_stat AS runs_z,
+       a.lm_stat AS arch_lm,
+       l.q_stat AS ljung_box_q,
+       v.vr4 AS variance_ratio4,
+       k.kpss_stat,
+       CAST(CASE WHEN r.nonrandom_5pct THEN 1 ELSE 0 END
+          + CASE WHEN a.arch_present_5pct THEN 1 ELSE 0 END
+          + CASE WHEN l.autocorrelated_5pct THEN 1 ELSE 0 END AS BIGINT)
+           AS n_structure_flags
+FROM runs_t r
+JOIN arch_t a USING (symbol)
+JOIN lb_t l USING (symbol)
+JOIN vr_t v USING (symbol)
+JOIN kpss_t k USING (symbol)
+""",
+        doc="The one-call diagnostics panel: every stationarity / "
+        "randomness / clustering statistic in this module joined "
+        "into a single wide row per symbol, plus a count of the "
+        "structure flags (non-random sequence, ARCH effects, serial "
+        "correlation) — what a modeling team reads before deciding "
+        "whether the trend-prediction premise holds for a symbol at "
+        "all. Same composition pattern as trend_consensus_verdict: "
+        "sub-queries reused as-is, oracles nested as MATERIALIZED "
+        "sub-CTEs, each already one row per symbol before the joins.",
+    )
+    def stat_tests_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        r = REGISTRY["runs_test_updown"].fn(spark, sf_dir).select(
+            "symbol",
+            F.col("z_stat").alias("runs_z"),
+            "nonrandom_5pct",
+        )
+        a = REGISTRY["arch_lm_test"].fn(spark, sf_dir).select(
+            "symbol", F.col("lm_stat").alias("arch_lm"), "arch_present_5pct"
+        )
+        lq = REGISTRY["ljung_box_q"].fn(spark, sf_dir).select(
+            "symbol",
+            F.col("q_stat").alias("ljung_box_q"),
+            "autocorrelated_5pct",
+        )
+        v = REGISTRY["variance_ratio_test"].fn(spark, sf_dir).select(
+            "symbol", F.col("vr4").alias("variance_ratio4")
+        )
+        k = REGISTRY["kpss_level_stat"].fn(spark, sf_dir).select(
+            "symbol", "kpss_stat"
+        )
+        j = r.join(a, "symbol").join(lq, "symbol").join(v, "symbol").join(
+            k, "symbol"
+        )
+        flags = (
+            F.when(F.col("nonrandom_5pct"), 1).otherwise(0)
+            + F.when(F.col("arch_present_5pct"), 1).otherwise(0)
+            + F.when(F.col("autocorrelated_5pct"), 1).otherwise(0)
+        ).cast("bigint")
+        return j.select(
+            "symbol",
+            "runs_z",
+            "arch_lm",
+            "ljung_box_q",
+            "variance_ratio4",
+            "kpss_stat",
+            flags.alias("n_structure_flags"),
+        )
+
 
 _register()
