@@ -46,6 +46,11 @@ QUERIES = [
     "chi2_token_keyness",           # unrounded-chi2 top-50 cut
     "token_pmi_collocations",       # unrounded-npmi top-50 cut
     "ngram_novelty_decay",          # min(doc_id) attribution per gram
+    "hurst_exponent_rs",            # block R/S + 3-point log-log fit
+    "cointegration_engle_granger",  # two-stage sufficient-sum pipeline
+    "stat_tests_panel",             # five joined test statistics
+    "bootstrap_ci_value_mean",      # hash-seeded replicate weights
+    "trend_consensus_verdict",      # fused four-signal vote
 ]
 
 

@@ -59,6 +59,9 @@ QUERIES = [
     ("trend_consensus_verdict", "four signals fused into ONE Window batch over one symbol sort"),
     ("bootstrap_ci_value_mean", "100x replicate explode map-side combines to #types x B rows"),
     ("crosscorr_leadlag_hourly", "lag shift explodes the hours grid, never raw ticks; one equi-join"),
+    ("hurst_exponent_rs", "one prefix-sum window serves all three block scales"),
+    ("cointegration_engle_granger", "two combinable aggs + hours join + per-pair lag; no candidate rescans"),
+    ("stat_tests_panel", "five one-row-per-symbol signals joined; ticks read once per test"),
 ]
 
 
