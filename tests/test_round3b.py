@@ -544,3 +544,49 @@ def test_vr_and_kpss_match_python(spark, sf_dir):
         assert rk.n_obs == n1
         assert abs(rk.kpss_stat - stat) < 1e-4, sym
         assert rk.nonstationary_5pct == (stat > 0.463)
+
+
+def test_pairs_spread_and_portfolio_laws(spark, sf_dir):
+    """Spread z-score gating (NULL until a full 24h window), entry
+    flag consistency, and a Python replay of the portfolio summary."""
+    rows = REGISTRY["pairs_spread_zscore"].fn(spark, sf_dir).collect()
+    assert rows
+    by_pair = defaultdict(list)
+    for r in rows:
+        by_pair[(r.sym_a, r.sym_b)].append(r)
+        assert r.sym_a < r.sym_b
+    for pair, rs in by_pair.items():
+        rs.sort(key=lambda r: r.hour)
+        for i, r in enumerate(rs):
+            if i < 23:
+                assert r.zscore is None and r.entry_signal is None
+            elif r.zscore is not None:
+                assert r.entry_signal == (abs(r.zscore) > 2.0)
+
+    # portfolio: python replay on hourly geometric-mean log values
+    row = REGISTRY["portfolio_equal_weight_summary"].fn(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    last = {}
+    for e in ev:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        k = (e.event_type, h)
+        if k not in last or e.ts > last[k][0]:
+            last[k] = (e.ts, e.value)
+    lv = defaultdict(list)
+    for (sym, h), (_, px) in last.items():
+        if px > 0:
+            lv[h].append(math.log(px))
+    hours = sorted(lv)
+    series = [sum(v) / len(v) for h in hours for v in [lv[h]]]
+    rets = [b - a for a, b in zip(series, series[1:])]
+    assert row.n_hours == len(hours)
+    assert abs(row.total_return - (math.exp(series[-1] - series[0]) - 1)) < 1e-4
+    mean = sum(rets) / len(rets)
+    var = sum((x - mean) ** 2 for x in rets) / (len(rets) - 1)
+    assert abs(row.sharpe_hourly - mean / math.sqrt(var)) < 1e-4
+    peak, mdd = series[0], 0.0
+    for v in series:
+        peak = max(peak, v)
+        mdd = min(mdd, v - peak)
+    assert abs(row.max_drawdown - (1 - math.exp(mdd))) < 1e-5
+    assert 0.0 <= row.max_drawdown < 1.0
