@@ -900,3 +900,127 @@ def test_minhash_admission_stream_equals_batch(spark, tmp_path):
         r["doc_id"] for r in read_admitted(spark, state_batch).collect()
     }
     assert admitted_one + 1_000_000 not in after
+
+
+def test_cusum_stream_equals_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """Chunked CUSUM state folding == one-shot computation with the
+    same fixed params, BIT-identical (the carried cum is decimal), and
+    replaying a batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.cusum import (
+        CUSUM_THRESHOLD,
+        read_cusum_state,
+        update_cusum_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # fixed reference params estimated "offline" from the same series
+    params = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+
+    # stream: three chunks by event_id ranges, folded sequentially
+    sdir = str(tmp_path / "state")
+    bounds = [0.33, 0.66, 1.0]
+    ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    cuts = [ids[int(len(ids) * b) - 1] for b in bounds]
+    lo = None
+    for i, hi in enumerate(cuts):
+        chunk = ev.where(
+            (F.col("event_id") <= hi)
+            & (F.lit(True) if lo is None else (F.col("event_id") > lo))
+        )
+        update_cusum_state(spark, chunk, params, sdir, batch_id=i)
+        lo = hi
+    streamed = {
+        r.event_type: r for r in read_cusum_state(spark, sdir).collect()
+    }
+
+    # one-shot: the same scoring over the whole series at once
+    bdir = str(tmp_path / "state_oneshot")
+    update_cusum_state(spark, ev, params, bdir, batch_id=0)
+    oneshot = {
+        r.event_type: r for r in read_cusum_state(spark, bdir).collect()
+    }
+
+    assert streamed.keys() == oneshot.keys() and streamed
+    for k, s in streamed.items():
+        o = oneshot[k]
+        assert (s.n_rows, s.n_alarm) == (o.n_rows, o.n_alarm), k
+        assert s.cum == o.cum  # decimal carry -> exact equality
+        assert s.peak_z == o.peak_z
+        assert (s.peak_event_id, s.peak_ts) == (o.peak_event_id, o.peak_ts)
+        assert s.n_alarm >= 0 and s.peak_z >= 0.0
+
+    # replaying the last batch id must change nothing
+    before = sorted(map(tuple, read_cusum_state(spark, sdir).collect()))
+    chunk = ev.where(F.col("event_id") > cuts[-2])
+    update_cusum_state(spark, chunk, params, sdir, batch_id=len(cuts) - 1)
+    after = sorted(map(tuple, read_cusum_state(spark, sdir).collect()))
+    assert before == after
+
+
+def test_cusum_sink_foreachbatch_runs_and_matches(spark, sf_dir, tmp_path):
+    """The actual foreachBatch sink over time-ordered file batches
+    lands the same state as sequential update calls."""
+    import glob
+    import os
+    import time as _time
+
+    from stock_trend_predictor_spark.operators.cusum import (
+        cusum_sink,
+        read_cusum_state,
+        update_cusum_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    params = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    # three TIME-ordered chunks (CUSUM is order-sensitive)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    splits = [
+        ev.where(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+            | (F.lit(i == 2) & (F.col("ts") == hi))
+        ).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    now = _time.time()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdir = str(tmp_path / "state_stream")
+    q = cusum_sink(stream, params, sdir, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    bdir = str(tmp_path / "state_seq")
+    for i, part in enumerate(splits):
+        update_cusum_state(spark, part, params, bdir, batch_id=i)
+
+    got = sorted(map(tuple, read_cusum_state(spark, sdir).collect()))
+    want = sorted(map(tuple, read_cusum_state(spark, bdir).collect()))
+    assert got == want and got
