@@ -268,5 +268,185 @@ FROM sums
             ).alias("max_drawdown"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "drawdown_duration",
+        oracle="""
+WITH ticks AS (
+    SELECT event_type AS symbol, ts, event_id AS tick_id, value AS close
+    FROM events
+), peaks AS (
+    SELECT symbol, ts, tick_id, close,
+           max(close) OVER w AS peak
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), flagged AS (
+    SELECT symbol, ts, tick_id, close, peak,
+           CASE WHEN close < peak THEN 1 ELSE 0 END AS under,
+           row_number() OVER s
+             - SUM(CASE WHEN close < peak THEN 1 ELSE 0 END) OVER
+               (PARTITION BY symbol ORDER BY ts, tick_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM peaks
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), spells AS (
+    SELECT symbol, island,
+           CAST(count(*) AS BIGINT) AS spell_ticks,
+           min(ts) AS spell_start, max(ts) AS spell_end,
+           min(close / peak) AS worst_ratio
+    FROM flagged WHERE under = 1
+    GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_spells,
+       max(spell_ticks) AS longest_spell_ticks,
+       -- floor each endpoint to whole seconds first: Spark's
+       -- unix_timestamp truncates, DuckDB's epoch keeps fractions
+       CAST(max(floor(epoch(spell_end)) - floor(epoch(spell_start)))
+            AS BIGINT) AS longest_spell_seconds,
+       floor(min(worst_ratio) * 1000000.0 + 0.5) / 1000000.0
+           AS worst_peak_ratio
+FROM spells GROUP BY 1
+""",
+        doc="Drawdown DURATION per symbol — the risk dimension "
+        "max_drawdown_per_symbol omits: how LONG the series stays "
+        "underwater. Gaps-and-islands over the below-running-peak "
+        "flag (rn minus running under-count keys each contiguous "
+        "spell — the standard islands trick, same as "
+        "runlength_encode_user_events) gives every underwater spell; "
+        "the summary reports spell count, the longest spell in ticks "
+        "and in wall-clock seconds, and the worst close/peak ratio. "
+        "One per-symbol sort feeds the running peak, the island key, "
+        "and the final combinable aggregate.",
+    )
+    def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        t = ev.select(
+            F.col("event_type").alias("symbol"),
+            "ts",
+            F.col("event_id").alias("tick_id"),
+            F.col("value").alias("close"),
+        )
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        run = s.rowsBetween(Window.unboundedPreceding, 0)
+        t = t.withColumn("peak", F.max("close").over(run)).withColumn(
+            "under", F.when(F.col("close") < F.col("peak"), 1).otherwise(0)
+        )
+        t = t.withColumn(
+            "island",
+            F.row_number().over(s) - F.sum("under").over(run),
+        )
+        spells = (
+            t.where(F.col("under") == 1)
+            .groupBy("symbol", "island")
+            .agg(
+                F.count(F.lit(1)).alias("spell_ticks"),
+                F.min("ts").alias("spell_start"),
+                F.max("ts").alias("spell_end"),
+                F.min(F.col("close") / F.col("peak")).alias("worst_ratio"),
+            )
+        )
+        return spells.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_spells"),
+            F.max("spell_ticks").alias("longest_spell_ticks"),
+            F.max(
+                F.unix_timestamp("spell_end") - F.unix_timestamp("spell_start")
+            ).alias("longest_spell_seconds"),
+            stable_round(F.min("worst_ratio"), 6).alias("worst_peak_ratio"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "dow_anova_f",
+        oracle=f"""
+WITH ticks AS (
+    SELECT event_type AS symbol, ts,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS r
+    FROM events
+), rets AS (
+    -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+    SELECT symbol, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, r
+    FROM ticks WHERE r IS NOT NULL
+), groups AS (
+    SELECT symbol, dow, CAST(count(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS sg,
+           CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS sgg
+    FROM rets GROUP BY 1, 2
+), tot AS (
+    SELECT symbol, CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(sg AS DECIMAL(27,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(sgg AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+           CAST(SUM(CAST(sg * sg / ng AS DECIMAL(38,12))) AS DOUBLE)
+               AS sbg
+    FROM groups GROUP BY 1
+)
+SELECT symbol, k AS n_groups, n AS n_obs,
+       {stable_round_sql('(sbg - s * s / n) / (k - 1)'
+                         ' / ((ss - sbg) / (n - k))', 6)} AS f_stat,
+       (sbg - s * s / n) / (k - 1) / ((ss - sbg) / (n - k)) > 2.10
+           AS dow_effect_5pct
+FROM tot WHERE k > 1 AND n > k
+""",
+        doc="One-way ANOVA F of tick deltas across day-of-week groups "
+        "per symbol: is there a calendar effect worth a feature? "
+        "F = (SSB/(k-1)) / (SSW/(n-k)) with the between-group sum of "
+        "squares computed from per-group decimal sufficient sums "
+        "(SSB = sum sg^2/ng - s^2/n, SSW = total SS - that) — so the "
+        "whole test is two combinable aggregates, no window at all. "
+        "The 2.10 flag is the F(6, inf) 5% critical value; the "
+        "statistic is the contract. Complements seasonality_profile "
+        "(which reports the group means this tests).",
+    )
+    def dow_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        s = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        rets = (
+            ev.select(
+                F.col("event_type").alias("symbol"),
+                "ts",
+                (F.col("value") - F.lag("value").over(s)).alias("r"),
+            )
+            .where(F.col("r").isNotNull())
+            .select(
+                "symbol",
+                F.dayofweek("ts").cast("bigint").alias("dow"),
+                "r",
+            )
+        )
+        r = F.col("r")
+        groups = rets.groupBy("symbol", "dow").agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(r.cast(DECIMAL_T)).cast("double").alias("sg"),
+            F.sum((r * r).cast("decimal(38,12)")).cast("double").alias("sgg"),
+        )
+        tot = groups.groupBy("symbol").agg(
+            F.sum("ng").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("sg").cast(DECIMAL_T)).cast("double").alias("s"),
+            F.sum(F.col("sgg").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("ss"),
+            F.sum(
+                (F.col("sg") * F.col("sg") / F.col("ng")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sbg"),
+        )
+        n, k = F.col("n"), F.col("k")
+        f = ((F.col("sbg") - F.col("s") * F.col("s") / n) / (k - 1)) / (
+            (F.col("ss") - F.col("sbg")) / (n - k)
+        )
+        return tot.where((k > 1) & (n > k)).select(
+            "symbol",
+            k.alias("n_groups"),
+            n.alias("n_obs"),
+            stable_round(f, 6).alias("f_stat"),
+            (f > 2.10).alias("dow_effect_5pct"),
+        )
+
 
 _register()

@@ -590,3 +590,51 @@ def test_pairs_spread_and_portfolio_laws(spark, sf_dir):
         mdd = min(mdd, v - peak)
     assert abs(row.max_drawdown - (1 - math.exp(mdd))) < 1e-5
     assert 0.0 <= row.max_drawdown < 1.0
+
+
+def test_drawdown_duration_and_anova_laws(spark, sf_dir):
+    """Spell laws: worst ratio in (0, 1]; spell counts positive; the
+    longest spell is at most the series length. ANOVA: F >= 0, groups
+    match the distinct weekdays in the data, replayed in Python."""
+    dd = {r.symbol: r for r in REGISTRY["drawdown_duration"].fn(spark, sf_dir).collect()}
+    an = {r.symbol: r for r in REGISTRY["dow_anova_f"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert dd and an
+    for sym, ticks in series.items():
+        ticks.sort()
+        closes = [t[2] for t in ticks]
+        r = dd[sym]
+        assert 0.0 < r.worst_peak_ratio <= 1.0
+        assert 0 < r.n_spells
+        assert 0 < r.longest_spell_ticks <= len(closes)
+        # python replay of the longest spell in ticks
+        peak, cur, longest, spells = float("-inf"), 0, 0, 0
+        for c in closes:
+            peak = max(peak, c)
+            if c < peak:
+                cur += 1
+                if cur == 1:
+                    spells += 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        assert (r.n_spells, r.longest_spell_ticks) == (spells, longest), sym
+        # ANOVA replay
+        deltas = [(b[0], b[2] - a[2]) for a, b in zip(ticks, ticks[1:])]
+        groups = defaultdict(list)
+        for ts, d in deltas:
+            groups[ts.isoweekday() % 7 + 1].append(d)  # Spark dow: Sun=1
+        a = an[sym]
+        assert a.n_groups == len(groups)
+        n = sum(len(g) for g in groups.values())
+        s = sum(sum(g) for g in groups.values())
+        ss = sum(x * x for g in groups.values() for x in g)
+        sbg = sum(sum(g) ** 2 / len(g) for g in groups.values())
+        k = len(groups)
+        f = ((sbg - s * s / n) / (k - 1)) / ((ss - sbg) / (n - k))
+        assert a.n_obs == n
+        assert abs(a.f_stat - f) < 1e-3
+        assert a.f_stat >= 0.0
