@@ -500,6 +500,197 @@ FROM eta
     }
 
     @register(
+        "ks_test_pairwise",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, tick_id, close - open AS r
+    FROM ticks WHERE open IS NOT NULL
+), pairs AS (
+    SELECT DISTINCT a.symbol AS sym_a, b.symbol AS sym_b
+    FROM rets a, rets b WHERE a.symbol < b.symbol
+), tagged AS (
+    SELECT p.sym_a, p.sym_b, r.r, r.tick_id,
+           CASE WHEN r.symbol = p.sym_a THEN 1 ELSE 0 END AS from_a
+    FROM pairs p
+    JOIN rets r ON r.symbol = p.sym_a OR r.symbol = p.sym_b
+), counts AS (
+    SELECT sym_a, sym_b,
+           CAST(SUM(from_a) AS BIGINT) AS na,
+           CAST(SUM(1 - from_a) AS BIGINT) AS nb
+    FROM tagged GROUP BY 1, 2
+), cdf AS (
+    SELECT t.sym_a, t.sym_b, c.na, c.nb,
+           CAST(SUM(t.from_a) OVER w AS DOUBLE) / c.na
+             - CAST(SUM(1 - t.from_a) OVER w AS DOUBLE) / c.nb AS gap
+    FROM tagged t
+    JOIN counts c ON c.sym_a = t.sym_a AND c.sym_b = t.sym_b
+    WINDOW w AS (PARTITION BY t.sym_a, t.sym_b
+                 ORDER BY t.r, t.from_a, t.tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT sym_a, sym_b,
+       CAST(any_value(na) AS BIGINT) AS n_a,
+       CAST(any_value(nb) AS BIGINT) AS n_b,
+       {stable_round_sql('max(abs(gap))', 6)} AS ks_d,
+       max(abs(gap)) > 1.36 * sqrt(CAST(any_value(na) + any_value(nb)
+                                        AS DOUBLE)
+                                   / (any_value(na) * any_value(nb)))
+           AS differ_5pct
+FROM cdf GROUP BY 1, 2
+""",
+        doc="Two-sample Kolmogorov-Smirnov test for every unordered "
+        "symbol pair: D = max |F_a - F_b| over the merged sorted "
+        "return sample — do two symbols even share a return "
+        "distribution? (If they do not, pooling them in one model — "
+        "which the reference's per-ticker design implicitly avoids "
+        "and a global model implicitly assumes — is wrong; this "
+        "query is the check.) The empirical-CDF gap comes from ONE "
+        "cumulative window per pair over the tagged union, ordered "
+        "by (r, tag, tick_id) — a total order, so the step sequence "
+        "and its max are bit-deterministic. The 1.36*sqrt((na+nb)/"
+        "(na*nb)) flag is the classic 5% asymptotic. Pair fan-out "
+        "multiplies the hours... tick-return table by #pairs "
+        "(symbol-universe-bounded, never data-bounded).",
+    )
+    def ks_test_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        rets = t.select(
+            "symbol",
+            "tick_id",
+            (F.col("close") - F.col("open")).alias("r"),
+        )
+        syms = rets.select("symbol").distinct()
+        pairs = (
+            syms.select(F.col("symbol").alias("sym_a"))
+            .join(syms.select(F.col("symbol").alias("sym_b")))
+            .where(F.col("sym_a") < F.col("sym_b"))
+        )
+        tagged = rets.join(
+            F.broadcast(pairs),
+            (F.col("symbol") == F.col("sym_a"))
+            | (F.col("symbol") == F.col("sym_b")),
+        ).select(
+            "sym_a",
+            "sym_b",
+            "r",
+            "tick_id",
+            F.when(F.col("symbol") == F.col("sym_a"), 1).otherwise(0).alias(
+                "from_a"
+            ),
+        )
+        counts = tagged.groupBy("sym_a", "sym_b").agg(
+            F.sum("from_a").alias("na"),
+            F.sum(F.lit(1) - F.col("from_a")).alias("nb"),
+        )
+        w = (
+            Window.partitionBy("sym_a", "sym_b")
+            .orderBy("r", "from_a", "tick_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cdf = tagged.join(F.broadcast(counts), ["sym_a", "sym_b"]).withColumn(
+            "gap",
+            F.sum("from_a").over(w).cast("double") / F.col("na")
+            - F.sum(F.lit(1) - F.col("from_a")).over(w).cast("double")
+            / F.col("nb"),
+        )
+        na, nb = F.any_value("na"), F.any_value("nb")
+        d = F.max(F.abs(F.col("gap")))
+        return cdf.groupBy("sym_a", "sym_b").agg(
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            stable_round(d, 6).alias("ks_d"),
+            (
+                d
+                > 1.36
+                * F.sqrt((na + nb).cast("double") / (na * nb))
+            ).alias("differ_5pct"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "movement_mutual_information",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+dirs AS (
+    SELECT symbol, ts, tick_id,
+           CASE WHEN close > open THEN 1 ELSE 0 END AS up
+    FROM ticks WHERE open IS NOT NULL AND close <> open
+), seq AS (
+    SELECT symbol, up,
+           lag(up) OVER (PARTITION BY symbol
+                         ORDER BY ts, tick_id) AS prev_up
+    FROM dirs
+), cells AS (
+    SELECT symbol, prev_up, up, CAST(count(*) AS BIGINT) AS c
+    FROM seq WHERE prev_up IS NOT NULL GROUP BY 1, 2, 3
+), m AS (
+    SELECT symbol, prev_up, up, c,
+           CAST(SUM(c) OVER (PARTITION BY symbol) AS BIGINT) AS n,
+           CAST(SUM(c) OVER (PARTITION BY symbol, prev_up) AS BIGINT) AS cx,
+           CAST(SUM(c) OVER (PARTITION BY symbol, up) AS BIGINT) AS cy
+    FROM cells
+)
+SELECT symbol, CAST(any_value(n) AS BIGINT) AS n_pairs,
+       {stable_round_sql(
+           'SUM((CAST(c AS DOUBLE) / n)'
+           ' * ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))',
+           8)} AS mi_nats,
+       {stable_round_sql('2.0 * any_value(n) * SUM((CAST(c AS DOUBLE) / n)'
+           ' * ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))',
+           6)} AS g_stat
+FROM m GROUP BY 1
+""",
+        doc="Mutual information between consecutive movement "
+        "directions per symbol — the information-theoretic upper "
+        "bound on what ANY predictor of the next move can extract "
+        "from the last one (the reference's classifier consumes "
+        "exactly this signal; MI says how much exists). Computed "
+        "from the exact 2x2 transition contingency: marginals via "
+        "windows over the 4-row-per-symbol cell table, "
+        "MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))) in nats, plus the "
+        "G-statistic 2*N*MI (~chi2(1)) for significance. Zero "
+        "deltas excluded (same dichotomy as the runs test). Counts "
+        "are exact; the log terms are a fixed IEEE tree over them.",
+    )
+    def movement_mutual_information(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & (F.col("close") != F.col("open"))
+        )
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        seq = t.select(
+            "symbol",
+            "ts",
+            "tick_id",
+            F.when(F.col("close") > F.col("open"), 1).otherwise(0).alias("up"),
+        ).withColumn("prev_up", F.lag("up").over(s))
+        cells = (
+            seq.where(F.col("prev_up").isNotNull())
+            .groupBy("symbol", "prev_up", "up")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        m = cells.withColumns(
+            {
+                "n": F.sum("c").over(Window.partitionBy("symbol")),
+                "cx": F.sum("c").over(Window.partitionBy("symbol", "prev_up")),
+                "cy": F.sum("c").over(Window.partitionBy("symbol", "up")),
+            }
+        )
+        c = F.col("c").cast("double")
+        term = (c / F.col("n")) * F.log(
+            (c * F.col("n")) / (F.col("cx").cast("double") * F.col("cy"))
+        )
+        mi = F.sum(term)
+        return m.groupBy("symbol").agg(
+            F.any_value("n").cast("bigint").alias("n_pairs"),
+            stable_round(mi, 8).alias("mi_nats"),
+            stable_round(2.0 * F.any_value("n") * mi, 6).alias("g_stat"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "stat_tests_panel",
         oracle=f"""
 WITH runs_t AS MATERIALIZED (

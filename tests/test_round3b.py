@@ -638,3 +638,55 @@ def test_drawdown_duration_and_anova_laws(spark, sf_dir):
         assert a.n_obs == n
         assert abs(a.f_stat - f) < 1e-3
         assert a.f_stat >= 0.0
+
+
+def test_ks_and_mi_match_python(spark, sf_dir):
+    """Python replays: exact KS D per pair and exact MI per symbol."""
+    ks = {(r.sym_a, r.sym_b): r for r in REGISTRY["ks_test_pairwise"].fn(spark, sf_dir).collect()}
+    mi = {r.symbol: r for r in REGISTRY["movement_mutual_information"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    rets = {}
+    for sym, ticks in series.items():
+        ticks.sort()
+        rets[sym] = [b[2] - a[2] for a, b in zip(ticks, ticks[1:])]
+    syms = sorted(rets)
+    assert ks and mi
+    for i, sa in enumerate(syms):
+        for sb in syms[i + 1:]:
+            a, b = sorted(rets[sa]), sorted(rets[sb])
+            na, nb = len(a), len(b)
+            # merged-scan exact KS
+            ia = ib = 0
+            d = 0.0
+            merged = sorted([(x, 0) for x in a] + [(x, 1) for x in b])
+            for x, tag in merged:
+                if tag == 0:
+                    ia += 1
+                else:
+                    ib += 1
+                d = max(d, abs(ia / na - ib / nb))
+            r = ks[(sa, sb)]
+            assert (r.n_a, r.n_b) == (na, nb)
+            assert abs(r.ks_d - d) < 1e-6, (sa, sb)
+            crit = 1.36 * math.sqrt((na + nb) / (na * nb))
+            assert r.differ_5pct == (d > crit)
+    for sym, rr in rets.items():
+        dirs = [1 if d > 0 else 0 for d in rr if d != 0]
+        cells = Counter(zip(dirs, dirs[1:]))
+        n = sum(cells.values())
+        cx = Counter(); cy = Counter()
+        for (x, y), c in cells.items():
+            cx[x] += c
+            cy[y] += c
+        mi_val = sum(
+            (c / n) * math.log((c * n) / (cx[x] * cy[y]))
+            for (x, y), c in cells.items()
+        )
+        r = mi[sym]
+        assert r.n_pairs == n
+        assert abs(r.mi_nats - mi_val) < 1e-6
+        assert r.mi_nats >= -1e-12  # MI is nonnegative
+        assert abs(r.g_stat - 2 * n * mi_val) < 1e-3
