@@ -690,3 +690,58 @@ def test_ks_and_mi_match_python(spark, sf_dir):
         assert abs(r.mi_nats - mi_val) < 1e-6
         assert r.mi_nats >= -1e-12  # MI is nonnegative
         assert abs(r.g_stat - 2 * n * mi_val) < 1e-3
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    """Replay the restricted/unrestricted regressions with numpy
+    lstsq; the closed-form F statistic must agree."""
+    import numpy as np
+
+    rows = {(r.sym_a, r.sym_b): r
+            for r in REGISTRY["granger_causality_hourly"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    px = {}
+    for e in ev:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        k = (e.event_type, h)
+        if k not in px:
+            px[k] = []
+        px[k].append((e.ts, e.value))
+    rets = {}
+    for (sym, h), ticks in px.items():
+        ticks.sort()
+        first, last = ticks[0][1], ticks[-1][1]
+        if first > 0:
+            rets[(sym, h)] = (last - first) / first
+    syms = sorted({s for s, _ in rets})
+    hours = sorted({h for _, h in rets})
+    lagged = {}
+    for sym in syms:
+        hs = [h for h in hours if (sym, h) in rets]
+        for prev, cur in zip(hs, hs[1:]):
+            lagged[(sym, cur)] = rets[(sym, prev)]
+    assert rows
+    for sa in syms:
+        for sb in syms:
+            if sa == sb:
+                continue
+            data = [
+                (rets[(sa, h)], lagged[(sa, h)], lagged[(sb, h)])
+                for h in hours
+                if (sa, h) in rets and (sa, h) in lagged and (sb, h) in lagged
+            ]
+            y = np.array([d[0] for d in data])
+            X1 = np.column_stack([np.ones(len(data)), [d[1] for d in data]])
+            X2 = np.column_stack(
+                [np.ones(len(data)), [d[1] for d in data], [d[2] for d in data]]
+            )
+            rss_r = float(((y - X1 @ np.linalg.lstsq(X1, y, rcond=None)[0]) ** 2).sum())
+            beta_u = np.linalg.lstsq(X2, y, rcond=None)[0]
+            rss_u = float(((y - X2 @ beta_u) ** 2).sum())
+            n = len(data)
+            f = (rss_r - rss_u) / (rss_u / (n - 3))
+            r = rows[(sa, sb)]
+            assert r.n_obs == n
+            assert abs(r.beta_cause - beta_u[2]) < 1e-4
+            assert abs(r.f_stat - f) < 1e-2, (sa, sb)
+            assert r.f_stat >= -1e-9  # RSS_u <= RSS_r always
