@@ -62,6 +62,9 @@ QUERIES = [
     ("hurst_exponent_rs", "one prefix-sum window serves all three block scales"),
     ("cointegration_engle_granger", "two combinable aggs + hours join + per-pair lag; no candidate rescans"),
     ("stat_tests_panel", "five one-row-per-symbol signals joined; ticks read once per test"),
+    ("granger_causality_hourly", "closed-form two-model F: ONE combinable aggregate per pair"),
+    ("ks_test_pairwise", "pairs broadcast into the return stream; one CDF window per pair"),
+    ("pairs_spread_zscore", "OLS rows broadcast back; rolling stats on the hours-sized spread"),
 ]
 
 
