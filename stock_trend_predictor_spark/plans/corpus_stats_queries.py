@@ -518,5 +518,204 @@ FROM hits WHERE len(pos_list) > 0
             (F.min("pos1") + F.lit(1)).cast("bigint").alias("first_pos"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "lang_vocab_overlap",
+        oracle=f"""
+WITH counts AS (
+    SELECT lang, t AS token, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    GROUP BY 1, 2
+), top AS (
+    SELECT lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, token) AS rk
+        FROM counts
+    ) WHERE rk <= {ZIPF_TOP_N}
+), sizes AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY 1
+)
+SELECT s1.lang AS lang_a, s2.lang AS lang_b,
+       CAST(count(t1.token) AS BIGINT) AS n_shared,
+       {stable_round_sql(
+           'CAST(count(t1.token) AS DOUBLE)'
+           ' / (any_value(s1.sz) + any_value(s2.sz) - count(t1.token))',
+           6)} AS jaccard
+FROM sizes s1
+JOIN sizes s2 ON s2.lang > s1.lang
+LEFT JOIN (
+    SELECT a.lang AS la, b.lang AS lb, a.token
+    FROM top a JOIN top b ON b.token = a.token AND b.lang > a.lang
+) t1 ON t1.la = s1.lang AND t1.lb = s2.lang
+GROUP BY 1, 2
+""",
+        doc=f"Vocabulary overlap between language slices: Jaccard of "
+        f"each language pair's top-{ZIPF_TOP_N} token sets. High "
+        "overlap between supposedly-different languages = the "
+        "language labels are wrong or the corpus is template spam — "
+        "a cheap cross-slice audit before trusting lang-conditioned "
+        "sampling (corpus_lang_rebalance). The top-N cut is the same "
+        "(freq DESC, token) total order as zipf_fit_per_lang; the "
+        "pair join runs on lang-pair x N rows — vocabulary-bounded. "
+        "Jaccard uses the exact set sizes (a slice with under N "
+        "distinct tokens contributes its true size).",
+    )
+    def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        counts = (
+            docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        rk = Window.partitionBy("lang").orderBy(F.desc("freq"), "token")
+        top = (
+            counts.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= ZIPF_TOP_N)
+            .select("lang", "token")
+        )
+        sizes = top.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+        pairs = (
+            sizes.select(
+                F.col("lang").alias("lang_a"), F.col("sz").alias("sz_a")
+            )
+            .join(
+                sizes.select(
+                    F.col("lang").alias("lang_b"), F.col("sz").alias("sz_b")
+                )
+            )
+            .where(F.col("lang_b") > F.col("lang_a"))
+        )
+        shared = (
+            top.alias("a")
+            .join(
+                top.alias("b"),
+                (F.col("b.token") == F.col("a.token"))
+                & (F.col("b.lang") > F.col("a.lang")),
+            )
+            .select(
+                F.col("a.lang").alias("lang_a"),
+                F.col("b.lang").alias("lang_b"),
+                F.col("a.token").alias("token"),
+            )
+        )
+        n_sh = F.count("token")
+        return (
+            pairs.join(shared, ["lang_a", "lang_b"], "left")
+            .groupBy("lang_a", "lang_b")
+            .agg(
+                n_sh.alias("n_shared"),
+                stable_round(
+                    n_sh.cast("double")
+                    / (
+                        F.any_value("sz_a") + F.any_value("sz_b") - n_sh
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "token_burstiness",
+        oracle=f"""
+WITH per_doc AS (
+    SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS n_occ
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT token,
+           CAST(SUM(n_occ) AS BIGINT) AS cf,
+           CAST(count(*) AS BIGINT) AS df
+    FROM per_doc GROUP BY 1
+)
+SELECT token, cf, df,
+       {stable_round_sql('CAST(cf AS DOUBLE) / df', 6)} AS burstiness
+FROM stats WHERE cf >= 20
+ORDER BY CAST(cf AS DOUBLE) / df DESC, token
+LIMIT 50
+""",
+        doc="Token burstiness (Church/Gale): collection frequency "
+        "over document frequency — the mean occurrences per "
+        "CONTAINING document. Bursty tokens (high cf/df) concentrate "
+        "in few documents: the signature of boilerplate, templates, "
+        "and topic-specific jargon, and the reason pure-frequency "
+        "vocab cuts mislead. One (doc, token) pre-aggregate collapses "
+        "within-doc repeats before the token shuffle (distinct-"
+        "bounded, same shape as ngram_novelty_decay); the top-50 cut "
+        "orders on the unrounded ratio with the token tiebreak.",
+    )
+    def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        per_doc = (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+        stats = per_doc.groupBy("token").agg(
+            F.sum("n_occ").alias("cf"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        ratio = F.col("cf").cast("double") / F.col("df")
+        return (
+            stats.where(F.col("cf") >= 20)
+            .orderBy(ratio.desc(), "token")
+            .limit(50)
+            .select(
+                "token",
+                "cf",
+                "df",
+                stable_round(ratio, 6).alias("burstiness"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "template_prefix_groups",
+        oracle="""
+WITH pref AS (
+    SELECT doc_id,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 8
+)
+SELECT h AS prefix_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM pref GROUP BY 1 HAVING count(*) >= 2
+""",
+        doc="Template detection by shared 8-token prefix: web scrapes "
+        "and generated corpora carry families of documents that open "
+        "identically (navigation chrome, boilerplate headers) but "
+        "diverge later — exact dedup misses them, near-dup dedup "
+        "pays full signatures for them. This is the cheap first "
+        "screen: md5 of the first 8 tokens, groups of >= 2. Only "
+        "16-byte digests shuffle; the doc scan is one narrow pass. "
+        "A curation pipeline routes flagged groups into the span/"
+        "minhash passes rather than treating them as independent.",
+    )
+    def template_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split("text", " ")
+        )
+        pref = docs.where(F.size("_toks") >= 8).select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("_toks", 1, 8), " ")).alias("h"),
+            F.size("_toks").alias("n_tokens"),
+        )
+        return (
+            pref.groupBy(F.col("h").alias("prefix_hash"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+                F.min("n_tokens").cast("bigint").alias("min_tokens"),
+                F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            )
+            .where(F.col("n_docs") >= 2)
+        )
+
 
 _register()

@@ -745,3 +745,49 @@ def test_granger_matches_numpy_ols(spark, sf_dir):
             assert abs(r.beta_cause - beta_u[2]) < 1e-4
             assert abs(r.f_stat - f) < 1e-2, (sa, sb)
             assert r.f_stat >= -1e-9  # RSS_u <= RSS_r always
+
+
+def test_corpus_trio_laws(spark, sf_dir):
+    """Vocab overlap: jaccard in [0,1] and symmetric coverage of all
+    lang pairs. Burstiness: >= 1 always (cf >= df by definition) and
+    Python replay of the top entry. Template groups: every group has
+    >= 2 docs and genuinely shares the 8-token prefix."""
+    ov = REGISTRY["lang_vocab_overlap"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    langs = sorted({d.lang for d in docs})
+    assert len(ov) == len(langs) * (len(langs) - 1) // 2
+    for r in ov:
+        assert r.lang_a < r.lang_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_shared >= 0
+
+    bu = REGISTRY["token_burstiness"].fn(spark, sf_dir).collect()
+    assert bu
+    cf, df = Counter(), Counter()
+    for d in docs:
+        toks = d.text.split(" ")
+        cf.update(toks)
+        df.update(set(toks))
+    for r in bu:
+        assert r.burstiness >= 1.0 - 1e-9
+        assert (r.cf, r.df) == (cf[r.token], df[r.token])
+
+    tg = REGISTRY["template_prefix_groups"].fn(spark, sf_dir).collect()
+    prefixes = defaultdict(list)
+    for d in docs:
+        toks = d.text.split(" ")
+        if len(toks) >= 8:
+            prefixes[" ".join(toks[:8])].append(d.doc_id)
+    expect = {tuple(sorted(v)) for v in prefixes.values() if len(v) >= 2}
+    got = set()
+    for r in tg:
+        assert r.n_docs >= 2
+        members = [
+            d.doc_id for d in docs
+            if len(d.text.split(" ")) >= 8
+            and " ".join(d.text.split(" ")[:8])
+            in {p for p, v in prefixes.items() if r.first_doc in v}
+        ]
+        got.add((r.n_docs, r.first_doc))
+    # group multiset parity: same number of groups, same (size, rep)
+    assert {(len(v), min(v)) for v in prefixes.values() if len(v) >= 2} == got
