@@ -717,5 +717,50 @@ FROM pref GROUP BY 1 HAVING count(*) >= 2
             .where(F.col("n_docs") >= 2)
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "doc_length_percentiles",
+        oracle=f"""
+WITH lens AS (
+    SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {stable_round_sql(
+           'CAST(SUM(CAST(n_tokens AS DECIMAL(27,6))) AS DOUBLE)'
+           ' / count(*)', 6)} AS mean_tokens,
+       {stable_round_sql('quantile_cont(n_tokens, 0.1)', 6)} AS p10,
+       {stable_round_sql('quantile_cont(n_tokens, 0.5)', 6)} AS p50,
+       {stable_round_sql('quantile_cont(n_tokens, 0.9)', 6)} AS p90
+FROM lens GROUP BY 1
+""",
+        doc="Document-length distribution per language slice: exact "
+        "interpolated p10/p50/p90 of whitespace token counts plus "
+        "the decimal-exact mean — the length-audit every mixture "
+        "decision consults (truncation budgets, packing efficiency, "
+        "short-doc filters are all set off this table). Interpolated "
+        "percentile parity (Spark percentile == DuckDB quantile_cont) "
+        "is the same contract feature_decile_binning and the banded "
+        "Theil-Sen already hold hash-green.",
+    )
+    def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        lens = docs.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+        )
+        return lens.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            stable_round(
+                F.sum(F.col("n_tokens").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_tokens"),
+            stable_round(F.percentile("n_tokens", F.lit(0.1)), 6).alias("p10"),
+            stable_round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50"),
+            stable_round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90"),
+        )
+
 
 _register()
