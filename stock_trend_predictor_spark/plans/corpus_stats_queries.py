@@ -762,5 +762,114 @@ FROM lens GROUP BY 1
             stable_round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "vocab_drift_halves",
+        oracle=f"""
+WITH cut AS (
+    SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS mid FROM documents
+), halves AS (
+    SELECT CASE WHEN d.doc_id <= c.mid THEN 'first' ELSE 'second' END
+               AS half,
+           t AS token
+    FROM documents d CROSS JOIN cut c,
+         unnest(string_split(d.text, ' ')) AS u(t)
+), counts AS (
+    SELECT half, token, CAST(count(*) AS BIGINT) AS freq
+    FROM halves GROUP BY 1, 2
+), top AS (
+    SELECT half, token FROM (
+        SELECT half, token,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY freq DESC, token) AS rk
+        FROM counts
+    ) WHERE rk <= {ZIPF_TOP_N}
+), sizes AS (
+    SELECT half, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY 1
+)
+SELECT CAST(any_value(s1.sz) AS BIGINT) AS n_top_first,
+       CAST(any_value(s2.sz) AS BIGINT) AS n_top_second,
+       CAST(count(sh.token) AS BIGINT) AS n_shared,
+       {stable_round_sql(
+           'CAST(count(sh.token) AS DOUBLE)'
+           ' / (any_value(s1.sz) + any_value(s2.sz) - count(sh.token))',
+           6)} AS jaccard
+FROM (SELECT sz FROM sizes WHERE half = 'first') s1
+CROSS JOIN (SELECT sz FROM sizes WHERE half = 'second') s2
+LEFT JOIN (
+    SELECT a.token
+    FROM top a JOIN top b
+      ON b.token = a.token AND a.half = 'first' AND b.half = 'second'
+) sh ON TRUE
+""",
+        doc=f"Corpus drift between ingestion halves: Jaccard of the "
+        f"top-{ZIPF_TOP_N} token sets of the first vs second half of "
+        "the corpus (split at the doc_id median). A crawl whose "
+        "vocabulary shifts sharply between halves changed source "
+        "mix mid-snapshot — the temporal twin of lang_vocab_overlap "
+        "and the trigger for re-running the mixture queries on the "
+        "halves separately. Same vocabulary-bounded top-N machinery; "
+        "the median cut is one broadcast scalar.",
+    )
+    def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        cut = docs.agg(
+            F.percentile(F.col("doc_id").cast("double"), F.lit(0.5)).alias(
+                "mid"
+            )
+        )
+        halves = docs.crossJoin(F.broadcast(cut)).select(
+            F.when(F.col("doc_id") <= F.col("mid"), "first")
+            .otherwise("second")
+            .alias("half"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        counts = halves.groupBy("half", "token").agg(
+            F.count(F.lit(1)).alias("freq")
+        )
+        rk = Window.partitionBy("half").orderBy(F.desc("freq"), "token")
+        top = (
+            counts.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= ZIPF_TOP_N)
+            .select("half", "token")
+        )
+        sizes = top.groupBy("half").agg(F.count(F.lit(1)).alias("sz"))
+        s1 = sizes.where(F.col("half") == "first").select(
+            F.col("sz").alias("sz_first")
+        )
+        s2 = sizes.where(F.col("half") == "second").select(
+            F.col("sz").alias("sz_second")
+        )
+        shared = (
+            top.alias("a")
+            .join(
+                top.alias("b"),
+                (F.col("b.token") == F.col("a.token"))
+                & (F.col("a.half") == "first")
+                & (F.col("b.half") == "second"),
+            )
+            .select(F.col("a.token").alias("token"))
+        )
+        n_sh = F.count("token")
+        return (
+            s1.crossJoin(s2)
+            .join(shared, F.lit(True), "left")
+            .groupBy()
+            .agg(
+                F.any_value("sz_first").cast("bigint").alias("n_top_first"),
+                F.any_value("sz_second").cast("bigint").alias("n_top_second"),
+                n_sh.alias("n_shared"),
+                stable_round(
+                    n_sh.cast("double")
+                    / (
+                        F.any_value("sz_first")
+                        + F.any_value("sz_second")
+                        - n_sh
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
 
 _register()

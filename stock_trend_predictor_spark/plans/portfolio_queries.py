@@ -448,5 +448,69 @@ FROM tot WHERE k > 1 AND n > k
             (f > 2.10).alias("dow_effect_5pct"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "var_cvar_per_symbol",
+        oracle=f"""
+WITH rets AS (
+    SELECT event_type AS symbol,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS r
+    FROM events
+), clean AS (
+    SELECT symbol, r FROM rets WHERE r IS NOT NULL
+), q AS (
+    SELECT symbol, quantile_cont(r, 0.05) AS var5
+    FROM clean GROUP BY 1
+)
+SELECT c.symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       {stable_round_sql('any_value(q.var5)', 6)} AS var_5pct,
+       {stable_round_sql(
+           'CAST(SUM(CAST(c.r AS DECIMAL(27,6)))'
+           ' FILTER (WHERE c.r <= q.var5) AS DOUBLE)'
+           ' / count(*) FILTER (WHERE c.r <= q.var5)', 6)} AS cvar_5pct,
+       CAST(count(*) FILTER (WHERE c.r <= q.var5) AS BIGINT)
+           AS n_tail_obs
+FROM clean c JOIN q USING (symbol)
+GROUP BY 1
+""",
+        doc="Value-at-Risk and expected shortfall per symbol at the "
+        "5% level: VaR is the exact interpolated p5 of tick deltas "
+        "(one row per symbol, broadcast back), CVaR is the decimal-"
+        "exact mean of the deltas at or below it — the coherent tail "
+        "measure Basel-style risk reporting uses where plain VaR "
+        "fails subadditivity. The two-pass shape (quantile, then "
+        "tail filter against the broadcast cut) is the same as the "
+        "trimmed-mean/MAD queries, and at 100 TB the exact quantile "
+        "swaps for approx_percentile with the shape unchanged "
+        "(documented in the robust-stats SCALE row).",
+    )
+    def var_cvar_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        s = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        clean = (
+            ev.select(
+                F.col("event_type").alias("symbol"),
+                (F.col("value") - F.lag("value").over(s)).alias("r"),
+            )
+            .where(F.col("r").isNotNull())
+        )
+        q = clean.groupBy("symbol").agg(
+            F.percentile("r", F.lit(0.05)).alias("var5")
+        )
+        j = clean.join(F.broadcast(q), "symbol")
+        tail = F.col("r") <= F.col("var5")
+        return j.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            stable_round(F.any_value("var5"), 6).alias("var_5pct"),
+            stable_round(
+                F.sum(F.when(tail, F.col("r")).cast(DECIMAL_T)).cast("double")
+                / F.count(F.when(tail, 1)),
+                6,
+            ).alias("cvar_5pct"),
+            F.count(F.when(tail, 1)).alias("n_tail_obs"),
+        )
+
 
 _register()

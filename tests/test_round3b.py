@@ -791,3 +791,34 @@ def test_corpus_trio_laws(spark, sf_dir):
         got.add((r.n_docs, r.first_doc))
     # group multiset parity: same number of groups, same (size, rep)
     assert {(len(v), min(v)) for v in prefixes.values() if len(v) >= 2} == got
+
+
+def test_var_cvar_and_drift_laws(spark, sf_dir):
+    """CVaR <= VaR always (it averages the tail at or below the
+    cut); tail count ~ 5% of observations; Python replay. Drift:
+    jaccard in [0,1] with exact top-set sizes."""
+    rows = {r.symbol: r for r in REGISTRY["var_cvar_per_symbol"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert rows
+    for sym, ticks in series.items():
+        ticks.sort()
+        deltas = sorted(b[2] - a[2] for a, b in zip(ticks, ticks[1:]))
+        n = len(deltas)
+        i = (n - 1) * 0.05
+        lo, hi = int(i), min(int(i) + 1, n - 1)
+        var5 = deltas[lo] + (deltas[hi] - deltas[lo]) * (i - lo)
+        tail = [d for d in deltas if d <= var5]
+        r = rows[sym]
+        assert r.n_obs == n
+        assert abs(r.var_5pct - var5) < 1e-5
+        assert abs(r.cvar_5pct - sum(tail) / len(tail)) < 1e-4
+        assert r.cvar_5pct <= r.var_5pct + 1e-9
+        assert r.n_tail_obs == len(tail)
+        assert 0.03 * n < r.n_tail_obs < 0.08 * n
+
+    d = REGISTRY["vocab_drift_halves"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= d.jaccard <= 1.0
+    assert 0 <= d.n_shared <= min(d.n_top_first, d.n_top_second)
