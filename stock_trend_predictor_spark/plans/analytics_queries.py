@@ -1148,5 +1148,157 @@ WHERE cum_rev - revenue < total_rev * 0.8
             ).alias("cum_share"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "gini_customer_revenue",
+        oracle=f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT revenue,
+           CAST(row_number() OVER (ORDER BY revenue, o_custkey) AS DOUBLE)
+               AS rk
+    FROM rev
+), sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(rk * revenue AS DECIMAL(38,6))) AS DOUBLE) AS srx
+    FROM ranked
+)
+SELECT n AS n_customers,
+       {stable_round_sql('s', 2)} AS total_revenue,
+       {stable_round_sql(
+           '2.0 * srx / (n * s) - (n + 1.0) / n', 6)} AS gini
+FROM sums
+""",
+        doc="Gini coefficient of customer revenue: the inequality "
+        "summary behind pareto_customer_revenue's 80% prefix — one "
+        "number for 'how concentrated is the book'. Computed from "
+        "the rank-weighted sum identity G = 2*sum(i*x_i)/(n*sum x) "
+        "- (n+1)/n over revenues ranked ascending with the custkey "
+        "tiebreak (a total order, so ranks are deterministic). The "
+        "rank window runs over the customer-grain AGGREGATE (one "
+        "row per customer), never raw orders; rank x revenue "
+        "products sum at decimal(38,6) since rank reaches n.",
+    )
+    def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        rev = o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(DECIMAL_T))
+            .cast("double")
+            .alias("revenue")
+        )
+        rk = (
+            F.row_number()
+            .over(Window.orderBy("revenue", "o_custkey"))
+            .cast("double")
+        )
+        ranked = rev.select("revenue", rk.alias("rk"))
+        sums = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("revenue").cast(DECIMAL_T)).cast("double").alias("s"),
+            F.sum((F.col("rk") * F.col("revenue")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("srx"),
+        )
+        n, s = F.col("n"), F.col("s")
+        return sums.select(
+            n.alias("n_customers"),
+            stable_round(s, 2).alias("total_revenue"),
+            stable_round(
+                2.0 * F.col("srx") / (n * s) - (n + 1.0) / n, 6
+            ).alias("gini"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "supplier_concentration_hhi",
+        oracle=f"""
+WITH rev AS (
+    SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+), tot AS (
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM rev GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       t.n_suppliers,
+       {stable_round_sql(
+           'CAST(SUM(CAST((r.revenue / t.total) * (r.revenue / t.total)'
+           ' AS DECIMAL(27,18))) AS DOUBLE)', 6)} AS hhi,
+       {stable_round_sql('max(r.revenue / t.total)', 6)} AS top_share
+FROM rev r
+JOIN tot t ON t.nationkey = r.nationkey
+JOIN nation n ON n.n_nationkey = r.nationkey
+GROUP BY 1, 2
+""",
+        doc="Herfindahl-Hirschman supplier concentration per nation: "
+        "sum of squared revenue shares plus the single largest share "
+        "— the market-structure audit (HHI > 0.25 = concentrated "
+        "under the DOJ convention). Supplier revenues aggregate at "
+        "the (nation, supplier) grain first (decimal-exact, "
+        "combinable); totals are nation-grain one-row aggregates "
+        "broadcast back; each squared share is an identical IEEE "
+        "tree both engines and the terms sum at decimal(27,18) so "
+        "the total is partition-order independent.",
+    )
+    def supplier_concentration_hhi(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        sup = load_table(spark, sf_dir, "supplier")
+        nat = load_table(spark, sf_dir, "nation")
+        rev = (
+            li.join(
+                F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li["l_suppkey"] == sup["s_suppkey"],
+            )
+            .groupBy(
+                F.col("s_nationkey").alias("nationkey"),
+                "l_suppkey",
+            )
+            .agg(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast(DECIMAL_T)
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+        tot = rev.groupBy("nationkey").agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("revenue").cast(DECIMAL_T)).cast("double").alias(
+                "total"
+            ),
+        )
+        share = F.col("revenue") / F.col("total")
+        return (
+            rev.join(F.broadcast(tot), "nationkey")
+            .join(
+                F.broadcast(nat.select("n_nationkey", "n_name")),
+                F.col("nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+            .agg(
+                stable_round(
+                    F.sum((share * share).cast("decimal(27,18)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("hhi"),
+                stable_round(F.max(share), 6).alias("top_share"),
+            )
+        )
+
 
 _register()

@@ -822,3 +822,28 @@ def test_var_cvar_and_drift_laws(spark, sf_dir):
     d = REGISTRY["vocab_drift_halves"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= d.jaccard <= 1.0
     assert 0 <= d.n_shared <= min(d.n_top_first, d.n_top_second)
+
+
+def test_gini_and_hhi_laws(spark, sf_dir):
+    """Gini in [0, 1) with a Python replay; HHI per nation in
+    (1/n, 1] and >= top_share^2; shares consistent."""
+    g = REGISTRY["gini_customer_revenue"].fn(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    rev = defaultdict(float)
+    for o in orders:
+        rev[o.o_custkey] += o.o_totalprice
+    xs = sorted(rev.values())
+    n = len(xs)
+    s = sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2 * srx / (n * s) - (n + 1) / n
+    assert g.n_customers == n
+    assert abs(g.gini - gini) < 1e-4
+    assert 0.0 <= g.gini < 1.0
+
+    rows = REGISTRY["supplier_concentration_hhi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9
+        assert r.hhi >= r.top_share ** 2 - 1e-9
+        assert 0.0 < r.top_share <= 1.0
