@@ -1293,6 +1293,117 @@ FROM fits
         )
 
 
+    # ------------------------------------------------------------------
+    @register(
+        "spearman_rank_matrix",
+        oracle=f"""
+WITH hourly AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           arg_min(value, ts) AS first_px,
+           arg_max(value, ts) AS last_px
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT symbol, hour, (last_px - first_px) / first_px AS r
+    FROM hourly WHERE first_px > 0
+), aligned AS (
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.hour,
+           a.r AS ra, b.r AS rb
+    FROM rets a JOIN rets b USING (hour)
+    WHERE a.symbol < b.symbol
+), ranked AS (
+    SELECT sym_a, sym_b,
+           CAST(row_number() OVER (PARTITION BY sym_a, sym_b
+                                   ORDER BY ra, hour) AS DOUBLE) AS ka,
+           CAST(row_number() OVER (PARTITION BY sym_a, sym_b
+                                   ORDER BY rb, hour) AS DOUBLE) AS kb,
+           hour
+    FROM aligned
+), sums AS (
+    SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ka AS DECIMAL(27,6))) AS DOUBLE) AS sa,
+           CAST(SUM(CAST(kb AS DECIMAL(27,6))) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(ka * kb AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(ka * ka AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+           CAST(SUM(CAST(kb * kb AS DECIMAL(38,6))) AS DOUBLE) AS sbb
+    FROM ranked GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, n AS n_hours,
+       {stable_round_sql(
+           '(n * sab - sa * sb)'
+           ' / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))', 6)}
+           AS spearman_rho
+FROM sums WHERE n >= 30
+""",
+        doc="Spearman rank correlation for every unordered symbol "
+        "pair over aligned hourly returns — the robust companion to "
+        "the Pearson lag-0 entry of crosscorr_leadlag_hourly: "
+        "monotone dependence that outlier hours cannot distort. "
+        "Ranks are row_number over (return, hour) WITHIN each pair's "
+        "aligned sample — a total order, so ranks are exact integers "
+        "and the Pearson-on-ranks sufficient sums are decimal-exact "
+        "(rank products reach n^2, hence (38,6)). Rank windows "
+        "partition by pair over the hours-sized aligned grid; the "
+        "whole matrix costs pair-count x hours rows.",
+    )
+    def spearman_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        ).agg(
+            F.min_by("value", "ts").alias("first_px"),
+            F.max_by("value", "ts").alias("last_px"),
+        )
+        rets = hourly.where(F.col("first_px") > 0).select(
+            "symbol",
+            "hour",
+            ((F.col("last_px") - F.col("first_px")) / F.col("first_px")).alias(
+                "r"
+            ),
+        )
+        a = rets.select(
+            F.col("symbol").alias("sym_a"), "hour", F.col("r").alias("ra")
+        )
+        b = rets.select(
+            F.col("symbol").alias("sym_b"), "hour", F.col("r").alias("rb")
+        )
+        aligned = a.join(b, "hour").where(F.col("sym_a") < F.col("sym_b"))
+        pw = Window.partitionBy("sym_a", "sym_b")
+        ranked = aligned.select(
+            "sym_a",
+            "sym_b",
+            F.row_number().over(pw.orderBy("ra", "hour")).cast("double").alias(
+                "ka"
+            ),
+            F.row_number().over(pw.orderBy("rb", "hour")).cast("double").alias(
+                "kb"
+            ),
+        )
+        ka, kb = F.col("ka"), F.col("kb")
+        sums = ranked.groupBy("sym_a", "sym_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ka.cast(DECIMAL_T)).cast("double").alias("sa"),
+            F.sum(kb.cast(DECIMAL_T)).cast("double").alias("sb"),
+            F.sum((ka * kb).cast("decimal(38,6)")).cast("double").alias("sab"),
+            F.sum((ka * ka).cast("decimal(38,6)")).cast("double").alias("saa"),
+            F.sum((kb * kb).cast("decimal(38,6)")).cast("double").alias("sbb"),
+        )
+        n = F.col("n")
+        sa, sb = F.col("sa"), F.col("sb")
+        sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+        return sums.where(n >= 30).select(
+            "sym_a",
+            "sym_b",
+            n.alias("n_hours"),
+            stable_round(
+                (n * sab - sa * sb)
+                / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                6,
+            ).alias("spearman_rho"),
+        )
+
+
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(
         f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)

@@ -847,3 +847,49 @@ def test_gini_and_hhi_laws(spark, sf_dir):
         assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9
         assert r.hhi >= r.top_share ** 2 - 1e-9
         assert 0.0 < r.top_share <= 1.0
+
+
+def test_spearman_matches_scipy_free_python(spark, sf_dir):
+    """Python replay with row_number-style ranks; rho in [-1, 1]."""
+    rows = {(r.sym_a, r.sym_b): r
+            for r in REGISTRY["spearman_rank_matrix"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    px = {}
+    for e in ev:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        k = (e.event_type, h)
+        cur = px.get(k)
+        px[k] = {
+            "first": min(cur["first"], (e.ts, e.value)) if cur else (e.ts, e.value),
+            "last": max(cur["last"], (e.ts, e.value)) if cur else (e.ts, e.value),
+        }
+    rets = {}
+    for (sym, h), v in px.items():
+        f, l = v["first"][1], v["last"][1]
+        if f > 0:
+            rets[(sym, h)] = (l - f) / f
+    syms = sorted({s for s, _ in rets})
+    hours = sorted({h for _, h in rets})
+    assert rows
+    for i, sa in enumerate(syms):
+        for sb in syms[i + 1:]:
+            sample = [(h, rets[(sa, h)], rets[(sb, h)])
+                      for h in hours if (sa, h) in rets and (sb, h) in rets]
+            n = len(sample)
+            ra = {h: k + 1 for k, (h, _, _) in enumerate(
+                sorted(sample, key=lambda t: (t[1], t[0])))}
+            rb = {h: k + 1 for k, (h, _, _) in enumerate(
+                sorted(sample, key=lambda t: (t[2], t[0])))}
+            ka = [ra[h] for h, _, _ in sample]
+            kb = [rb[h] for h, _, _ in sample]
+            sa_, sb_ = sum(ka), sum(kb)
+            sab = sum(x * y for x, y in zip(ka, kb))
+            saa = sum(x * x for x in ka)
+            sbb = sum(y * y for y in kb)
+            rho = (n * sab - sa_ * sb_) / math.sqrt(
+                (n * saa - sa_ * sa_) * (n * sbb - sb_ * sb_)
+            )
+            r = rows[(sa, sb)]
+            assert r.n_hours == n
+            assert abs(r.spearman_rho - rho) < 1e-5
+            assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
