@@ -512,5 +512,126 @@ GROUP BY 1
             F.count(F.when(tail, 1)).alias("n_tail_obs"),
         )
 
+    # ------------------------------------------------------------------
+    @register(
+        "downside_deviation_sortino",
+        oracle=f"""
+WITH rets AS (
+    SELECT event_type AS symbol,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS r
+    FROM events
+), clean AS (
+    SELECT symbol, r FROM rets WHERE r IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       {stable_round_sql(
+           'CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*)',
+           6)} AS mean_ret,
+       {stable_round_sql(
+           'sqrt(CAST(SUM(CAST(least(r, 0.0) * least(r, 0.0)'
+           ' AS DECIMAL(38,12))) AS DOUBLE) / count(*))', 6)}
+           AS downside_dev,
+       {stable_round_sql(
+           '(CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / count(*))'
+           ' / sqrt(CAST(SUM(CAST(least(r, 0.0) * least(r, 0.0)'
+           ' AS DECIMAL(38,12))) AS DOUBLE) / count(*))', 6)}
+           AS sortino
+FROM clean GROUP BY 1
+""",
+        doc="Downside deviation and the Sortino ratio per symbol: "
+        "risk measured only from the negative tick deltas "
+        "(sqrt of the mean squared downside, zero target), and mean "
+        "return over it — the asymmetric-risk complement to the "
+        "symmetric Sharpe in the portfolio summary. One combinable "
+        "aggregate: least(r, 0)^2 terms sum at decimal(38,12) (same "
+        "width argument as the ARCH test's delta^4 sums), the mean "
+        "at (27,6). No window beyond the shared lag.",
+    )
+    def downside_deviation_sortino(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        s = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        clean = (
+            ev.select(
+                F.col("event_type").alias("symbol"),
+                (F.col("value") - F.lag("value").over(s)).alias("r"),
+            )
+            .where(F.col("r").isNotNull())
+        )
+        r = F.col("r")
+        dn = F.least(r, F.lit(0.0))
+        mean = F.sum(r.cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))
+        dd = F.sqrt(
+            F.sum((dn * dn).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        return clean.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            stable_round(mean, 6).alias("mean_ret"),
+            stable_round(dd, 6).alias("downside_dev"),
+            stable_round(mean / dd, 6).alias("sortino"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "day_boundary_gaps",
+        oracle="""
+WITH daily AS (
+    SELECT event_type AS symbol,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           arg_min(value, ts) AS day_open,
+           arg_max(value, ts) AS day_close
+    FROM events GROUP BY 1, 2
+), gaps AS (
+    SELECT symbol, day, day_open,
+           lag(day_close) OVER (PARTITION BY symbol ORDER BY day)
+               AS prev_close,
+           day_open - lag(day_close) OVER (PARTITION BY symbol
+                                           ORDER BY day) AS gap
+    FROM daily
+)
+SELECT symbol,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(count(*) FILTER (WHERE gap > 0) AS BIGINT) AS n_up_gaps,
+       CAST(SUM(CAST(abs(gap) AS DECIMAL(27,6))) AS DOUBLE)
+           / count(gap) AS mean_abs_gap,
+       max(abs(gap)) AS max_abs_gap
+FROM gaps GROUP BY 1
+""",
+        doc="Day-boundary gap profile per symbol: the jump between "
+        "one day's close and the next day's open — overnight risk "
+        "that intraday windows never see, and the reason daily-bar "
+        "features (ATR folds it in via the previous close) differ "
+        "from tick features. Gaps come from one lag over the daily "
+        "resample (symbols x days rows); mean |gap| is decimal-"
+        "exact, max is an exact pick. NULL first-day gaps are "
+        "excluded by count(gap).",
+    )
+    def day_boundary_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").alias("day"),
+        ).agg(
+            F.min_by("value", "ts").alias("day_open"),
+            F.max_by("value", "ts").alias("day_close"),
+        )
+        w = Window.partitionBy("symbol").orderBy("day")
+        gaps = daily.withColumn(
+            "gap", F.col("day_open") - F.lag("day_close").over(w)
+        )
+        g = F.col("gap")
+        return gaps.groupBy("symbol").agg(
+            F.count(g).alias("n_gaps"),
+            F.count(F.when(g > 0, 1)).alias("n_up_gaps"),
+            (
+                F.sum(F.abs(g).cast(DECIMAL_T)).cast("double") / F.count(g)
+            ).alias("mean_abs_gap"),
+            F.max(F.abs(g)).alias("max_abs_gap"),
+        )
+
 
 _register()

@@ -56,6 +56,56 @@ def _register():
 
     # ------------------------------------------------------------------
     @register(
+        "user_event_mix_entropy",
+        oracle=f"""
+WITH cells AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT user_id, event_type, c,
+           CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+    FROM cells
+)
+SELECT user_id,
+       CAST(any_value(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {stable_round_sql(
+           '-CAST(SUM(CAST((CAST(c AS DOUBLE) / n)'
+           ' * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(27,18)))'
+           ' AS DOUBLE)', 6)} AS mix_entropy
+FROM m GROUP BY 1
+""",
+        doc="Shannon entropy of each user's event-type mix: near-zero "
+        "entropy = a single-action account (bots, scrapers, stuck "
+        "clients), near-uniform = organic browsing — the behavioral "
+        "twin of doc_token_entropy's text screen, and the per-USER "
+        "quality gate an event pipeline runs before trusting "
+        "engagement aggregates. The (user, type) contingency is one "
+        "combinable aggregate; the marginal comes from a window over "
+        "that 5-row-per-user cell table; p*ln(p) terms sum at "
+        "decimal(27,18) (|p ln p| <= e^-1, same bound as the token "
+        "entropy query).",
+    )
+    def user_event_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        cells = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        m = cells.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("user_id"))
+        )
+        p = F.col("c").cast("double") / F.col("n")
+        return m.groupBy("user_id").agg(
+            F.any_value("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            stable_round(
+                -F.sum((p * F.log(p)).cast(ENTROPY_DECIMAL)).cast("double"),
+                6,
+            ).alias("mix_entropy"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "pii_redaction_stats",
         oracle=f"""
 WITH enriched AS (

@@ -893,3 +893,42 @@ def test_spearman_matches_scipy_free_python(spark, sf_dir):
             assert r.n_hours == n
             assert abs(r.spearman_rho - rho) < 1e-5
             assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+
+def test_sortino_gaps_and_mix_entropy_laws(spark, sf_dir):
+    """Downside dev >= 0 and Sortino sign == mean sign; gaps replay;
+    mix entropy in [0, ln(n_types)] with ln-k upper bound."""
+    dd = {r.symbol: r for r in REGISTRY["downside_deviation_sortino"].fn(spark, sf_dir).collect()}
+    assert dd
+    for r in dd.values():
+        assert r.downside_dev >= 0.0
+        if r.downside_dev > 0:
+            assert (r.sortino > 0) == (r.mean_ret > 0) or r.mean_ret == 0
+
+    gaps = {r.symbol: r for r in REGISTRY["day_boundary_gaps"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    days = defaultdict(dict)
+    for e in ev:
+        d = e.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        cur = days[e.event_type].get(d)
+        if cur is None:
+            days[e.event_type][d] = [(e.ts, e.value), (e.ts, e.value)]
+        else:
+            if e.ts < cur[0][0]:
+                cur[0] = (e.ts, e.value)
+            if e.ts > cur[1][0]:
+                cur[1] = (e.ts, e.value)
+    for sym, dmap in days.items():
+        ds = sorted(dmap)
+        gs = [dmap[b][0][1] - dmap[a][1][1] for a, b in zip(ds, ds[1:])]
+        r = gaps[sym]
+        assert r.n_gaps == len(gs)
+        assert r.n_up_gaps == sum(1 for g in gs if g > 0)
+        assert abs(r.mean_abs_gap - sum(abs(g) for g in gs) / len(gs)) < 1e-5
+        assert abs(r.max_abs_gap - max(abs(g) for g in gs)) < 1e-9
+
+    mix = REGISTRY["user_event_mix_entropy"].fn(spark, sf_dir).collect()
+    assert mix
+    for r in mix:
+        assert -1e-9 <= r.mix_entropy <= math.log(r.n_types) + 1e-9
+        assert r.n_types >= 1 and r.n_events >= r.n_types
