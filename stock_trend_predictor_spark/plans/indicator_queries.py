@@ -1404,6 +1404,147 @@ FROM sums WHERE n >= 30
         )
 
 
+    # ------------------------------------------------------------------
+    @register(
+        "updown_streaks",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+dirs AS (
+    SELECT symbol, ts, tick_id,
+           CAST(sign(close - open) AS BIGINT) AS dir
+    FROM ticks WHERE open IS NOT NULL AND close <> open
+), flagged AS (
+    SELECT symbol, dir,
+           row_number() OVER s
+             - row_number() OVER (PARTITION BY symbol, dir
+                                  ORDER BY ts, tick_id) AS island
+    FROM dirs
+    WINDOW s AS (PARTITION BY symbol ORDER BY ts, tick_id)
+), streaks AS (
+    SELECT symbol, dir, island, CAST(count(*) AS BIGINT) AS len
+    FROM flagged GROUP BY 1, 2, 3
+)
+SELECT symbol,
+       max(len) FILTER (WHERE dir = 1) AS max_up_streak,
+       max(len) FILTER (WHERE dir = -1) AS max_down_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       {stable_round_sql(
+           'CAST(SUM(CAST(len AS DECIMAL(27,6))) AS DOUBLE) / count(*)',
+           6)} AS mean_streak_len
+FROM streaks GROUP BY 1
+""",
+        doc="Longest up- and down-streaks per symbol (and the streak-"
+        "length profile): the extreme-run companion to the runs "
+        "test's mean-level z — a max 9-tick up-streak against a "
+        "fair-coin expectation of log2(n) is direct trending "
+        "evidence. Streaks come from the classic two-row_number "
+        "islands difference (rn over all minus rn within (symbol, "
+        "dir) is constant exactly along a same-direction run); one "
+        "per-symbol sort feeds both windows, and the summary "
+        "aggregates the streak-grain table.",
+    )
+    def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(
+            F.col("open").isNotNull() & (F.col("close") != F.col("open"))
+        )
+        d = F.signum(F.col("close") - F.col("open")).cast("bigint")
+        s = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        sd = Window.partitionBy("symbol", "dir").orderBy("ts", "tick_id")
+        flagged = t.select(
+            "symbol", "ts", "tick_id", d.alias("dir")
+        ).withColumn(
+            "island", F.row_number().over(s) - F.row_number().over(sd)
+        )
+        streaks = flagged.groupBy("symbol", "dir", "island").agg(
+            F.count(F.lit(1)).alias("len")
+        )
+        return streaks.groupBy("symbol").agg(
+            F.max(F.when(F.col("dir") == 1, F.col("len"))).alias(
+                "max_up_streak"
+            ),
+            F.max(F.when(F.col("dir") == -1, F.col("len"))).alias(
+                "max_down_streak"
+            ),
+            F.count(F.lit(1)).alias("n_streaks"),
+            stable_round(
+                F.sum(F.col("len").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_streak_len"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "ar1_half_life",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+lagged AS (
+    SELECT symbol, close AS y, open AS x
+    FROM ticks WHERE open IS NOT NULL
+), sums AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM lagged GROUP BY 1
+), fit AS (
+    SELECT symbol, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS phi
+    FROM sums WHERE n * sxx - sx * sx > 0
+)
+SELECT symbol, n AS n_obs,
+       {stable_round_sql('phi', 6)} AS phi,
+       CASE WHEN phi > 0 AND phi < 1
+            THEN {stable_round_sql('-ln(2.0) / ln(phi)', 6)} END
+           AS half_life_ticks
+FROM fit
+""",
+        doc="AR(1) persistence and mean-reversion half-life per "
+        "symbol: phi from the OLS of close on previous close (the "
+        "ticks view's existing lag — x IS open), and, when "
+        "0 < phi < 1, the half-life -ln2/ln(phi) in ticks — how "
+        "long a shock takes to decay halfway, the number a "
+        "mean-reversion strategy sizes its holding period with "
+        "(phi >= 1 = no reversion, NULL half-life). One combinable "
+        "aggregate of decimal sufficient sums (price products at "
+        "(38,12)); no second pass.",
+    )
+    def ar1_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        lagged = t.select(
+            "symbol",
+            F.col("close").alias("y"),
+            F.col("open").alias("x"),
+        )
+        x, y = F.col("x"), F.col("y")
+        sums = lagged.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast(DECIMAL_T)).cast("double").alias("sy"),
+            F.sum(x.cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum((x * y).cast("decimal(38,12)")).cast("double").alias("sxy"),
+            F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        )
+        n = F.col("n")
+        denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+        phi = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+        return (
+            sums.where(denom > 0)
+            .withColumn("phi", phi)
+            .select(
+                "symbol",
+                n.alias("n_obs"),
+                stable_round(F.col("phi"), 6).alias("phi"),
+                F.when(
+                    (F.col("phi") > 0) & (F.col("phi") < 1),
+                    stable_round(
+                        -F.log(F.lit(2.0)) / F.log(F.col("phi")), 6
+                    ),
+                ).alias("half_life_ticks"),
+            )
+        )
+
+
 def _mk_lag_cols_sql() -> str:
     return ",\n           ".join(
         f"lag(close, {k}) OVER s AS c{k}" for k in range(1, MK_BAND + 1)

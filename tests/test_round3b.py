@@ -932,3 +932,47 @@ def test_sortino_gaps_and_mix_entropy_laws(spark, sf_dir):
     for r in mix:
         assert -1e-9 <= r.mix_entropy <= math.log(r.n_types) + 1e-9
         assert r.n_types >= 1 and r.n_events >= r.n_types
+
+
+def test_streaks_and_ar1_laws(spark, sf_dir):
+    """Streak replay in Python; AR(1) phi replay and half-life
+    consistency (defined only in (0,1), positive when defined)."""
+    st = {r.symbol: r for r in REGISTRY["updown_streaks"].fn(spark, sf_dir).collect()}
+    ar = {r.symbol: r for r in REGISTRY["ar1_half_life"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    assert st and ar
+    for sym, ticks in series.items():
+        ticks.sort()
+        closes = [t[2] for t in ticks]
+        dirs = [1 if b > a else -1 for a, b in zip(closes, closes[1:]) if b != a]
+        runs, cur = [], 1
+        for a, b in zip(dirs, dirs[1:]):
+            if a == b:
+                cur += 1
+            else:
+                runs.append((a, cur))
+                cur = 1
+        runs.append((dirs[-1], cur))
+        r = st[sym]
+        assert r.max_up_streak == max((l for d, l in runs if d == 1), default=None)
+        assert r.max_down_streak == max((l for d, l in runs if d == -1), default=None)
+        assert r.n_streaks == len(runs)
+        assert abs(r.mean_streak_len - sum(l for _, l in runs) / len(runs)) < 1e-6
+        # AR(1)
+        xs, ys = closes[:-1], closes[1:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        phi = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a_ = ar[sym]
+        assert a_.n_obs == n
+        assert abs(a_.phi - phi) < 1e-5
+        if 0 < phi < 1:
+            assert abs(a_.half_life_ticks - (-math.log(2) / math.log(phi))) < 1e-3
+            assert a_.half_life_ticks > 0
+        else:
+            assert a_.half_life_ticks is None
