@@ -17,6 +17,7 @@ from stock_trend_predictor_spark.plans import similarity_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import span_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stattest_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stock_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import structure_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import summary_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import text_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import timeseries_queries  # noqa: F401

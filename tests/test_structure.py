@@ -1,0 +1,189 @@
+"""Law tests for the structure-discovery batch (plans/structure_queries).
+
+The oracle-parity suite already proves Spark == DuckDB bit-for-bit for
+all six queries; here we pin the properties the oracles can't express:
+plan shape (no cartesian products, the shuffle-free chunker, broadcast
+in the skyline join-back), the PPJoin losslessness against a direct
+all-pairs computation, skyline dominance by brute force, and the
+integer-exact log2 bucketing law.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from stock_trend_predictor_spark.plans import REGISTRY
+from stock_trend_predictor_spark.plans.structure_queries import (
+    CHUNK_S,
+    CHUNK_W,
+    JACCARD_TAU,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_no_cartesian_in_structure_plans(spark, sf_dir):
+    for name in (
+        "jaccard_prefix_filter_pairs",
+        "skyline_parts",
+        "fd_violation_profile",
+        "copurchase_degree_distribution",
+        "winsorized_stats_per_type",
+        "doc_chunk_overlap",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_doc_chunk_plan_is_shuffle_free(spark, sf_dir):
+    """The chunker claims embarrassing parallelism: scan -> explode ->
+    project, zero Exchange operators in the physical plan."""
+    plan = _plan(REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_skyline_joinback_is_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["skyline_parts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ppjoin_lossless_vs_all_pairs(spark, sf_dir):
+    """Prefix filtering must lose no pair: compare against the direct
+    all-pairs Jaccard over the same sample, computed in Python."""
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 5 = 0")
+        .select("doc_id", "text")
+        .collect()
+    }
+    ids = sorted(docs)
+    truth = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(docs[da] & docs[db])
+            jac = inter / (len(docs[da]) + len(docs[db]) - inter)
+            if jac >= JACCARD_TAU:
+                truth[(da, db)] = jac
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["jaccard_prefix_filter_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for pair, jac in truth.items():
+        assert abs(got[pair] - jac) < 1e-6, pair
+
+
+def test_skyline_brute_force(spark, sf_dir):
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1]
+            and q[2] <= p[2]
+            and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+        )
+
+    truth = {p[0] for p in pts if not dominated(p)}
+    got = {
+        r.p_partkey
+        for r in REGISTRY["skyline_parts"].fn(spark, sf_dir).collect()
+    }
+    assert got == truth and got
+
+
+def test_fd_keyed_dependency_has_zero_violation(spark, sf_dir):
+    rows = {
+        r.fd: r
+        for r in REGISTRY["fd_violation_profile"].fn(spark, sf_dir).collect()
+    }
+    keyed = rows["o_orderkey->o_orderstatus"]
+    assert keyed.violation_rate == 0.0
+    assert keyed.n_keys == keyed.n_rows
+    for r in rows.values():
+        assert 0.0 <= r.violation_rate < 1.0
+        assert r.n_keys <= r.n_rows
+
+
+def test_degree_buckets_are_bit_length(spark, sf_dir):
+    rows = (
+        REGISTRY["copurchase_degree_distribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    total = 0
+    for r in rows:
+        assert r.bucket == r.min_deg.bit_length()
+        assert r.bucket == r.max_deg.bit_length()
+        assert 2 ** (r.bucket - 1) <= r.min_deg <= r.max_deg < 2**r.bucket
+        total += r.n_vertices
+    assert total > 0
+
+
+def test_winsorized_tighter_than_raw(spark, sf_dir):
+    """Clamping can only shrink dispersion: winsorized std <= raw std
+    per key, and the winsorized mean sits inside [p05, p95]."""
+    raw = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        raw[r.event_type].append(r.value)
+    rows = (
+        REGISTRY["winsorized_stats_per_type"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        vals = raw[r.event_type]
+        assert r.n == len(vals)
+        mu = sum(vals) / len(vals)
+        raw_std = math.sqrt(
+            sum((v - mu) ** 2 for v in vals) / (len(vals) - 1)
+        )
+        assert r.win_std <= raw_std + 1e-6
+        assert min(vals) - 1e-9 <= r.win_mean <= max(vals) + 1e-9
+
+
+def test_chunk_geometry_and_fingerprints(spark, sf_dir):
+    """Chunks tile every token: starts advance by the stride, lengths
+    are min(W, n-start), and each md5 matches a Python recompute."""
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 2 = 1")
+        .collect()
+    }
+    chunks = defaultdict(list)
+    for r in REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir).collect():
+        chunks[r.doc_id].append(r)
+    assert set(chunks) == set(texts)
+    for doc_id, rs in chunks.items():
+        toks = texts[doc_id]
+        rs.sort(key=lambda r: r.chunk_idx)
+        n = len(toks)
+        expect_starts = list(range(0, n, CHUNK_S))
+        assert [r.start_tok for r in rs] == expect_starts
+        for r in rs:
+            piece = toks[r.start_tok : r.start_tok + CHUNK_W]
+            assert r.chunk_len == len(piece)
+            assert (
+                r.chunk_md5
+                == hashlib.md5(" ".join(piece).encode()).hexdigest()
+            )
