@@ -349,13 +349,18 @@ LIMIT {PMI_TOP_K}
     def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = (
-            docs.where(F.size(F.split("text", " ")) >= 2)
+            # tokenize ONCE (bound column + double-reference guard so
+            # CollapseProject cannot inline split() into the lambda —
+            # same fix as minhash_signature / ngram_novelty_decay)
+            docs.select(F.split("text", " ").alias("ts"))
+            .where(F.size("ts") >= 2)
             .select(
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 1), "
-                        "i -> struct(try_element_at(split(text, ' '), i) AS w1, "
-                        "try_element_at(split(text, ' '), i + 1) AS w2))"
+                        "if(size(ts) < 0, null, "
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> struct(try_element_at(ts, i) AS w1, "
+                        "try_element_at(ts, i + 1) AS w2)))"
                     )
                 ).alias("p")
             )
@@ -434,20 +439,25 @@ FROM first_seen GROUP BY 1
     )
     def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        grams = (
-            docs.where(F.size(F.split("text", " ")) >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 2), "
-                        "i -> concat_ws(' ', "
-                        "try_element_at(split(text, ' '), i), "
-                        "try_element_at(split(text, ' '), i + 1), "
-                        "try_element_at(split(text, ' '), i + 2)))"
-                    )
-                ).alias("gram"),
-            )
+        # Tokenize ONCE into a bound column; the if(size(ts)<0,...)
+        # wrapper references ts twice so CollapseProject cannot inline
+        # split() into the per-gram lambda (the minhash_signature
+        # guard — without it the text re-splits 3x per gram).
+        toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
+            F.size("ts") >= 3
+        )
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "if(size(ts) < 0, null, "
+                    "transform(sequence(1, size(ts) - 2), "
+                    "i -> concat_ws(' ', "
+                    "try_element_at(ts, i), "
+                    "try_element_at(ts, i + 1), "
+                    "try_element_at(ts, i + 2))))"
+                )
+            ).alias("gram"),
         )
         per_doc = grams.groupBy("doc_id", "gram").agg(
             F.count(F.lit(1)).alias("n_occ")

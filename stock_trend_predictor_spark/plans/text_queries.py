@@ -536,13 +536,18 @@ WHERE bigram_cnt >= 3
     def token_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = (
-            docs.where(F.size(F.split("text", " ")) >= 2)
+            # tokenize ONCE (bound column + double-reference guard so
+            # CollapseProject cannot inline split() into the lambda —
+            # same fix as minhash_signature / ngram_novelty_decay)
+            docs.select(F.split("text", " ").alias("ts"))
+            .where(F.size("ts") >= 2)
             .select(
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 1), "
-                        "i -> struct(try_element_at(split(text, ' '), i) AS w1, "
-                        "try_element_at(split(text, ' '), i + 1) AS w2))"
+                        "if(size(ts) < 0, null, "
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> struct(try_element_at(ts, i) AS w1, "
+                        "try_element_at(ts, i + 1) AS w2)))"
                     )
                 ).alias("bg")
             )
