@@ -295,3 +295,45 @@ def oriented_triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("transitivity_raw"),
         )
     )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(v, deg) over an undirected (a < b) edge table."""
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
+    """Vertices of the k-core (the maximal subgraph where every vertex
+    has degree >= k) with their in-core degrees.
+
+    Iterative peeling: drop every vertex with degree < k, delete its
+    edges (two anti-joins), repeat to fixpoint. The k-core is unique,
+    so peeling order doesn't matter and the result is deterministic
+    under any partitioning. Each round is one degree aggregate + two
+    anti-joins over the SURVIVING edges only (the edge set shrinks
+    monotonically); ``localCheckpoint`` truncates the lineage per
+    round, so the plan stays round-sized. The convergence probe is an
+    ``isEmpty()`` on the low-degree vertex set — O(1) rows after the
+    aggregate, same pattern as label propagation above. Rounds are
+    bounded by the degeneracy ordering depth (worst case a path:
+    O(|V|/1) — ``max_rounds`` is a safety rail; real co-occurrence
+    graphs converge in a handful of rounds).
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    for _ in range(max_rounds):
+        deg = _degrees(e)
+        low = deg.where(F.col("deg") < k).select("v")
+        if low.isEmpty():
+            return deg
+        e = (
+            e.join(low.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(low.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return _degrees(e)

@@ -6,6 +6,7 @@ from stock_trend_predictor_spark.plans import corpus_stats_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import ivm_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import layout_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401

@@ -294,3 +294,61 @@ FROM ranked WHERE rk <= 50
 
 
 _register()
+
+
+def _register_kcore():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "kcore_copurchase",
+        # No oracle: iterative peeling needs aggregation inside the
+        # recursion, which SQL recursive CTEs disallow — the driver
+        # records a rows-only check; tests/test_graph.py proves the
+        # result against a brute-force Python peel (the k-core is
+        # unique, so equality is well-defined).
+        doc="12-core of the 1998 co-purchase graph (same edge set as "
+        "triangle_count_copurchase; its median degree is ~18 at every "
+        "test SF, so k=12 peels the sparse third and cascades): "
+        "vertices surviving iterative removal of degree<12 nodes, "
+        "with their in-core degrees — the standard dense-cohesion "
+        "filter before community detection. Per round: one degree "
+        "aggregate + two anti-joins over the monotonically shrinking "
+        "edge set, lineage truncated per round "
+        "(operators/components.py::kcore_subgraph). The peel touches "
+        "only (a, b) key pairs, never payloads.",
+    )
+    def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.components import (
+            kcore_subgraph,
+        )
+
+        o98 = (
+            load_table(spark, sf_dir, "orders")
+            .where(
+                (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            )
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        op = li.join(
+            o98, li.l_orderkey == o98.o_orderkey, "left_semi"
+        ).distinct()
+        l1 = op.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+        )
+        l2 = op.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+        )
+        edges = (
+            l1.join(l2, "k")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        return kcore_subgraph(edges, k=12)
+
+
+_register_kcore()

@@ -89,3 +89,78 @@ def test_triangle_count_triangle_free(spark):
     row = oriented_triangle_count(edges).collect()[0]
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 4
+
+
+def _python_kcore(edges, k):
+    """Brute-force peel; the k-core is unique so order is irrelevant."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_matches_brute_force(spark, sf_dir):
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["kcore_copurchase"].fn(spark, sf_dir).collect()
+    got = {r.v: r.deg for r in rows}
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    o98 = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            "o_orderdate >= timestamp'1998-01-01'"
+            " and o_orderdate < timestamp'1999-01-01'"
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    per_order = defaultdict(set)
+    for r in li:
+        if r.l_orderkey in o98:
+            per_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    truth = _python_kcore(edges, 12)
+    assert got == truth
+    for deg in got.values():
+        assert deg >= 12
+
+
+def test_kcore_operator_on_known_graph(spark):
+    """Path 1-2-3-4 peels away entirely at k=2 once endpoints drop;
+    a 4-clique plus a pendant vertex keeps exactly the clique."""
+    from stock_trend_predictor_spark.operators.components import (
+        kcore_subgraph,
+    )
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    assert kcore_subgraph(path, k=2).count() == 0
+    clique_pendant = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    rows = kcore_subgraph(clique_pendant, k=3).collect()
+    assert {r.v: r.deg for r in rows} == {1: 3, 2: 3, 3: 3, 4: 3}
