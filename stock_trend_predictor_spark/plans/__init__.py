@@ -13,6 +13,7 @@ from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import portfolio_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import profiling_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import quality_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import ranking_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import relational_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import signal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import similarity_queries  # noqa: F401
