@@ -9,6 +9,7 @@ from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ivm_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import layout_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import mlops_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import portfolio_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import profiling_queries  # noqa: F401

@@ -1,0 +1,92 @@
+"""Law tests for plans/mlops_queries."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from stock_trend_predictor_spark.plans import REGISTRY
+from stock_trend_predictor_spark.plans.mlops_queries import (
+    CONF_Q,
+    CONF_TRAIN_FRAC,
+    MIX_BUDGET,
+    MIX_INV_T,
+    PSI_BINS,
+)
+
+
+def test_temperature_mix_budget_and_compression(spark, sf_dir):
+    rows = REGISTRY["lang_temperature_mix"].fn(spark, sf_dir).collect()
+    assert sum(r.alloc_docs for r in rows) == MIX_BUDGET
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # temperature scaling compresses the mixture: the weight ratio of
+    # the largest to the smallest language is share_ratio^(1/T) < ratio
+    hi = max(rows, key=lambda r: r.share)
+    lo = min(rows, key=lambda r: r.share)
+    assert hi.share > lo.share
+    ratio_w = hi.weight / lo.weight
+    ratio_s = hi.share / lo.share
+    assert abs(ratio_w - ratio_s**MIX_INV_T) < 1e-3
+    assert ratio_w < ratio_s
+
+
+def test_psi_bins_partition_both_halves(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["psi_price_drift"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(PSI_BINS))
+    assert abs(sum(r.p_early for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_late for r in rows) - 1.0) < 1e-4
+    # reference deciles: early-half bins are equal to within
+    # interpolation slack of one item
+    ne = [r.n_early for r in rows]
+    assert max(ne) - min(ne) <= 2
+    psi = sum(r.psi_term for r in rows)
+    assert psi >= -1e-9  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+
+
+def test_conformal_fit_and_coverage(spark, sf_dir):
+    ticks = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type as symbol", "ts", "event_id", "value"
+        )
+        .collect()
+    ):
+        ticks[r.symbol].append((r.ts, r.event_id, r.value))
+    rows = {
+        r.symbol: r
+        for r in REGISTRY["conformal_interval_width"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for sym, series in ticks.items():
+        series.sort()
+        xy = [
+            (series[i - 1][2], series[i][2])
+            for i in range(1, len(series))
+        ]
+        n = len(xy)
+        n_train = int(CONF_TRAIN_FRAC * n)
+        tr = xy[:n_train]
+        sx = sum(round(x, 6) for x, _ in tr)
+        sy = sum(round(y, 6) for _, y in tr)
+        sxy = sum(round(x * y, 6) for x, y in tr)
+        sxx = sum(round(x * x, 6) for x, _ in tr)
+        b = (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx)
+        a = (sy - b * sx) / n_train
+        r = rows[sym]
+        assert r.n_train == n_train and r.n_cal == n - n_train
+        assert abs(r.slope - b) < 1e-4
+        assert abs(r.intercept - a) < 1e-3
+        # coverage: the interpolated quantile at rank 1+(m-1)q sits at
+        # or above the floor(1+(m-1)q)-th order statistic, so at least
+        # that many calibration residuals fall inside the width
+        import math
+
+        resid = sorted(
+            abs(y - (a + b * x)) for x, y in xy[n_train:]
+        )
+        inside = sum(1 for e in resid if e <= r.qhat90 + 1e-9)
+        assert inside >= math.floor(1 + (len(resid) - 1) * CONF_Q)
