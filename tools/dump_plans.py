@@ -65,6 +65,15 @@ QUERIES = [
     ("granger_causality_hourly", "closed-form two-model F: ONE combinable aggregate per pair"),
     ("ks_test_pairwise", "pairs broadcast into the return stream; one CDF window per pair"),
     ("pairs_spread_zscore", "OLS rows broadcast back; rolling stats on the hours-sized spread"),
+    ("jaccard_prefix_filter_pairs", "rarest-token prefixes are the only join keys; verify join on candidate pairs"),
+    ("skyline_parts", "bucket-local windows + tiny cross-bucket broadcast; no global window"),
+    ("doc_chunk_overlap", "zero Exchange: scan -> explode -> project, all codegen"),
+    ("incremental_join_view", "four partial aggs merged by one #groups-row groupBy-sum"),
+    ("join_key_skew_profile", "top-10 via TakeOrderedAndProject; fact rows never shuffle for the profile"),
+    ("kendall_tau_hourly", "pair table is hours^2-bounded; counts combine map-side"),
+    ("sliding_distinct_users", "bounded 6x fan-out then one hash agg; no range self-join"),
+    ("psi_price_drift", "1-row broadcast edge table; bins are fixed comparisons"),
+    ("conformal_interval_width", "per-key model rows broadcast back; one symbol sort shared by split+residuals"),
 ]
 
 
