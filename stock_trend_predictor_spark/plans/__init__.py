@@ -7,6 +7,7 @@ from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ivm_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import keyphrase_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import layout_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import mlops_queries  # noqa: F401

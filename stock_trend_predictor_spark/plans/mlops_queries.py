@@ -251,6 +251,85 @@ FROM counts, tot
         )
 
     @register(
+        "pchart_purchase_rate_daily",
+        oracle=f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(x) AS DOUBLE) / sum(n) AS pbar FROM daily
+)
+SELECT day_epoch, n, x,
+       {stable_round_sql('CAST(x AS DOUBLE) / n', 6)} AS p,
+       {stable_round_sql(
+           'tot.pbar + 3.0 * sqrt(tot.pbar * (1.0 - tot.pbar) / n)', 6)}
+           AS ucl,
+       {stable_round_sql(
+           'greatest(tot.pbar - 3.0 * sqrt(tot.pbar * (1.0 - tot.pbar) / n),'
+           ' 0.0)', 6)} AS lcl,
+       CASE WHEN CAST(x AS DOUBLE) / n
+                 > tot.pbar + 3.0 * sqrt(tot.pbar * (1.0 - tot.pbar) / n)
+              OR CAST(x AS DOUBLE) / n
+                 < greatest(tot.pbar
+                     - 3.0 * sqrt(tot.pbar * (1.0 - tot.pbar) / n), 0.0)
+            THEN 1 ELSE 0 END AS out_of_control
+FROM daily, tot
+""",
+        doc="Shewhart p-chart over the daily purchase rate: centre "
+        "line pbar from exact integer totals, per-day 3-sigma "
+        "binomial control limits pbar +/- 3*sqrt(pbar(1-pbar)/n) "
+        "(variable-n form, LCL floored at 0), and the out-of-control "
+        "flag — the SPC monitor an event pipeline runs on every "
+        "conversion metric. One combinable daily aggregate + a "
+        "1-row broadcast centre line; limits are a fixed double "
+        "expression on exact counts, identical cross-engine.",
+    )
+    def pchart_purchase_rate_daily(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                .cast("long")
+                .alias("day_epoch")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("x"),
+            )
+        )
+        tot = daily.agg(
+            (
+                F.sum("x").cast("double") / F.sum("n").cast("double")
+            ).alias("pbar")
+        )
+        p = F.col("x").cast("double") / F.col("n").cast("double")
+        sigma = F.sqrt(
+            F.col("pbar") * (F.lit(1.0) - F.col("pbar")) / F.col("n")
+        )
+        ucl = F.col("pbar") + F.lit(3.0) * sigma
+        lcl = F.greatest(
+            F.col("pbar") - F.lit(3.0) * sigma, F.lit(0.0)
+        )
+        return daily.crossJoin(F.broadcast(tot)).select(
+            "day_epoch",
+            "n",
+            "x",
+            stable_round(p, 6).alias("p"),
+            stable_round(ucl, 6).alias("ucl"),
+            stable_round(lcl, 6).alias("lcl"),
+            F.when((p > ucl) | (p < lcl), 1).otherwise(0).alias(
+                "out_of_control"
+            ),
+        )
+
+    @register(
         "conformal_interval_width",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE.strip()},

@@ -90,3 +90,19 @@ def test_conformal_fit_and_coverage(spark, sf_dir):
         )
         inside = sum(1 for e in resid if e <= r.qhat90 + 1e-9)
         assert inside >= math.floor(1 + (len(resid) - 1) * CONF_Q)
+
+
+def test_pchart_limits_and_flags(spark, sf_dir):
+    rows = (
+        REGISTRY["pchart_purchase_rate_daily"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    tot_x = sum(r.x for r in rows)
+    tot_n = sum(r.n for r in rows)
+    pbar = tot_x / tot_n
+    for r in rows:
+        assert 0 <= r.x <= r.n
+        assert r.lcl >= 0.0 and r.lcl <= r.ucl
+        assert r.lcl - 1e-6 <= pbar <= r.ucl + 1e-6
+        expect_flag = 1 if (r.p > r.ucl or r.p < r.lcl) else 0
+        assert r.out_of_control == expect_flag

@@ -187,3 +187,40 @@ def test_chunk_geometry_and_fingerprints(spark, sf_dir):
                 r.chunk_md5
                 == hashlib.md5(" ".join(piece).encode()).hexdigest()
             )
+
+
+def test_rake_phrases_are_stopword_free_runs(spark, sf_dir):
+    """Every reported phrase contains no stopword (top-20 corpus
+    tokens) and occurs verbatim in at least one document."""
+    from collections import Counter
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+    from stock_trend_predictor_spark.plans.keyphrase_queries import (
+        RAKE_N_STOP,
+    )
+
+    docs = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    cnt = Counter(t for d in docs for t in d.split(" "))
+    stop = {
+        t
+        for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :RAKE_N_STOP
+        ]
+    }
+    rows = REGISTRY["rake_keyphrases"].fn(spark, sf_dir).collect()
+    assert rows
+    corpus = [d.split(" ") for d in docs]
+    for r in rows:
+        toks = r.phrase.split(" ")
+        assert len(toks) == r.plen
+        assert not (set(toks) & stop), r.phrase
+        assert r.score > 0
+        found = any(
+            toks == c[i : i + len(toks)]
+            for c in corpus
+            for i in range(len(c) - len(toks) + 1)
+        )
+        assert found, r.phrase
