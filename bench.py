@@ -61,6 +61,12 @@ HEADLINE = [
     "ngram_novelty_decay",       # 3-gram min-attribution window
     "seasonal_decompose_hod",    # full-series trend window + hod join
     "mmr_diverse_topk",          # candidate topk + Arrow MMR selection
+    # round-3c additions (heaviest of the continuation batches; all
+    # prior entries stay frozen for series continuity).
+    "jaccard_prefix_filter_pairs",  # exact PPJoin: prefix candidates + verify
+    "rake_keyphrases",           # positional islands + phrase scoring
+    "kcore_copurchase",          # iterative peel: agg + anti-joins per round
+    "kendall_tau_hourly",        # hours^2 pair table concordance counts
 ]
 
 
