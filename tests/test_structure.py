@@ -224,3 +224,39 @@ def test_rake_phrases_are_stopword_free_runs(spark, sf_dir):
             for i in range(len(c) - len(toks) + 1)
         )
         assert found, r.phrase
+
+
+def test_greedy_bigram_cover_matches_python(spark, sf_dir):
+    """The distributed greedy must equal a brute-force Python greedy
+    (same tie-break), and marginal gains must be non-increasing —
+    the submodularity signature."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+    from stock_trend_predictor_spark.plans.selection_queries import COVER_K
+
+    docs = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        t = r.text.split(" ")
+        docs[r.doc_id] = {
+            f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)
+        }
+    covered, truth = set(), []
+    for step in range(1, COVER_K + 1):
+        best = min(
+            ((-len(toks - covered), did) for did, toks in docs.items()),
+        )
+        gain, did = -best[0], best[1]
+        if gain == 0:  # selection stops once nothing new is coverable
+            break
+        covered |= docs[did]
+        truth.append((step, did, gain, len(covered)))
+    rows = sorted(
+        REGISTRY["greedy_bigram_cover"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    got = [
+        (r.step, r.doc_id, r.marginal_gain, r.covered_bigrams)
+        for r in rows
+    ]
+    assert got == truth
+    gains = [r.marginal_gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
