@@ -416,3 +416,82 @@ def heavy_hitters_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming HLL distinct-count materialized view (round-3 continuation)
+# ---------------------------------------------------------------------
+
+
+def hll_partials(batch: DataFrame, key_col: str = "event_type",
+                 value_col: str = "user_id") -> DataFrame:
+    """One DataSketches HLL sketch per key over the batch's values —
+    constant bytes per key regardless of batch size."""
+    return batch.groupBy(F.col(key_col).alias("key")).agg(
+        F.hll_sketch_agg(F.col(value_col)).alias("sk")
+    )
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Union sketches per key. HLL union is a register-wise MAX, so the
+    merge is associative, commutative AND idempotent — merging the
+    same sketch twice is a no-op by construction, which is what makes
+    the streaming view safe under at-least-once delivery even before
+    the batch-id gate."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("key").agg(F.hll_union_agg("sk").alias("sk"))
+
+
+def hll_estimates(sketches: DataFrame) -> DataFrame:
+    return sketches.select(
+        "key",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("distinct_est"),
+    )
+
+
+def read_hll_state(spark, state_dir: str) -> DataFrame | None:
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_state_table,
+    )
+
+    return read_state_table(spark, state_dir, "sketches")
+
+
+def update_hll_state(spark, batch: DataFrame, state_dir: str,
+                     key_col: str = "event_type",
+                     value_col: str = "user_id",
+                     batch_id: int | None = None) -> None:
+    """Merge one batch's sketches into the persisted per-key state
+    (#keys rows x ~1.5 KiB however large the stream). Doubly safe
+    under replay: the union itself is idempotent, and the state-store
+    batch-id gate skips already-applied batches outright."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+    )
+
+    new = hll_partials(batch, key_col, value_col)
+    prev = read_hll_state(spark, state_dir)
+    merged = new if prev is None else hll_merge(prev, new)
+    commit_state(state_dir, {"sketches": merged}, batch_id=batch_id)
+
+
+def hll_sink(stream: DataFrame, state_dir: str, checkpoint: str,
+             key_col: str = "event_type", value_col: str = "user_id"):
+    """Streaming distinct-count materialized view: per-key HLL
+    sketches maintained across micro-batches — the sketch-state
+    answer to 'unique users per event type so far' that an exact
+    streaming COUNT(DISTINCT) cannot give without unbounded state.
+    Same commit protocol as cms_sink / mg_sink / cusum_sink."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_hll_state(batch.sparkSession, batch, state_dir,
+                         key_col, value_col, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -270,3 +270,77 @@ def test_hh_state_replay_idempotent_and_merge_matches_oneshot(spark, tmp_path):
     # k=64 >> distinct tokens here, so no reduction fires and the
     # merge law is exact equality of counters
     assert seq == one
+
+
+def test_hll_sink_streaming_equals_batch(spark, tmp_path):
+    """Stream-maintained per-key HLL state must estimate the same
+    distinct-user counts as a one-shot batch sketch, and the batch
+    estimates must be within the ~2% HLL band of exact."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        hll_estimates,
+        hll_partials,
+        hll_sink,
+        read_hll_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "hll_state")
+    ev.repartition(4).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = hll_sink(stream, state, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    sk = read_hll_state(spark, state)
+    assert sk.count() == ev.select("event_type").distinct().count()
+    est_stream = {
+        (r.key, r.distinct_est) for r in hll_estimates(sk).collect()
+    }
+    est_batch = {
+        (r.key, r.distinct_est)
+        for r in hll_estimates(hll_partials(ev)).collect()
+    }
+    assert est_stream == est_batch
+    exact = {
+        r.event_type: r.n
+        for r in ev.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for key, est in est_batch:
+        assert abs(est - exact[key]) <= max(2, 0.05 * exact[key])
+
+
+def test_hll_state_replay_idempotent(spark, tmp_path):
+    """Re-applying an already-committed batch_id is a no-op, and even
+    FORCING a re-merge of the same data cannot change the estimates
+    (HLL union is register-max, hence idempotent)."""
+    from stock_trend_predictor_spark.operators.summaries import (
+        hll_estimates,
+        read_hll_state,
+        update_hll_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id"
+    )
+    state = str(tmp_path / "hll_state")
+    update_hll_state(spark, ev, state, batch_id=0)
+    first = sorted(hll_estimates(read_hll_state(spark, state)).collect())
+    # replayed batch id: state-store gate skips it
+    update_hll_state(spark, ev, state, batch_id=0)
+    second = sorted(hll_estimates(read_hll_state(spark, state)).collect())
+    assert first == second
+    # new batch id, same data: union idempotence keeps estimates fixed
+    update_hll_state(spark, ev, state, batch_id=1)
+    third = sorted(hll_estimates(read_hll_state(spark, state)).collect())
+    assert first == third
