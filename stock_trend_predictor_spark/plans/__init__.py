@@ -3,6 +3,7 @@
 from stock_trend_predictor_spark.plans import analytics_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import dedup_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import corpus_stats_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import distance_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401

