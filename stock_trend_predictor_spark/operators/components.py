@@ -325,15 +325,21 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     graphs converge in a handful of rounds).
     """
     e = edges.select("a", "b").localCheckpoint()
+    n_prev = e.count()  # cheap: counts the checkpointed blocks
     for _ in range(max_rounds):
-        deg = _degrees(e)
-        low = deg.where(F.col("deg") < k).select("v")
-        if low.isEmpty():
-            return deg
-        e = (
+        low = _degrees(e).where(F.col("deg") < k).select("v")
+        e2 = (
             e.join(low.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(low.withColumnRenamed("v", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint()
         )
+        n2 = e2.count()
+        # a low-degree vertex with any edge shrinks the edge set, and
+        # zero-degree vertices aren't in the degree table at all — so
+        # an unchanged count IS the fixpoint (one action per round,
+        # no separate isEmpty probe job)
+        if n2 == n_prev:
+            return _degrees(e2)
+        e, n_prev = e2, n2
     return _degrees(e)
