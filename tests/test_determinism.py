@@ -51,6 +51,25 @@ QUERIES = [
     "stat_tests_panel",             # five joined test statistics
     "bootstrap_ci_value_mean",      # hash-seeded replicate weights
     "trend_consensus_verdict",      # fused four-signal vote
+    # round-3 continuation batches
+    "jaccard_prefix_filter_pairs",  # prefix candidates + exact verify
+    "winsorized_stats_per_type",    # decimal clamped sums
+    "skyline_parts",                # two-level prefix-min frontier
+    "holt_linear_forecast_daily",   # per-group sequential recurrence
+    "kaplan_meier_conversion",      # decimal cumulative log products
+    "largest_remainder_allocation", # decimal windowed grand total
+    "incremental_join_view",        # four-partial delta merge
+    "rank_biased_overlap_halves",   # decimal term sum + revenue ranks
+    "kendall_tau_hourly",           # exact concordance counts
+    "attribution_position_based",   # decimal credit rollups
+    "lang_temperature_mix",         # decimal-normalized pow weights
+    "psi_price_drift",              # broadcast percentile edges
+    "conformal_interval_width",     # decimal OLS + residual percentile
+    "rake_keyphrases",              # decimal phrase scores, top-k cut
+    "wasserstein_value_distance",   # decimal CDF-gap integral
+    "dtw_distance_daily_pairs",     # per-pair banded DP
+    "greedy_bigram_cover",          # argmax with doc_id tiebreak
+    "funnel_step_latency",          # integer epoch percentiles
 ]
 
 
