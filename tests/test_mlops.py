@@ -106,3 +106,93 @@ def test_pchart_limits_and_flags(spark, sf_dir):
         assert r.lcl - 1e-6 <= pbar <= r.ucl + 1e-6
         expect_flag = 1 if (r.p > r.ucl or r.p < r.lcl) else 0
         assert r.out_of_control == expect_flag
+
+
+def test_ridge_sweep_picks_validation_argmin(spark, sf_dir):
+    """Recompute the closed-form sweep in Python from raw ticks and
+    confirm the selected lambda minimizes validation MSE."""
+    from stock_trend_predictor_spark.plans.estimator_queries import (
+        RIDGE_LAMBDAS,
+        RIDGE_TRAIN_FRAC,
+    )
+
+    ticks = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type as symbol", "ts", "event_id", "value")
+        .collect()
+    ):
+        ticks[r.symbol].append((r.ts, r.event_id, r.value))
+    rows = {
+        r.symbol: r
+        for r in REGISTRY["ridge_lambda_sweep_best"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for sym, series in ticks.items():
+        series.sort()
+        xy = [
+            (series[i - 1][2], series[i][2])
+            for i in range(1, len(series))
+        ]
+        n_train = int(RIDGE_TRAIN_FRAC * len(xy))
+        tr, va = xy[:n_train], xy[n_train:]
+
+        def mse_for(lam):
+            m = len(tr)
+            sx = sum(round(x, 6) for x, _ in tr)
+            sy = sum(round(y, 6) for _, y in tr)
+            sxy = sum(round(x * y, 6) for x, y in tr)
+            sxx = sum(round(x * x, 6) for x, _ in tr)
+            b = (sxy - sx * sy / m) / ((sxx - sx * sx / m) + lam)
+            a = sy / m - b * (sx / m)
+            return (
+                sum((y - a - b * x) ** 2 for x, y in va) / len(va),
+                b,
+                a,
+            )
+
+        scored = sorted(
+            (mse_for(lam) + (lam,) for lam in RIDGE_LAMBDAS),
+            key=lambda t: (t[0], t[3]),
+        )
+        best_mse, b, a, lam = scored[0]
+        r = rows[sym]
+        assert r.best_lambda == lam
+        assert abs(r.val_mse - best_mse) < 1e-3
+        assert abs(r.slope - b) < 1e-5
+
+
+def test_roll_spread_matches_python(spark, sf_dir):
+    ticks = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type as symbol", "ts", "event_id", "value")
+        .collect()
+    ):
+        ticks[r.symbol].append((r.ts, r.event_id, r.value))
+    rows = {
+        r.symbol: r
+        for r in REGISTRY["roll_spread_estimator"].fn(spark, sf_dir).collect()
+    }
+    import math
+
+    for sym, series in ticks.items():
+        series.sort()
+        deltas = [
+            series[i][2] - series[i - 1][2]
+            for i in range(1, len(series))
+        ]
+        pairs = [
+            (deltas[i], deltas[i - 1]) for i in range(1, len(deltas))
+        ]
+        m = len(pairs)
+        sd = sum(round(d, 6) for d, _ in pairs)
+        sdl = sum(round(dl, 6) for _, dl in pairs)
+        sddl = sum(round(d * dl, 6) for d, dl in pairs)
+        acov = (sddl - sd * sdl / m) / (m - 1)
+        r = rows[sym]
+        assert r.n_pairs == m
+        assert abs(r.autocov_1 - acov) < 1e-6
+        expect = 2.0 * math.sqrt(-acov) if acov < 0 else 0.0
+        assert abs(r.roll_spread - expect) < 1e-5
