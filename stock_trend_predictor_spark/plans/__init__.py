@@ -6,6 +6,7 @@ from stock_trend_predictor_spark.plans import corpus_stats_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import distance_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import estimator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import experiment_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import funnel_latency_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401

@@ -196,3 +196,50 @@ def test_roll_spread_matches_python(spark, sf_dir):
         assert abs(r.autocov_1 - acov) < 1e-6
         expect = 2.0 * math.sqrt(-acov) if acov < 0 else 0.0
         assert abs(r.roll_spread - expect) < 1e-5
+
+
+def test_ab_ztest_matches_python(spark, sf_dir):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id % 2 as arm", "event_type")
+        .collect()
+    )
+    n = [0, 0]
+    c = [0, 0]
+    for r in ev:
+        n[r.arm] += 1
+        c[r.arm] += 1 if r.event_type == "purchase" else 0
+    row = REGISTRY["ab_conversion_ztest"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.c_a, row.n_b, row.c_b) == (n[0], c[0], n[1], c[1])
+    pp = (c[0] + c[1]) / (n[0] + n[1])
+    z = (c[0] / n[0] - c[1] / n[1]) / math.sqrt(
+        pp * (1 - pp) * (1 / n[0] + 1 / n[1])
+    )
+    assert abs(row.z - z) < 1e-6
+    assert row.significant == (1 if abs(z) > 1.96 else 0)
+
+
+def test_seasonal_outliers_exceed_threshold(spark, sf_dir):
+    from stock_trend_predictor_spark.plans.experiment_queries import (
+        OUTLIER_Z,
+    )
+
+    rows = (
+        REGISTRY["seasonal_residual_outliers"].fn(spark, sf_dir).collect()
+    )
+    n_ticks = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert 0 < len(rows) < n_ticks * 0.05  # outliers are rare
+    for r in rows:
+        assert abs(r.robust_z) > OUTLIER_Z
+
+
+def test_ship_lead_time_percentile_order(spark, sf_dir):
+    rows = (
+        REGISTRY["ship_lead_time_by_priority"].fn(spark, sf_dir).collect()
+    )
+    n_lines = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == n_lines
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
