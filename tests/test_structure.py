@@ -260,3 +260,75 @@ def test_greedy_bigram_cover_matches_python(spark, sf_dir):
     assert got == truth
     gains = [r.marginal_gain for r in rows]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["cohort_ltv_curve"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.week_idx)
+        prev = 0.0
+        for r in rs:
+            assert r.cum_revenue >= prev - 1e-9
+            assert abs(r.ltv_per_user - r.cum_revenue / r.n_users) < 1e-4
+            prev = r.cum_revenue
+
+
+def test_session_histogram_accounts_for_all_events(spark, sf_dir):
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["session_length_histogram"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket == r.min_events.bit_length()
+        assert r.bucket == r.max_events.bit_length()
+        assert r.min_events <= r.max_events
+
+
+def test_multibyte_ratio_bounds(spark, sf_dir):
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    rows = REGISTRY["multibyte_ratio_by_lang"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.total_bytes >= r.total_chars
+        assert 1.0 <= r.bytes_per_char <= 4.0
+
+
+def test_price_elasticity_matches_python(spark, sf_dir):
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    }
+    obs = defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect():
+        if r.l_quantity > 0 and r.l_extendedprice > 0:
+            obs[parts[r.l_partkey]].append(
+                (
+                    math.log(r.l_extendedprice / r.l_quantity),
+                    math.log(r.l_quantity),
+                )
+            )
+    rows = {
+        r.p_brand: r
+        for r in REGISTRY["price_elasticity_by_brand"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for brand, pts in obs.items():
+        m = len(pts)
+        sx = sum(round(x, 6) for x, _ in pts)
+        sy = sum(round(y, 6) for _, y in pts)
+        sxy = sum(round(x * y, 6) for x, y in pts)
+        sxx = sum(round(x * x, 6) for x, _ in pts)
+        b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        r = rows[brand]
+        assert r.n_lines == m
+        assert abs(r.elasticity - b) < 1e-4
