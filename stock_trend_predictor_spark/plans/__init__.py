@@ -17,6 +17,7 @@ from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import mlops_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import multimodal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import portfolio_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import privacy_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import product_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import profiling_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import quality_queries  # noqa: F401

@@ -243,3 +243,38 @@ def test_ship_lead_time_percentile_order(spark, sf_dir):
     assert sum(r.n_lines for r in rows) == n_lines
     for r in rows:
         assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+
+
+def test_k_anonymity_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from stock_trend_predictor_spark.plans.privacy_queries import K_ANON
+
+    rows = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    groups = Counter(
+        (r.c_nationkey, r.c_mktsegment) for r in rows
+    )
+    ldiv = defaultdict(set)
+    for r in rows:
+        ldiv[(r.c_nationkey, r.c_mktsegment)].add(
+            int(r.c_acctbal // 1000)
+        )
+    out = REGISTRY["k_anonymity_audit"].fn(spark, sf_dir).collect()[0]
+    assert out.n_groups == len(groups)
+    assert out.n_rows == len(rows)
+    assert out.min_group_size == min(groups.values())
+    below = [g for g, n in groups.items() if n < K_ANON]
+    assert out.groups_below_k == len(below)
+    assert out.rows_below_k == sum(groups[g] for g in below)
+    assert out.min_l_diversity == min(len(s) for s in ldiv.values())
+
+
+def test_did_equals_cell_mean_arithmetic(spark, sf_dir):
+    out = REGISTRY["did_value_estimate"].fn(spark, sf_dir).collect()[0]
+    assert out.n_total == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+    expect = (out.treat_post - out.treat_pre) - (
+        out.control_post - out.control_pre
+    )
+    assert abs(out.did_estimate - expect) < 2e-6
