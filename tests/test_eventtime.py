@@ -128,3 +128,35 @@ def test_largest_remainder_sums_to_100_and_respects_quota(spark, sf_dir):
     for r in rows:
         # quota property: every allocation is floor or ceil of ideal
         assert abs(r.points - r.ideal_share) < 1.0
+
+
+def test_stickiness_matches_python(spark, sf_dir):
+    """DAU/MAU recomputed from raw events; stickiness in (0, 1]."""
+    from stock_trend_predictor_spark.plans.growth_queries import (
+        MAU_WINDOW_D,
+    )
+
+    du = set()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "cast(floor(unix_timestamp(ts) / 86400) as long) as day",
+            "user_id",
+        )
+        .collect()
+    ):
+        du.add((r.day, r.user_id))
+    days = sorted({d for d, _ in du})
+    rows = {
+        r.day_epoch_days: r
+        for r in REGISTRY["stickiness_rolling_mau"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(days)
+    for day in days:
+        dau = sum(1 for d, _ in du if d == day)
+        mau = len(
+            {u for d, u in du if day - MAU_WINDOW_D < d <= day}
+        )
+        r = rows[day]
+        assert (r.dau, r.mau) == (dau, mau)
+        assert 0.0 < r.stickiness <= 1.0
