@@ -1,0 +1,437 @@
+"""Spectral and microstructure analytics over the tick stream.
+
+Four estimators a quant/research user of the reference (which stores
+only raw closes, data_collection/fetch_stock.py:54-58) would compute
+downstream, each expressed as combinable aggregates so the heavy scan
+happens once and the transcendental math runs over a #symbols x #days
+table that fits on a postcard:
+
+- ``dft_power_spectrum``   — discrete-Fourier power of the DAILY mean
+  price at low harmonics (cycle detection).
+- ``permutation_entropy``  — Bandt-Pompe ordinal-pattern entropy of
+  the raw tick series (complexity / predictability score).
+- ``parkinson_gk_volatility`` — range-based daily volatility
+  (Parkinson 1980; Garman-Klass 1980) from OHLC bars derived per day.
+- ``amihud_illiquidity``   — Amihud (2002) |daily return| per unit of
+  activity, with tick count standing in for dollar volume (the events
+  table carries no notional column).
+
+Scale shape (all four): one shuffle to (symbol, day) or one lag window
+on symbol, then O(#symbols x #days) arithmetic. No Python, no
+cartesian, no unbounded state — a 100 TB tick history reduces to a
+few-thousand-row dailies table before any trig function runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import (
+    DECIMAL_T,
+    stable_round,
+    stable_round_sql,
+)
+from stock_trend_predictor_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    load_table,
+    ticks,
+)
+
+#: harmonics reported by the DFT power spectrum (k cycles per series).
+DFT_HARMONICS = (1, 2, 3, 4)
+
+#: Parkinson's constant 1 / (4 ln 2).
+_PARKINSON_C = 1.0 / (4.0 * math.log(2.0))
+#: Garman-Klass cross-term constant (2 ln 2 - 1).
+_GK_C = 2.0 * math.log(2.0) - 1.0
+
+#: shared dailies derivation — close = last tick of the day in the
+#: deterministic (ts, tick_id) total order; open/high/low likewise.
+_DAILIES_CTE = """
+dly AS (
+    SELECT event_type AS symbol,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           first(value ORDER BY ts, event_id)  AS o,
+           max(value)                          AS h,
+           min(value)                          AS l,
+           last(value ORDER BY ts, event_id)   AS c,
+           CAST(count(*) AS BIGINT)            AS n_ticks
+    FROM events
+    WHERE value > 0
+    GROUP BY 1, 2
+)
+"""
+
+
+def _dailies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbol, day) OHLC bars + tick counts, deterministic tie order.
+
+    first/last are expressed as min/max over a (ts, tick_id, value)
+    struct so the result is an order-independent aggregate (safe under
+    any partitioning) rather than a window + filter.
+
+    Non-positive prints (value <= 0) are excluded up front: both
+    consumers are log-ratio estimators, and a zero tick is a bad print
+    for a price series, not a price (the sf0.1 test data contains 6).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.min(key)["value"].alias("o"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.max(key)["value"].alias("c"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def _register():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # ------------------------------------------------------------------
+    harm_list = ", ".join(str(k) for k in DFT_HARMONICS)
+
+    @register(
+        "dft_power_spectrum",
+        oracle=f"""
+WITH dm AS (
+    SELECT event_type AS symbol,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(SUM(CAST(value AS {DECIMAL_T})) AS DOUBLE)
+               / count(*) AS x
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT symbol, x,
+           row_number() OVER (PARTITION BY symbol ORDER BY day) - 1
+               AS t,
+           count(*) OVER (PARTITION BY symbol) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,18)))
+                OVER (PARTITION BY symbol) AS DOUBLE)
+               / count(*) OVER (PARTITION BY symbol) AS mx
+    FROM dm
+), terms AS (
+    SELECT i.symbol, k.k, i.n,
+           (i.x - i.mx) * cos(2.0 * pi() * k.k * i.t / i.n) AS ct,
+           (i.x - i.mx) * sin(2.0 * pi() * k.k * i.t / i.n) AS st
+    FROM idx i CROSS JOIN (SELECT unnest([{harm_list}]) AS k) k
+), sums AS (
+    SELECT symbol, k, max(n) AS n,
+           CAST(SUM(CAST(ct AS DECIMAL(38,18))) AS DOUBLE) AS sc,
+           CAST(SUM(CAST(st AS DECIMAL(38,18))) AS DOUBLE) AS ss
+    FROM terms GROUP BY 1, 2
+)
+SELECT symbol, CAST(k AS INT) AS harmonic,
+       {stable_round_sql('(sc * sc + ss * ss) / n', 6)} AS power
+FROM sums
+""",
+        doc=f"Per-symbol DFT power at harmonics {DFT_HARMONICS} of the "
+        f"demeaned DAILY mean price: the tick table collapses to one "
+        f"exact (decimal-summed) mean per (symbol, day) FIRST, so the "
+        f"cos/sin products run over #symbols x #days rows — a "
+        f"postcard-sized table even at 100 TB of ticks. Trig sums are "
+        f"accumulated in DECIMAL(38,18) (order-independent, so the "
+        f"answer is partitioning-proof), power = (Sc^2 + Ss^2) / N on "
+        f"the centered series. Detects weekly/monthly cycles the "
+        f"seasonality_profile query only sees at fixed hour-of-day "
+        f"grain.",
+    )
+    def dft_power_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        dm = (
+            ev.groupBy(
+                F.col("event_type").alias("symbol"),
+                F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                .cast("long")
+                .alias("day"),
+            )
+            .agg(
+                (
+                    F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("x")
+            )
+        )
+        wsym = Window.partitionBy("symbol")
+        idx = dm.select(
+            "symbol",
+            "x",
+            (F.row_number().over(wsym.orderBy("day")) - 1).alias("t"),
+            F.count(F.lit(1)).over(wsym).alias("n"),
+            (
+                F.sum(F.col("x").cast("decimal(38,18)"))
+                .over(wsym)
+                .cast("double")
+                / F.count(F.lit(1)).over(wsym)
+            ).alias("mx"),
+        )
+        ks = F.explode(
+            F.array(*[F.lit(k) for k in DFT_HARMONICS])
+        ).alias("k")
+        ang = (
+            F.lit(2.0 * math.pi)
+            * F.col("k")
+            * F.col("t")
+            / F.col("n")
+        )
+        terms = idx.select(
+            "symbol", "x", "t", "n", "mx", ks
+        ).select(
+            "symbol",
+            "k",
+            "n",
+            ((F.col("x") - F.col("mx")) * F.cos(ang)).alias("ct"),
+            ((F.col("x") - F.col("mx")) * F.sin(ang)).alias("st"),
+        )
+        sums = terms.groupBy("symbol", "k").agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("ct").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("sc"),
+            F.sum(F.col("st").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("ss"),
+        )
+        return sums.select(
+            "symbol",
+            F.col("k").cast("int").alias("harmonic"),
+            stable_round(
+                (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+                / F.col("n"),
+                6,
+            ).alias("power"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "permutation_entropy",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+emb AS (
+    SELECT symbol, close AS a,
+           lead(close, 1) OVER (PARTITION BY symbol
+                                ORDER BY ts, tick_id) AS b,
+           lead(close, 2) OVER (PARTITION BY symbol
+                                ORDER BY ts, tick_id) AS c
+    FROM ticks
+), pat AS (
+    SELECT symbol,
+           (CASE WHEN a <= b THEN 4 ELSE 0 END)
+         + (CASE WHEN b <= c THEN 2 ELSE 0 END)
+         + (CASE WHEN a <= c THEN 1 ELSE 0 END) AS code
+    FROM emb WHERE c IS NOT NULL
+), cnt AS (
+    SELECT symbol, code, CAST(count(*) AS BIGINT) AS n_pat
+    FROM pat GROUP BY 1, 2
+), probs AS (
+    SELECT symbol, n_pat,
+           CAST(n_pat AS DOUBLE)
+               / SUM(n_pat) OVER (PARTITION BY symbol) AS p
+    FROM cnt
+), tot AS (
+    SELECT symbol, CAST(SUM(n_pat) AS BIGINT) AS n_triples,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(-SUM(CAST(p * ln(p) AS DECIMAL(38,18))) AS DOUBLE)
+               AS hraw
+    FROM probs GROUP BY symbol
+)
+SELECT symbol, n_triples, n_codes,
+       {stable_round_sql('hraw / ln(6.0)', 6)} AS perm_entropy
+FROM tot
+""",
+        doc="Bandt-Pompe permutation entropy (embedding dim 3) per "
+        "symbol: each tick triple (x_t, x_t+1, x_t+2) maps to an "
+        "ordinal pattern via THREE comparisons only (encoded as a "
+        "3-bit code — 6 of 8 codes are realizable, ties broken "
+        "toward <=), so the float path is comparison-only and "
+        "bit-stable across engines; entropy over the pattern "
+        "histogram is normalized by ln(6). Near 1 = coin-flip "
+        "ticks, near 0 = monotone trends. One lead window on the "
+        "symbol shuffle every other tick query already pays, then "
+        "a 6-row-per-symbol aggregate.",
+    )
+    def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = ticks(spark, sf_dir)
+        w = Window.partitionBy("symbol").orderBy("ts", "tick_id")
+        emb = t.select(
+            "symbol",
+            F.col("close").alias("a"),
+            F.lead("close", 1).over(w).alias("b"),
+            F.lead("close", 2).over(w).alias("c"),
+        ).where(F.col("c").isNotNull())
+        code = (
+            F.when(F.col("a") <= F.col("b"), 4).otherwise(0)
+            + F.when(F.col("b") <= F.col("c"), 2).otherwise(0)
+            + F.when(F.col("a") <= F.col("c"), 1).otherwise(0)
+        )
+        cnt = emb.select("symbol", code.alias("code")).groupBy(
+            "symbol", "code"
+        ).agg(F.count(F.lit(1)).alias("n_pat"))
+        p = F.col("n_pat").cast("double") / F.sum("n_pat").over(
+            Window.partitionBy("symbol")
+        )
+        probs = cnt.select("symbol", "n_pat", p.alias("p"))
+        tot = probs.groupBy("symbol").agg(
+            F.sum("n_pat").alias("n_triples"),
+            F.count(F.lit(1)).alias("n_codes"),
+            (
+                -F.sum(
+                    (F.col("p") * F.log("p")).cast("decimal(38,18)")
+                )
+            )
+            .cast("double")
+            .alias("hraw"),
+        )
+        return tot.select(
+            "symbol",
+            "n_triples",
+            "n_codes",
+            stable_round(
+                F.col("hraw") / F.lit(math.log(6.0)), 6
+            ).alias("perm_entropy"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "parkinson_gk_volatility",
+        oracle=f"""
+WITH {_DAILIES_CTE.strip()},
+terms AS (
+    SELECT symbol,
+           ln(h / l) * ln(h / l) AS hl2,
+           ln(c / o) * ln(c / o) AS co2
+    FROM dly WHERE n_ticks >= 2
+), agg AS (
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(hl2 AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*) AS m_hl2,
+           CAST(SUM(CAST(0.5 * hl2 - {_GK_C!r} * co2
+                         AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*) AS gk_var
+    FROM terms GROUP BY symbol
+)
+SELECT symbol, n_days,
+       {stable_round_sql(f'sqrt({_PARKINSON_C!r} * m_hl2)', 6)}
+           AS parkinson_vol,
+       {stable_round_sql('gk_var', 6)} AS gk_var
+FROM agg
+""",
+        doc="Range-based daily volatility per symbol. Days collapse "
+        "to OHLC bars once (first/last via order-independent "
+        "(ts, tick_id, value)-struct min/max — no window pass); "
+        "Parkinson vol = sqrt(mean(ln(H/L)^2) / (4 ln 2)) and the "
+        "Garman-Klass variance mean(0.5 ln(H/L)^2 - (2ln2-1) "
+        "ln(C/O)^2) follow from two decimal-summed averages over "
+        "the #symbols x #days bar table. Single-tick days are "
+        "excluded (H=L=O=C carries no range information). "
+        "Range estimators are ~5x more efficient per observation "
+        "than close-to-close realized_vol_daily — same bars, "
+        "sharper estimate.",
+    )
+    def parkinson_gk_volatility(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        d = _dailies(spark, sf_dir).where(F.col("n_ticks") >= 2)
+        hl2 = F.log(F.col("h") / F.col("l")) * F.log(
+            F.col("h") / F.col("l")
+        )
+        co2 = F.log(F.col("c") / F.col("o")) * F.log(
+            F.col("c") / F.col("o")
+        )
+        agg = d.select(
+            "symbol", hl2.alias("hl2"), co2.alias("co2")
+        ).groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.sum(F.col("hl2").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m_hl2"),
+            (
+                F.sum(
+                    (
+                        F.lit(0.5) * F.col("hl2")
+                        - F.lit(_GK_C) * F.col("co2")
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("gk_var"),
+        )
+        return agg.select(
+            "symbol",
+            "n_days",
+            stable_round(
+                F.sqrt(F.lit(_PARKINSON_C) * F.col("m_hl2")), 6
+            ).alias("parkinson_vol"),
+            stable_round(F.col("gk_var"), 6).alias("gk_var"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "amihud_illiquidity",
+        oracle=f"""
+WITH {_DAILIES_CTE.strip()},
+rets AS (
+    SELECT symbol, day, n_ticks,
+           abs(ln(c / lag(c) OVER (PARTITION BY symbol
+                                   ORDER BY day))) AS aret
+    FROM dly
+), terms AS (
+    SELECT symbol, aret / n_ticks AS illiq
+    FROM rets WHERE aret IS NOT NULL
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+       {stable_round_sql(
+           f"1e6 * CAST(SUM(CAST(illiq AS DECIMAL(38,18))) AS DOUBLE)"
+           f" / count(*)", 6)} AS amihud_x1e6
+FROM terms GROUP BY symbol
+""",
+        doc="Amihud (2002) illiquidity per symbol: mean over days of "
+        "|daily log return| / day's tick count (tick count proxies "
+        "dollar volume — the events table has no notional), scaled "
+        "x1e6. The day-over-day lag runs on the #symbols x #days "
+        "dailies table, NOT on raw ticks, so the only full-data "
+        "work is the (symbol, day) collapse every range estimator "
+        "shares. High values = prices move a lot per unit of "
+        "activity = thin book.",
+    )
+    def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _dailies(spark, sf_dir)
+        w = Window.partitionBy("symbol").orderBy("day")
+        rets = d.select(
+            "symbol",
+            "n_ticks",
+            F.abs(
+                F.log(F.col("c") / F.lag("c").over(w))
+            ).alias("aret"),
+        ).where(F.col("aret").isNotNull())
+        return (
+            rets.select(
+                "symbol",
+                (F.col("aret") / F.col("n_ticks")).alias("illiq"),
+            )
+            .groupBy("symbol")
+            .agg(
+                F.count(F.lit(1)).alias("n_days"),
+                stable_round(
+                    F.lit(1e6)
+                    * F.sum(F.col("illiq").cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("amihud_x1e6"),
+            )
+        )
+
+
+_register()
