@@ -352,3 +352,104 @@ def _register_kcore():
 
 
 _register_kcore()
+
+
+def _register_assortativity():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "degree_assortativity",
+        oracle=f"""
+WITH e AS (
+    SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                    greatest(l1.l_partkey, l2.l_partkey) AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+), deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY v
+), sums AS (
+    SELECT CAST(2 * count(*) AS BIGINT) AS m,
+           CAST(SUM(da.deg + db.deg) AS BIGINT) AS sx,
+           CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+           CAST(SUM(2 * da.deg * db.deg) AS BIGINT) AS sxy
+    FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+)
+SELECT m AS n_endpoints,
+       {stable_round_sql(
+           '(CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m)'
+           ' * (CAST(sx AS DOUBLE) / m))'
+           ' / (CAST(sxx AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m)'
+           ' * (CAST(sx AS DOUBLE) / m))', 9)} AS assortativity
+FROM sums
+""",
+        doc="Newman degree assortativity of the 1998 co-purchase "
+        "graph (same edge set as triangle_count_copurchase): the "
+        "Pearson correlation of endpoint degrees over both edge "
+        "orientations, computed from FOUR integer sufficient sums "
+        "(m, Sx, Sxx, Sxy) accumulated in one pass over the edge-"
+        "degree join — exact integers until the final ratio, so the "
+        "answer is partitioning-proof without decimal tricks. "
+        "Positive = hubs link to hubs (rich-club), negative = "
+        "hub-and-spoke. The edge+degree join shuffles only (vertex, "
+        "degree) pairs; no per-vertex state beyond the degree table.",
+    )
+    def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o98 = (
+            load_table(spark, sf_dir, "orders")
+            .where(
+                (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            )
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        li98 = li.join(o98, li.l_orderkey == o98.o_orderkey, "left_semi")
+        l1 = li98.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+        )
+        l2 = li98.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+        )
+        edges = (
+            l1.join(l2, "k")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+        db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+        j = edges.join(da, "a").join(db, "b")
+        sums = j.agg(
+            (F.lit(2) * F.count(F.lit(1))).alias("m"),
+            F.sum(F.col("da") + F.col("db")).alias("sx"),
+            F.sum(
+                F.col("da") * F.col("da") + F.col("db") * F.col("db")
+            ).alias("sxx"),
+            F.sum(F.lit(2) * F.col("da") * F.col("db")).alias("sxy"),
+        )
+        mx = F.col("sx").cast("double") / F.col("m")
+        return sums.select(
+            F.col("m").alias("n_endpoints"),
+            stable_round(
+                (F.col("sxy").cast("double") / F.col("m") - mx * mx)
+                / (F.col("sxx").cast("double") / F.col("m") - mx * mx),
+                9,
+            ).alias("assortativity"),
+        )
+
+
+_register_assortativity()
