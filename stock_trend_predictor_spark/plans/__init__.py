@@ -3,7 +3,9 @@
 from stock_trend_predictor_spark.plans import analytics_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import dedup_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import corpus_stats_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import bloom_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import classifier_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import engineering_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import distance_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import kmv_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import estimator_queries  # noqa: F401
