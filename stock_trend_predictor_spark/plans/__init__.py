@@ -11,6 +11,7 @@ from stock_trend_predictor_spark.plans import kmv_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import estimator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import experiment_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import feateng_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import funnel_latency_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import graph_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import growth_queries  # noqa: F401
