@@ -18,6 +18,7 @@ from stock_trend_predictor_spark.plans import growth_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import indicator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ivm_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import keyphrase_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import lateness_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import layout_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ml_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import mlops_queries  # noqa: F401

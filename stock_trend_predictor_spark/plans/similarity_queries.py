@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_trend_predictor_spark.functions.exact import stable_round, stable_round_sql
@@ -11,6 +11,10 @@ from stock_trend_predictor_spark.operators.similarity import (
     lsh_topk,
 )
 from stock_trend_predictor_spark.sources.tables import load_table
+
+#: kNN label-vote parameters: fixed query-set size and vote k.
+KNN_VOTE_NQ = 200
+KNN_VOTE_K = 5
 
 _COS_SQL = (
     "list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
@@ -366,3 +370,95 @@ FROM pairs
 
 
 _register()
+
+
+def _register_vote():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "knn_label_vote",
+        oracle=f"""
+WITH q AS (
+    SELECT * FROM embeddings WHERE vec_id < {KNN_VOTE_NQ}
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+           c.vec_id AS neighbor_id, c.label AS cand_label,
+           {_COS_SQL} AS sim
+    FROM embeddings c JOIN q ON c.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, true_label, cand_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+), votes AS (
+    SELECT query_id, true_label, cand_label,
+           CAST(count(*) AS BIGINT) AS n_votes
+    FROM ranked WHERE rank <= {KNN_VOTE_K}
+    GROUP BY 1, 2, 3
+), pred AS (
+    SELECT query_id, true_label, cand_label AS pred_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, cand_label) AS rk
+    FROM votes
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+           AS n_correct,
+       {stable_round_sql(
+           "CAST(count(*) FILTER (WHERE pred_label = true_label)"
+           " AS DOUBLE) / count(*)", 6)} AS accuracy
+FROM pred WHERE rk = 1
+GROUP BY 1
+""",
+        doc=f"Leave-one-out {KNN_VOTE_K}-NN classification over the "
+        f"embedding column: the first {KNN_VOTE_NQ} vectors are "
+        f"classified by majority label vote of their {KNN_VOTE_K} "
+        f"nearest cosine neighbors (self excluded), reporting "
+        f"accuracy per true label — the standard embedding-quality "
+        f"probe run before trusting vectors for semantic dedup. "
+        f"Same broadcast-queries-scan-corpus-once shape as "
+        f"knn_bruteforce_cosine (queries are a FIXED count, so cost "
+        f"stays #queries x corpus at any SF); vote argmax tie-breaks "
+        f"(votes DESC, label) and neighbor ranking (sim DESC, id), "
+        f"so the verdicts are deterministic end-to-end.",
+    )
+    def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        labels = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("cand_label"),
+        )
+        qlab = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        )
+        res = brute_force_topk(
+            emb, emb.where(F.col("vec_id") < KNN_VOTE_NQ), k=KNN_VOTE_K
+        )
+        votes = (
+            res.join(F.broadcast(labels), "neighbor_id")
+            .join(F.broadcast(qlab), "query_id")
+            .groupBy("query_id", "true_label", "cand_label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("n_votes").desc(), "cand_label"
+        )
+        pred = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+        )
+        hit = F.when(
+            F.col("cand_label") == F.col("true_label"), 1
+        ).otherwise(0)
+        return pred.groupBy(F.col("true_label").alias("label")).agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(hit).alias("n_correct"),
+            stable_round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+
+
+_register_vote()
