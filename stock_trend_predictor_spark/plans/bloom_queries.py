@@ -32,7 +32,10 @@ from stock_trend_predictor_spark.functions.text import (
     hash60,
     hash60_sql,
 )
-from stock_trend_predictor_spark.sources.tables import load_table
+from stock_trend_predictor_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
 
 #: filter size in bits and number of hash functions.
 M_BITS = 4096
@@ -122,7 +125,11 @@ FROM sizes s CROSS JOIN agg a
     )
     def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
-        members = (
+        # members feeds both the bit-set and n_members; bits feeds the
+        # probe join and n_bits_set — both are bounded (distinct users
+        # / <= m rows) and materialized once instead of re-scanning
+        # events per consumer.
+        members = materialize_once(
             ev.where(F.col("event_type") == "purchase")
             .select("user_id")
             .distinct()
@@ -149,6 +156,7 @@ FROM sizes s CROSS JOIN agg a
             )
             .distinct()
         )
+        bits = materialize_once(bits)
         probe = (
             nonmembers.select(
                 "key",

@@ -30,7 +30,10 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
-from stock_trend_predictor_spark.sources.tables import load_table
+from stock_trend_predictor_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
 
 #: NB Laplace smoothing pseudo-count.
 NB_ALPHA = 1.0
@@ -52,9 +55,9 @@ WITH tr AS (
     SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_lt
     FROM tok_tr GROUP BY 1, 2
 ), tot AS (
-    SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM tok_tr GROUP BY 1
+    SELECT lang, CAST(SUM(n_lt) AS BIGINT) AS n_l FROM cnt GROUP BY 1
 ), vocab AS (
-    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok_tr
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt
 ), prior AS (
     SELECT lang,
            ln(CAST(count(*) AS DOUBLE)
@@ -118,11 +121,18 @@ GROUP BY 1
         tok_tr = tr.select(
             "lang", F.explode(F.split("text", " ")).alias("tok")
         )
-        cnt = tok_tr.groupBy("lang", "tok").agg(
-            F.count(F.lit(1)).alias("n_lt")
+        # Token stream is consumed exactly once: totals and vocabulary
+        # derive from the aggregated (lang, tok) count table, which is
+        # vocabulary-bounded and materialized once for its three
+        # consumers (tot / vocab / model) — the raw corpus is never
+        # re-exploded (verified single token pass in PLANS.md).
+        cnt = materialize_once(
+            tok_tr.groupBy("lang", "tok").agg(
+                F.count(F.lit(1)).alias("n_lt")
+            )
         )
-        tot = tok_tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-        vocab = tok_tr.agg(F.countDistinct("tok").alias("v"))
+        tot = cnt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+        vocab = cnt.agg(F.countDistinct("tok").alias("v"))
         n_tr = tr.count()
         prior = tr.groupBy("lang").agg(
             F.log(F.count(F.lit(1)).cast("double") / F.lit(n_tr)).alias(

@@ -142,19 +142,28 @@ FROM pairs
                 * F.sqrt(F.col(ss(j, j)) - F.col(s(j)) * F.col(s(j)) / n)
             )
 
-        out = None
-        for i, j in pairs:
-            row = sums.select(
-                F.lit(CORR_FEATURES[i]).alias("feature_a"),
-                F.lit(CORR_FEATURES[j]).alias("feature_b"),
-                corr(i, j).alias("r"),
+        # One scan: explode a 1-row array of per-pair structs instead
+        # of a 6-way union (Catalyst would NOT common-subexpression
+        # the shared aggregate across union branches — the union form
+        # re-scans lineitem once per pair, verified in PLANS.md).
+        pair_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(CORR_FEATURES[i]).alias("feature_a"),
+                    F.lit(CORR_FEATURES[j]).alias("feature_b"),
+                    corr(i, j).alias("r"),
+                )
+                for i, j in pairs
+            ]
+        )
+        return (
+            sums.select(F.explode(pair_structs).alias("p"))
+            .select(
+                F.col("p.feature_a").alias("feature_a"),
+                F.col("p.feature_b").alias("feature_b"),
+                stable_round(F.col("p.r"), 6).alias("pearson_r"),
+                (F.abs(F.col("p.r")) > CORR_DROP_ABS).alias("drop_b"),
             )
-            out = row if out is None else out.unionAll(row)
-        return out.select(
-            "feature_a",
-            "feature_b",
-            stable_round(F.col("r"), 6).alias("pearson_r"),
-            (F.abs(F.col("r")) > CORR_DROP_ABS).alias("drop_b"),
         )
 
     # ------------------------------------------------------------------

@@ -74,6 +74,12 @@ QUERIES = [
     ("sliding_distinct_users", "bounded 6x fan-out then one hash agg; no range self-join"),
     ("psi_price_drift", "1-row broadcast edge table; bins are fixed comparisons"),
     ("conformal_interval_width", "per-key model rows broadcast back; one symbol sort shared by split+residuals"),
+    ("dft_power_spectrum", "trig terms over the (symbol,day) collapse; decimal window mean"),
+    ("nb_lang_classifier", "model + priors broadcast into the token stream; one (doc,lang) shuffle"),
+    ("knn_label_vote", "fixed query set broadcast; corpus scanned once, never shuffled"),
+    ("bloom_filter_fpr", "bit-set broadcast to probes; member distinct is the only wide op"),
+    ("decision_stump_movement", "ONE sorted window pass feeds all 9 candidate splits"),
+    ("feature_correlation_prune", "all cross-moments in one combinable aggregate; pairs read a 1-row table"),
 ]
 
 
