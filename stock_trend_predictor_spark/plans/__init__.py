@@ -30,6 +30,7 @@ from stock_trend_predictor_spark.plans import profiling_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import quality_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import ranking_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import relational_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import sax_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import screening_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import selection_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import signal_queries  # noqa: F401

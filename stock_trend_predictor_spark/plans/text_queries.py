@@ -974,3 +974,86 @@ FROM documents d JOIN t{BPE_TRAIN_ROUNDS} tf ON tf.doc_id = d.doc_id
 
 
 _register_bpe_train()
+
+
+def _register_confusion():
+    """lang-ID confusion matrix — appended round 3c."""
+    from stock_trend_predictor_spark.plans.registry import register
+
+    lang_score_sql = {
+        lang: marker_score_sql("text", markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best_sql = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case_sql = "CASE " + " ".join(
+        f"WHEN s_{l} = {best_sql} THEN '{l}'" for l in langs
+    ) + " END"
+
+    @register(
+        "lang_id_confusion_matrix",
+        oracle=f"""
+WITH scored AS (
+    SELECT lang AS labeled_lang,
+           {', '.join(f'{expr} AS s_{l}' for l, expr in lang_score_sql.items())}
+    FROM documents
+), pred AS (
+    SELECT labeled_lang, {case_sql} AS predicted_lang FROM scored
+), cells AS (
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n,
+       {stable_round_sql(
+           'CAST(n AS DOUBLE)'
+           ' / SUM(n) OVER (PARTITION BY labeled_lang)', 6)}
+           AS row_share
+FROM cells
+""",
+        doc="Confusion matrix of the marker-token language-ID "
+        "heuristic against the corpus labels: cell counts plus the "
+        "per-true-language recall shares (row-normalized). The "
+        "per-doc argmax is the same deterministic fixed-priority "
+        "tie-break as lang_id_heuristic; the matrix collapses the "
+        "per-doc verdicts into #langs^2 rows — the artifact a "
+        "filtering-threshold review actually reads. Shares window "
+        "over the bounded cell table.",
+    )
+    def lang_id_confusion_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_toks", F.split(F.col("text"), " ")
+        )
+        scored = docs.select(
+            F.col("lang").alias("labeled_lang"),
+            *[
+                marker_score("_toks", LANG_MARKERS[l]).alias(f"s_{l}")
+                for l in langs
+            ],
+        )
+        best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+        predicted = F.coalesce(
+            *[F.when(F.col(f"s_{l}") == best, F.lit(l)) for l in langs]
+        )
+        cells = scored.select(
+            "labeled_lang", predicted.alias("predicted_lang")
+        ).groupBy("labeled_lang", "predicted_lang").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return cells.select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            stable_round(
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("labeled_lang")),
+                6,
+            ).alias("row_share"),
+        )
+
+
+_register_confusion()
