@@ -92,3 +92,35 @@ def test_confusion_matrix_consistent_with_lang_id(spark, sf_dir):
         by_true[c.labeled_lang] += c.row_share
     for lang, s in by_true.items():
         assert abs(s - 1.0) < 1e-3, lang
+
+
+def test_auc_matches_sklearn_free_replay(spark, sf_dir):
+    """AUC replayed in pure Python (pair-counting with 0.5 tie credit)
+    matches the rank-identity result exactly."""
+    rows = REGISTRY["auc_roc_movement"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(list)
+    for e in ev:
+        series[e.event_type].append((e.ts, e.event_id, e.value))
+    for r in rows:
+        xs = sorted(series[r.symbol])
+        pairs = [
+            (prev[2], 1 if cur[2] > prev[2] else 0)
+            for prev, cur in zip(xs, xs[1:])
+        ]
+        pos = [s for s, y in pairs if y == 1]
+        neg = [s for s, y in pairs if y == 0]
+        assert (len(pos), len(neg)) == (r.n_pos, r.n_neg)
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(auc - r.auc) < 1e-5, r.symbol
+
+
+def test_kappa_bounds_and_degenerate_convention(spark, sf_dir):
+    [r] = REGISTRY["cohens_kappa_lang"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r.po <= 1.0
+    assert 0.0 <= r.pe <= 1.0 + 1e-9
+    assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+    if r.pe >= 1.0 - 1e-9:
+        assert r.kappa == 0.0
