@@ -10,6 +10,7 @@ from stock_trend_predictor_spark.plans import distance_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import kmv_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import estimator_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import evaluation_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import evt_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import eventtime_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import experiment_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import feateng_queries  # noqa: F401

@@ -124,3 +124,16 @@ def test_kappa_bounds_and_degenerate_convention(spark, sf_dir):
     assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
     if r.pe >= 1.0 - 1e-9:
         assert r.kappa == 0.0
+
+
+def test_gumbel_return_level_dominates_mean_max(spark, sf_dir):
+    """The once-per-100-weeks return level must exceed the mean block
+    maximum (mu + 0.577*beta), and beta > 0 wherever blocks vary."""
+    rows = REGISTRY["gumbel_weekly_maxima"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_blocks >= 2
+        assert r.gumbel_beta >= 0.0
+        level = getattr(r, "return_level_t100")
+        # mean of Gumbel = mu + gamma*beta; the T=100 level sits above
+        assert level >= r.gumbel_mu + 0.577 * r.gumbel_beta - 1e-9
