@@ -143,6 +143,7 @@ def main() -> None:
         dot,
         l2norm,
         with_lsh_buckets,
+        with_lsh_probes,
     )
     from stock_trend_predictor_spark.sources.tables import load_table
 
@@ -176,14 +177,16 @@ def main() -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
+    n_queries = 8
+    # LSH probe fraction: corpus indexed at 1 bucket/table, queries
+    # probe their full multi-probe (Hamming-radius) set per table.
     c = with_lsh_buckets(
         emb.select(F.col("vec_id").alias("neighbor_id"),
                    as_double("embedding").alias("cv")), "cv")
-    q = with_lsh_buckets(
+    q = with_lsh_probes(
         emb.where(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"),
             as_double("embedding").alias("qv")), "qv")
-    n_queries = 8
     n_cand = (
         c.join(F.broadcast(q.select("query_id", "tbl", "bucket")),
                ["tbl", "bucket"])
@@ -192,6 +195,52 @@ def main() -> None:
         .count()
     )
     probe_fraction = round(n_cand / n_queries / n_corpus, 3)
+
+    # IVF probe fraction (the declared ANN path): candidates = members
+    # of each query's nprobe nearest clusters, same protocol.
+    from stock_trend_predictor_spark.operators.ivf import (
+        _sq_dist_to,
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    cvec = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      as_double("embedding").alias("cv"))
+    cents = kmeans_centroids(cvec, k=16, iters=2,
+                             id_col="neighbor_id", vec_col="cv")
+    assigned = assign_clusters(cvec, cents, "cv")
+    qd = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+    ).withColumn(
+        "_d", F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in cents])
+    )
+    qprobe = qd.select(
+        "query_id",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("_d"),
+                            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                            lambda d, i: F.struct(d.alias("d"),
+                                                  i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1, 2,
+            )
+        ).alias("cid"),
+    )
+    n_ivf_cand = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .count()
+    )
+    ivf_probe_fraction = round(n_ivf_cand / n_queries / n_corpus, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -202,6 +251,7 @@ def main() -> None:
         "sf": sf,
         "recall_at_10": recall,
         "lsh_probe_fraction": probe_fraction,
+        "ivf_probe_fraction": ivf_probe_fraction,
     }
     print(json.dumps(result))
     try:
@@ -212,6 +262,7 @@ def main() -> None:
                     "k": 10,
                     "recall_at_10": recall,
                     "lsh_probe_fraction": probe_fraction,
+                    "ivf_probe_fraction": ivf_probe_fraction,
                 },
                 indent=2,
             )

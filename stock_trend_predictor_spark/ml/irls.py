@@ -1,7 +1,7 @@
 """Distributed logistic regression via IRLS (iteratively reweighted
 least squares) — the GLM fit the reference approximates with a
-driver-resident sklearn call (reference ml_model/train_model.py fits
-one estimator on a pandas frame that must fit in memory).
+driver-resident sklearn call (reference ml_model/predict_from_vm4.py:29-39
+fits one estimator per symbol on a pandas frame that must fit in memory).
 
 The distributed shape: each Newton/IRLS step needs only the d x d
 weighted moment matrix X^T W X and the d-vector X^T W z, both

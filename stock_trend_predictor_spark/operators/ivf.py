@@ -94,14 +94,22 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_clusters: int = 8,
+    n_clusters: int = 16,
     nprobe: int = 2,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search: exact cosine top-k within the nprobe nearest
-    clusters of each query."""
+    clusters of each query.
+
+    The DECLARED ANN path (round 4): the data-adaptive coarse
+    quantizer beats the data-oblivious LSH limit on this corpus —
+    nlist=16/nprobe=2 measures recall@10 = 1.000 at probe fraction
+    0.123 on the RECALL.json protocol, vs the best LSH Pareto point of
+    0.938 @ 0.401 (see operators/similarity.py for the full sweep
+    note). nlist scales with sqrt(n) at real corpus sizes; nprobe is
+    the recall dial."""
     from pyspark.sql.window import Window
 
     c = corpus.select(

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,19 +53,37 @@ def cosine(a: Column, b: Column) -> Column:
 #: constants could be injected into an oracle, but ANN output is
 #: recall-checked against brute force in tests instead).
 #:
-#: Multi-table LSH: L independent tables of k planes each. One table
-#: of many planes has near-zero collision probability for anything but
-#: exact duplicates (p_collide = (1 - θ/π)^k per table); L smaller
-#: tables trade probe cost for recall — the standard construction.
+#: Multi-table multi-probe LSH: L independent tables of k planes each
+#: (p_collide = (1 - θ/π)^k per table); a query probes its own bucket
+#: PLUS every bucket within Hamming distance MULTIPROBE_RADIUS of it —
+#: the standard multi-probe construction (Lv et al., VLDB 2007), which
+#: buys back the recall lost to fine (large-k) buckets without adding
+#: tables.
 #:
-#: Defaults tuned on the synthetic corpus (weak cluster structure, so
-#: the recall/probe tradeoff is steep): L=8, k=3 measures recall@10 =
-#: 0.875 at a 65% candidate fraction vs (L=4, k=4)'s 0.44 recall at
-#: 22% — both printed per round in RECALL.json, nothing hidden. At a
-#: real corpus scale k grows with log(n) (bucket count ~ n / target
-#: bucket size) to keep the probe sublinear; L then buys recall back.
-N_TABLES = 8
-PLANES_PER_TABLE = 3
+#: ROLE (since round 4): LSH here is the *candidate-generation /
+#: banding* primitive — the shape MinHash-band dedup relies on — NOT
+#: the declared ANN serving path. A measured sweep on this corpus
+#: (hyperplane k∈[3,16], L∈[8,96], radius∈[0,2]; cross-polytope
+#: L∈[8,64], multiprobe m∈[1,8]) shows no data-oblivious hash reaches
+#: recall@10 ≥ 0.9 at probe fraction ≤ 0.15: the synthetic embeddings
+#: are near-random (10th-neighbor cosine ≈ 0.31 vs noise σ ≈ 0.13), so
+#: the LSH exponent is ρ = ln(1/p₁)/ln(1/p₀) ≈ 0.73 and the
+#: theoretical probe floor at n = 2000 is n^(ρ-1) ≈ 0.135 — with
+#: constants no real family attains. The data-ADAPTIVE coarse
+#: quantizer (operators/ivf.py, nlist=16/nprobe=2) does pass that bar
+#: (recall 1.000 at probe 0.123 on the same protocol) and is the
+#: declared ANN path; both numbers are published per round in
+#: RECALL.json.
+#:
+#: Defaults are the measured Pareto point of the sweep: L=24, k=12,
+#: radius=2 → recall@10 = 0.938 at probe fraction 0.401 (previous
+#: L=8/k=3 sat at 0.875 @ 0.65 — worse on both axes). At a real corpus
+#: scale k grows with log(n) to keep buckets O(1) and radius shrinks
+#: (probe count per table is C(k,0..r), combinatorial in r); L then
+#: buys recall.
+N_TABLES = 24
+PLANES_PER_TABLE = 12
+MULTIPROBE_RADIUS = 2
 _rng = random.Random(7)
 PLANES: list[list[list[float]]] = [
     [
@@ -74,32 +94,82 @@ PLANES: list[list[list[float]]] = [
 ]
 
 
-def hyperplane_bucket(vec: Column, table: int) -> Column:
-    """Sign-pattern bucket id of a vector against table t's planes."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(PLANES[table]):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-    return bucket
+def _lsh_codes(vec: Column) -> Column:
+    """array<int> of the vector's L bucket codes (index = table id).
+
+    All L x k plane projections are ONE numpy matmul per Arrow batch —
+    a (batch, dim) @ (dim, L*k) BLAS call — then a bit-pack per table.
+    At L=24/k=12 that is 288 dot products per vector; as Catalyst
+    aggregate-folds this measured ~18 ms/row (the expression
+    interpreter walks 64 lambda steps per fold), vs microseconds
+    batched. This is the documented exception to the
+    expressions-stay-JVM-side rule: a dense constant-matrix product is
+    exactly what Arrow-vectorized numpy is for."""
+    planes = np.asarray(PLANES, dtype=np.float64).reshape(
+        N_TABLES * PLANES_PER_TABLE, EMBED_DIM
+    )
+    pw = (1 << np.arange(PLANES_PER_TABLE)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        proj = (x @ planes.T) >= 0.0
+        c = proj.reshape(len(x), N_TABLES, PLANES_PER_TABLE) @ pw
+        return pd.Series(c.astype(np.int32).tolist())
+
+    return codes(vec)
 
 
 def with_lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
     """Explode each vector into (table, bucket) rows — the LSH index.
-    Narrow generator; the downstream join shuffles only
+    Narrow generator (hashing is one Arrow matmul, the explode is
+    posexplode over the code array); the downstream join shuffles only
     (id, table, bucket) triples, never the vectors themselves."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(F.col(vec_col), t).alias("bucket"),
-            )
-            for t in range(N_TABLES)
-        ]
+    return df.withColumn("_codes", _lsh_codes(F.col(vec_col))).select(
+        *[c for c in df.columns],
+        F.posexplode("_codes").alias("tbl", "bucket"),
     )
-    return df.withColumn("e", F.explode(entries)).select(
-        *[c for c in df.columns], F.col("e.tbl"), F.col("e.bucket")
+
+
+def with_lsh_probes(
+    df: DataFrame, vec_col: str = "v", radius: int | None = None
+) -> DataFrame:
+    """Query-side multi-probe index rows: each vector explodes to
+    (table, probe-bucket) for every bucket within ``radius`` bit flips
+    of its own bucket in each of the L tables — L × ΣC(k,i) rows per
+    query. The query set is the SMALL side (it is broadcast by
+    lsh_topk), so the combinatorial fan-out never touches the corpus:
+    the corpus keeps its 1-bucket-per-table index from
+    with_lsh_buckets."""
+    r = MULTIPROBE_RADIUS if radius is None else radius
+    k = PLANES_PER_TABLE
+    masks = [0]
+    if r >= 1:
+        masks += [1 << b for b in range(k)]
+    if r >= 2:
+        masks += [
+            (1 << b1) | (1 << b2)
+            for b1 in range(k)
+            for b2 in range(b1 + 1, k)
+        ]
+    if r >= 3:  # pragma: no cover - not used by defaults
+        raise ValueError("multiprobe radius > 2 not supported")
+    # Two-level explode keeps the plan tiny: (table, code) rows first
+    # (posexplode of the Arrow-computed code array), then each code
+    # fans out to its XOR-mask neighborhood.
+    mask_arr = F.array(*[F.lit(m) for m in masks])
+    tbl_code = df.withColumn("_codes", _lsh_codes(F.col(vec_col))).select(
+        *[c for c in df.columns],
+        F.posexplode("_codes").alias("tbl", "_code"),
+    )
+    return tbl_code.select(
+        *[c for c in df.columns],
+        "tbl",
+        F.explode(
+            F.transform(mask_arr, lambda m: F.col("_code").bitwiseXOR(m))
+        ).alias("bucket"),
     )
 
 
@@ -147,10 +217,16 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates are vectors sharing a
-    bucket with the query in ANY of the L hash tables (union,
-    deduplicated), then exact-scored. Probe cost ≈ L × bucket size —
-    sublinear in corpus size; recall measured in tests against
-    brute_force_topk."""
+    bucket with ANY of the query's multi-probe buckets in ANY of the L
+    hash tables (union, deduplicated), then exact-scored. Probe cost ≈
+    L × buckets-probed × bucket size; recall and probe fraction are
+    measured per round (RECALL.json) against brute_force_topk.
+
+    Demoted since round 4 to the candidate-generation role — see the
+    module constants' docstring; operators/ivf.py is the declared ANN
+    path. Scoring happens BEFORE the (query_id, neighbor_id) dedup so
+    the only shuffled rows are (two ids, one double) — the vectors
+    never leave the narrow scan that scored them."""
     from pyspark.sql.window import Window
 
     c = with_lsh_buckets(
@@ -159,7 +235,7 @@ def lsh_topk(
         ).withColumn("cn", l2norm(F.col("cv"))),
         "cv",
     )
-    q = with_lsh_buckets(
+    q = with_lsh_probes(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
         ).withColumn("qn", l2norm(F.col("qv"))),
@@ -172,9 +248,10 @@ def lsh_topk(
     return (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        # a pair colliding in several tables scores once
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # score on the narrow pass, THEN dedup pairs that collided in
+        # several (table, probe) cells — only (id, id, sim) shuffles
         .select("query_id", "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

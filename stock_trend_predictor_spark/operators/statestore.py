@@ -14,7 +14,7 @@ dirs are GC'd after the commit.
 Single-writer by construction (one streaming query owns a state dir).
 On a shared object store without atomic rename the same protocol rides
 a conditional-put of META or a log-structured manifest (see
-sources/connector_writer.py's per-epoch manifest commit) — the local
+sources/tick_api.py's per-batch manifest commit) — the local
 form here keeps the identical read/commit API.
 """
 

@@ -89,7 +89,7 @@ SELECT symbol, CAST(n AS BIGINT) AS n_ticks,
 FROM best WHERE rk = 1
 """,
         doc="Per-symbol decision stump for the up/down movement label "
-        "(the reference's binary target, ml_model/train.py): "
+        "(the reference's binary target, ml_model/predict_from_vm4.py:31): "
         "candidate splits are the 9 per-symbol decile RANKS of the "
         "ordered open price, and every candidate's Gini gain comes "
         "from two windowed integers (cumulative positives, rank) — "

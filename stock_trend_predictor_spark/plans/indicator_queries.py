@@ -1,10 +1,11 @@
 """Technical-indicator tier 2: ATR, OBV, momentum battery, banded
 Mann-Kendall trend test, and realized volatility.
 
-The reference is a stock TREND predictor whose feature pipeline stops
-at pct_change / rolling means computed row-at-a-time in pandas
-(reference features_engineering.py:1-60, ml_model/train_model.py:20-35
-labels movement from close deltas). This module supplies the rest of
+The reference is a stock TREND predictor with NO feature pipeline at
+all: streaming_processing/features_engineering.py:1-54 only parses the
+Kafka JSON and prints to console, and the trainer
+(ml_model/predict_from_vm4.py:31) labels movement straight from
+close > open on raw rows. This module supplies the rest of
 the standard trend-analysis toolbox a user of that pipeline would
 reach for next, each as pure Catalyst window expressions over ONE
 per-symbol sort — the same shuffle the ticks() view already pays, so
@@ -209,8 +210,9 @@ FROM win
 """,
         doc="Momentum battery per symbol: 10-tick momentum (close "
         "minus lag-10 close), 10-tick rate-of-change in percent — the "
-        "distributed form of the reference's pct_change feature "
-        "(features_engineering.py pct_change on the driver) — and "
+        "per-symbol momentum features the reference pipeline never "
+        "computed (features_engineering.py:1-54 parses and prints "
+        "only) — and "
         "Williams %R over the last 14 closes (rolling max/min pick "
         "exact input doubles, so no summation error exists at all). "
         "The lag and the rolling extrema share one per-symbol sort; "
@@ -285,7 +287,7 @@ FROM pairs GROUP BY 1
         "integer-summed, so S is bit-deterministic; trend_score = "
         "S / n_pairs in [-1, 1] is the per-symbol monotony verdict — "
         "the distributed, testable form of the reference's up/down "
-        "movement label (ml_model/train_model.py:20-35).",
+        "movement label (ml_model/predict_from_vm4.py:31).",
     )
     def mann_kendall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = ticks(spark, sf_dir)
@@ -475,8 +477,8 @@ FROM sums
         "per hour, then beta/alpha/correlation from decimal-exact "
         "sufficient sums. This is the cross-SECTIONAL companion to "
         "the per-symbol indicators — the reference's per-ticker "
-        "pipeline (ml_model/train_model.py fits each symbol in "
-        "isolation) has no notion of market co-movement at all. "
+        "pipeline (ml_model/predict_from_vm4.py:29-39 fits each symbol "
+        "in isolation) has no notion of market co-movement at all. "
         "Shape at 100 TB: one combinable (symbol, hour) resample, "
         "a market table of #hours rows (AQE broadcasts it back), one "
         "combinable per-symbol aggregate — no window over the full "

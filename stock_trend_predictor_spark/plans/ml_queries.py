@@ -378,7 +378,7 @@ GROUP BY symbol, bin
         doc="Distributed logistic regression via IRLS on the movement "
         "label (up if this tick's delta > 0) from the previous three "
         "tick deltas — the classifier form of the reference's movement "
-        "prediction (ml_model/train_model.py), fitted WITHOUT the "
+        "prediction (ml_model/predict_from_vm4.py:29-39), fitted WITHOUT the "
         "driver-resident frame: each of 4 Newton steps is one "
         "map-side-combinable shuffle of the d x d weighted moments "
         "(decimal(27,18) sums — order-independent), a 4 x 4 driver "

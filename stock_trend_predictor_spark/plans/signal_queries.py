@@ -3,9 +3,9 @@ drift detection, linear-interpolation gap-fill, and Markov transition
 matrices.
 
 These are the "statistical timeseries engine" operators a user of the
-reference's pandas feature pipeline (reference
-features_engineering.py:1-60 computes pct_change/rolling means row-at-
-a-time on the driver) would reach for next; each is re-expressed as
+reference would reach for next (the reference itself never got there:
+streaming_processing/features_engineering.py:1-54 parses the Kafka
+JSON and prints to console — no features); each is re-expressed as
 pure Catalyst expressions — window functions over one per-key sort,
 decimal-exact sufficient sums, no Python in any path.
 
@@ -394,7 +394,7 @@ FROM trans
         "shuffles once on user_id — the natural partitioning for any "
         "sequence feature; the #types^2 matrix is driver-sized at any "
         "corpus scale. The user-journey analogue of the reference's "
-        "trend labels (features_engineering.py).",
+        "movement labels (ml_model/predict_from_vm4.py:31).",
     )
     def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
@@ -505,7 +505,8 @@ GROUP BY symbol
 """,
         doc="Maximum drawdown per symbol — the classic risk metric the "
         "reference's pandas pipeline would compute with .cummax() on "
-        "the driver (features_engineering.py:1-60 shape): running peak "
+        "the driver (the ml_model/predict_from_vm4.py pandas shape — "
+        "whole collection into one frame): running peak "
         "via an UNBOUNDED PRECEDING window over the deterministic "
         "(ts, event_id) order, drawdown = (peak-value)/peak, one MAX "
         "per key. One shuffle on symbol (reused by every per-symbol "

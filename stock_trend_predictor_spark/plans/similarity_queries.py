@@ -63,11 +63,17 @@ FROM ranked WHERE rank <= 10
     @register(
         "ann_lsh_cosine",
         oracle=None,  # approximate by design; recall-tested vs brute force
-        doc="Approximate top-10 via 12-plane random-hyperplane LSH "
-        "buckets — candidate scoring only within matching sign-pattern "
-        "buckets (sublinear probe, linear build). No SQL oracle "
-        "(approximate); tests/test_similarity.py checks recall vs the "
-        "brute-force baseline.",
+        doc="Approximate top-10 via multi-probe random-hyperplane LSH "
+        "(L=24 tables x k=12 planes, Hamming-radius-2 query probes) — "
+        "candidate scoring only within probed sign-pattern buckets. "
+        "DEMOTED to the candidate-generation role since round 4: a "
+        "measured sweep (hyperplane + cross-polytope families) shows "
+        "no data-oblivious hash reaches recall 0.9 at probe <= 0.15 "
+        "on this near-random corpus (LSH exponent rho ~ 0.73 puts the "
+        "probe floor at ~0.135); ann_ivf_cosine is the declared ANN "
+        "path. Current Pareto point: recall@10 0.938 at probe 0.401, "
+        "published per round in RECALL.json. No SQL oracle "
+        "(approximate); tests/test_similarity.py floors the recall.",
     )
     def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -82,13 +88,17 @@ FROM ranked WHERE rank <= 10
     @register(
         "ann_ivf_cosine",
         oracle=None,  # approximate by design; recall-tested vs brute force
-        doc="IVF approximate top-10: deterministic Lloyd's k-means "
-        "coarse quantizer (DataFrame-native iterations — only the "
-        "k x dim centroid matrix crosses the driver per round), then "
-        "exact cosine within each query's nprobe=2 nearest clusters. "
-        "Probe cost ~ nprobe/k of the corpus; at scale the cluster id "
+        doc="IVF approximate top-10 — the DECLARED ANN path: "
+        "deterministic Lloyd's k-means coarse quantizer "
+        "(DataFrame-native iterations — only the nlist x dim centroid "
+        "matrix crosses the driver per round), then exact cosine "
+        "within each query's nprobe=2 of nlist=16 clusters. Measured "
+        "recall@10 1.000 at probe fraction 0.123 (RECALL.json) — the "
+        "data-ADAPTIVE quantizer beats the data-oblivious LSH "
+        "theoretical probe floor (~0.135) on this corpus. Probe cost "
+        "~ nprobe/nlist of the corpus; at scale the cluster id "
         "becomes the partition column so probes prune files. No SQL "
-        "oracle (approximate); recall measured in "
+        "oracle (approximate); recall + probe floors asserted in "
         "tests/test_similarity.py.",
     )
     def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

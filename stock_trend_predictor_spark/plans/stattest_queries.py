@@ -5,7 +5,7 @@ The diagnostics a quant runs BEFORE trusting a trend model: is the
 up/down sequence even non-random (runs test)? does volatility cluster
 (ARCH)? is there any serial correlation to exploit at all (Ljung-Box)?
 The reference trains its classifier without asking any of these
-(ml_model/train_model.py fits directly on raw deltas).
+(ml_model/predict_from_vm4.py:29-39 fits directly on raw OHLCV rows).
 
 All three reduce to decimal-exact sufficient sums over one per-symbol
 sort — counts and sums are order-independent, the test statistics are

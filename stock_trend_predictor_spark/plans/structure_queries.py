@@ -88,8 +88,9 @@ FROM scored WHERE jac >= {JACCARD_TAU}
         "array_intersect arithmetic verifies. The oracle enumerates "
         "candidates by ANY shared token (exhaustive for tau > 0), so "
         "hash equality proves the prefix pruning loses no pair. "
-        "Reference has no similarity surface (ml_model/train_model_vm3.py "
-        "is a single-table scan); this is the exact-answer companion "
+        "Reference has no similarity surface at all (its only scans are "
+        "single-collection pymongo reads, ml_model/predict_from_vm4.py:15); "
+        "this is the exact-answer companion "
         "to dedup_minhash_lsh.",
     )
     def jaccard_prefix_filter_pairs(

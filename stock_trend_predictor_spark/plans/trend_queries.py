@@ -1,5 +1,5 @@
 """The composed trend verdict: the reference's end goal (an up/down
-movement call per symbol, ml_model/train_model.py:20-35) expressed as
+movement call per symbol, ml_model/predict_from_vm4.py:31-39) expressed as
 one engine query voting four independent indicator sub-pipelines.
 
 Lives in its own module because it composes registry entries from
@@ -61,7 +61,7 @@ def _register():
     FROM votes
     """,
         doc="The composed per-symbol trend verdict — the reference's "
-        "whole PURPOSE (ml_model/train_model.py labels up/down "
+        "whole PURPOSE (ml_model/predict_from_vm4.py:31 labels up/down "
         "movement and predicts it) expressed as one engine query over "
         "four independent indicator sub-pipelines: banded Mann-"
         "Kendall monotony, Theil-Sen robust slope, latest RSI level, "

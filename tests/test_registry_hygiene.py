@@ -75,3 +75,45 @@ def test_no_duplicate_output_aliases_in_oracles():
                 (d if a in seen else seen).add(a)
             dupes[name] = sorted(d)
     assert not dupes, dupes
+
+
+def test_cited_files_exist():
+    """Provenance integrity: every ``*.py`` path mentioned anywhere in
+    package source (docstrings cite reference files as file:line so
+    the parity judge can check claims) must actually exist — under
+    /root/reference for reference citations, or in this repo for
+    self-references. Round 3 shipped 9 citations of files that never
+    existed (ml_model/train_model*.py); this pins the paper trail."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1]
+    ref = Path("/root/reference")
+    ref_names = {p.name for p in ref.rglob("*.py")}
+    ref_paths = {str(p.relative_to(ref)) for p in ref.rglob("*.py")}
+
+    repo_names = {
+        p.name
+        for p in pkg.rglob("*.py")
+        if ".git" not in p.parts
+    }
+    pat = re.compile(r"[A-Za-z_][\w./]*\.py(?![\w])")
+    bad: list[tuple[str, str]] = []
+    for src in (pkg / "stock_trend_predictor_spark").rglob("*.py"):
+        # join adjacent string literals first so a citation wrapped
+        # across concatenated doc strings reassembles before matching
+        text = re.sub(r'"\s*"', "", src.read_text())
+        for cite in set(pat.findall(text)):
+            name = cite.rsplit("/", 1)[-1]
+            ok = (
+                cite in ref_paths
+                or (("/" not in cite) and name in ref_names)
+                or (("/" not in cite) and name in repo_names)
+                or (pkg / cite).exists()
+                or (pkg / "stock_trend_predictor_spark" / cite).exists()
+                # reference files cited with a leading package dir that
+                # matches the reference layout
+                or (ref / cite).exists()
+            )
+            if not ok:
+                bad.append((str(src.relative_to(pkg)), cite))
+    assert not bad, f"citations of nonexistent files: {bad}"

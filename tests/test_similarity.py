@@ -33,7 +33,7 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     # every ANN hit must be a real corpus vector scored correctly; ANN
     # neighbors that ARE in the exact top-5 count toward recall
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.2, f"LSH recall {recall} collapsed"
+    assert recall >= 0.8, f"LSH recall {recall} collapsed"
     # ANN sims must match the exact sims for shared pairs
     exact_sim = {
         (r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()
@@ -64,6 +64,117 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sim:
             assert abs(r["sim"] - exact_sim[key]) < 1e-9
+
+
+def test_ann_path_contract(spark):
+    """The round-4 ANN contract, asserted at the bench scale factor
+    (sf0.1, the RECALL.json protocol): the DECLARED ANN path (IVF,
+    nlist=16/nprobe=2) must hold recall@10 >= 0.9 at candidate/probe
+    fraction <= 0.15; the demoted LSH candidate-generator must hold
+    recall >= 0.9 with its probe fraction published (no ceiling — its
+    measured Pareto point is ~0.40, which is WHY it is not the ANN
+    path; see operators/similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.ivf import ivf_topk
+    from stock_trend_predictor_spark.operators.similarity import (
+        as_double,
+        with_lsh_buckets,
+        with_lsh_probes,
+    )
+
+    bench_sf = "/root/testdata/sf0.1"
+    corpus = load_table(spark, bench_sf, "embeddings")
+    queries = corpus.where(F.col("vec_id") < 8)
+    n_corpus = corpus.count()
+    n_queries = 8
+
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    ivf_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, k=10).collect()
+    }
+    ivf_recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert ivf_recall >= 0.9, f"ANN-path (IVF) recall {ivf_recall} < 0.9"
+
+    lsh_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(corpus, queries, k=10).collect()
+    }
+    lsh_recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert lsh_recall >= 0.9, f"LSH recall {lsh_recall} < 0.9"
+
+    # IVF probe fraction: members of each query's nprobe nearest
+    # clusters (same construction ivf_topk uses).
+    from stock_trend_predictor_spark.operators.ivf import (
+        _sq_dist_to,
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    cvec = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+    )
+    cents = kmeans_centroids(cvec, k=16, iters=2,
+                             id_col="neighbor_id", vec_col="cv")
+    assigned = assign_clusters(cvec, cents, "cv")
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+    ).withColumn(
+        "_d", F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in cents])
+    )
+    qprobe = qd.select(
+        "query_id",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("_d"),
+                            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                            lambda d, i: F.struct(d.alias("d"),
+                                                  i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1, 2,
+            )
+        ).alias("cid"),
+    )
+    n_ivf_cand = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .count()
+    )
+    ivf_probe = n_ivf_cand / n_queries / n_corpus
+    assert ivf_probe <= 0.15, f"ANN-path (IVF) probe {ivf_probe} > 0.15"
+
+    c = with_lsh_buckets(cvec, "cv")
+    q = with_lsh_probes(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        ),
+        "qv",
+    )
+    n_lsh_cand = (
+        c.join(F.broadcast(q.select("query_id", "tbl", "bucket")),
+               ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .count()
+    )
+    lsh_probe = n_lsh_cand / n_queries / n_corpus
+    # sanity ceiling only: demoted-LSH must stay better than the old
+    # near-linear configuration (0.65), not meet the ANN-path bar
+    assert lsh_probe <= 0.5, f"LSH probe {lsh_probe} regressed"
 
 
 def test_vectorized_matches_expression(spark, emb):
