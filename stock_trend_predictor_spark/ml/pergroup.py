@@ -104,6 +104,57 @@ def train_linreg_per_key(
     return stats.groupBy(key).applyInPandas(solve, schema=MODEL_SCHEMA)
 
 
+def train_linreg_closed_form(
+    ticks: DataFrame,
+    key: str = "symbol",
+    x: str = "open",
+    y: str = "close",
+) -> DataFrame:
+    """Per-key OLS with the solve as Catalyst expressions — the same
+    decimal sufficient statistics and the same IEEE expression tree as
+    :func:`train_linreg_per_key`'s Arrow kernel (slope =
+    (n*sxy - sx*sy)/(n*sxx - sx*sx), bit-identical float order), with
+    no Python stage at all.
+
+    Exists for consumers on the scoring hot path
+    (pergroup_model_scoring): the Arrow kernel variant is the M3
+    operator demo (the harness a generic estimator plugs into); when
+    the model HAS a closed form, round-4 profiling showed the
+    one-row-per-key Python worker round-trip was ~0.3 s of a ~1.1 s
+    query — pure fixed overhead, so the whole plan stays in
+    whole-stage codegen here instead."""
+    from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+    cx, cy = F.col(x), F.col(y)
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    ).otherwise(F.lit(0.0))
+    return (
+        ticks.where(cx.isNotNull() & cy.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cx.cast(DECIMAL_T)).cast("double").alias("sx"),
+            F.sum(cy.cast(DECIMAL_T)).cast("double").alias("sy"),
+            F.sum((cx * cy).cast(DECIMAL_T)).cast("double").alias("sxy"),
+            F.sum((cx * cx).cast(DECIMAL_T)).cast("double").alias("sxx"),
+        )
+        .withColumn("_slope", slope)
+        .select(
+            F.col(key).alias("symbol"),
+            F.col("n").alias("n_rows"),
+            F.col("_slope").alias("slope"),
+            F.when(
+                n > 0,
+                (F.col("sy") - F.col("_slope") * F.col("sx")) / n,
+            ).otherwise(F.lit(0.0)).alias("intercept"),
+        )
+    )
+
+
 def score_with_models(ticks: DataFrame, models: DataFrame) -> DataFrame:
     """Broadcast-join scoring + the reference's derived outputs
     (movement prediction law predict_from_vm4.py:31, change%

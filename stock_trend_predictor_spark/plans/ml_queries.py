@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from stock_trend_predictor_spark.functions.exact import stable_round_sql
 from stock_trend_predictor_spark.ml.pergroup import (
     score_with_models,
+    train_linreg_closed_form,
     train_linreg_per_key,
 )
 from stock_trend_predictor_spark.sources.tables import (
@@ -160,7 +161,9 @@ FROM clean t JOIN models m ON t.symbol = m.symbol
             .where(F.col("open").isNotNull() & F.col("close").isNotNull())
             .select("symbol", "ts", "open", "close")
         )
-        models = train_linreg_per_key(t)
+        # Closed-form trainer on the scoring hot path (bit-identical
+        # coefficients, no Python stage — see train_linreg_closed_form)
+        models = train_linreg_closed_form(t)
         return score_with_models(t, models)
 
     @register(
@@ -294,7 +297,7 @@ GROUP BY symbol, bin
             .where(F.col("open").isNotNull() & F.col("close").isNotNull())
             .select("symbol", "ts", "open", "close")
         )
-        scored = score_with_models(t, train_linreg_per_key(t)).select(
+        scored = score_with_models(t, train_linreg_closed_form(t)).select(
             "symbol", F.col("predicted_close").alias("pred"), "close"
         )
         w = Window.partitionBy("symbol").orderBy("pred", "close")
@@ -450,7 +453,7 @@ GROUP BY symbol, bin
             .where(F.col("open").isNotNull() & F.col("close").isNotNull())
             .select("symbol", "ts", "open", "close")
         )
-        models = train_linreg_per_key(t)
+        models = train_linreg_closed_form(t)
         scored = score_with_models(t, models)
         res = isotonic_fit_per_key(
             scored, key="symbol", x="predicted_close", y="close"
