@@ -301,8 +301,17 @@ def mmr_rerank(
     def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         x = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(x, axis=1)
-        sims = (x @ x.T) / np.outer(norms, norms)
+        # Pairwise dot products accumulated in DIMENSION order — the
+        # same addition tree as the engine's sequential zip_with fold
+        # (and DuckDB's list_inner_product), so the chained-CTE oracle
+        # hashes exactly. BLAS matmul would pairwise-sum (~1e-16
+        # drift); one outer product per dimension keeps the fold
+        # order at identical vectorized cost for 64 dims.
+        g = np.zeros((len(x), len(x)))
+        for col in x.T:
+            g += np.outer(col, col)
+        norms = np.sqrt(np.diag(g))
+        sims = g / np.outer(norms, norms)
         rel = pdf["sim"].to_numpy().astype(np.float64)
         n = len(pdf)
         chosen: list[int] = []

@@ -21,15 +21,59 @@ from stock_trend_predictor_spark.sources.tables import load_table
 COVER_K = 10
 
 
+def _cover_oracle(k_steps: int) -> str:
+    """The greedy loop UNROLLED as chained CTEs (the
+    bpe_train_merges treatment): step CTE p{i} picks the max-marginal-
+    gain document against covered set c{i-1}; c{i} unions the winner's
+    grams in. Aggregation inside a growing-state recursion is not
+    expressible as a SQL *recursive* CTE, but a FIXED selection budget
+    needs no recursion — just K chained steps, all integer arithmetic,
+    so the value-hash is exact."""
+    parts = [
+        """
+WITH toks AS MATERIALIZED (
+    SELECT DISTINCT doc_id, w1 || ' ' || w2 AS tok
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                      i -> {'w1': string_split(text, ' ')[i],
+                            'w2': string_split(text, ' ')[i + 1]}),
+                      recursive := true)
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    )
+), c0(tok) AS (SELECT CAST(NULL AS VARCHAR) WHERE false)"""
+    ]
+    for i in range(1, k_steps + 1):
+        parts.append(f""", p{i} AS MATERIALIZED (
+    SELECT doc_id, count(*) AS g FROM toks t
+    WHERE NOT EXISTS (SELECT 1 FROM c{i - 1} c WHERE c.tok = t.tok)
+    GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1
+), c{i} AS MATERIALIZED (
+    SELECT tok FROM c{i - 1}
+    UNION
+    SELECT t.tok FROM toks t JOIN p{i} USING (doc_id)
+)""")
+    steps = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, g FROM p{i}"
+        for i in range(1, k_steps + 1)
+    )
+    parts.append(f"""
+SELECT CAST(step AS INT) AS step, doc_id,
+       CAST(g AS BIGINT) AS marginal_gain,
+       CAST(sum(g) OVER (ORDER BY step) AS BIGINT) AS covered_bigrams
+FROM ({steps})
+""")
+    return "".join(parts)
+
+
 def _register():
     from stock_trend_predictor_spark.plans.registry import register
 
     @register(
         "greedy_bigram_cover",
-        # No oracle: the greedy argmax is iterative with a growing
-        # covered set (aggregation inside the recursion — not
-        # expressible as a SQL recursive CTE); the driver records a
-        # rows-only check and tests/test_structure.py proves equality
+        oracle=_cover_oracle(COVER_K),
+        # tests/test_structure.py additionally proves equality
         # against a brute-force Python greedy.
         doc=f"Greedy maximum-bigram-coverage selection of "
         f"{COVER_K} documents: each round scores every remaining "

@@ -23,6 +23,93 @@ _COS_SQL = (
 )
 
 
+def _mmr_oracle(k_steps: int, n_cand: int, lam: float) -> str:
+    """The greedy MMR selection UNROLLED as chained CTEs (the
+    bpe_train_merges treatment — a fixed selection budget needs no
+    recursive CTE): step s{i} picks argmax of
+    lam*rel - (1-lam)*max(sim to selected) with neighbor_id tie-break.
+    Float parity: every dot product on both engines is the SAME
+    sequential fold (list_inner_product == zip_with/aggregate ==
+    the kernel's dimension-ordered outer-product accumulation), and
+    the (1-lam) literal is emitted as repr(1-lam) so the IEEE
+    subtraction artifact (0.30000000000000004) matches the Python
+    kernel exactly."""
+    one_minus = repr(1.0 - lam)
+    parts = [
+        f"""
+WITH ev AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (SELECT vec_id, v FROM ev WHERE vec_id < 8),
+cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v)
+               / (sqrt(list_inner_product(q.v, q.v))
+                  * sqrt(list_inner_product(c.v, c.v))) AS rel,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_inner_product(c.v, q.v)
+                            / (sqrt(list_inner_product(q.v, q.v))
+                               * sqrt(list_inner_product(c.v, c.v))) DESC,
+                            c.vec_id) AS rn
+        FROM ev c JOIN q ON c.vec_id != q.vec_id
+    ) WHERE rn <= {n_cand}
+), psim AS MATERIALIZED (
+    SELECT a.query_id, a.neighbor_id AS n1, b.neighbor_id AS n2,
+           list_inner_product(ea.v, eb.v)
+           / (sqrt(list_inner_product(ea.v, ea.v))
+              * sqrt(list_inner_product(eb.v, eb.v))) AS sim
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id
+                AND a.neighbor_id != b.neighbor_id
+    JOIN ev ea ON ea.vec_id = a.neighbor_id
+    JOIN ev eb ON eb.vec_id = b.neighbor_id
+), s0(query_id, neighbor_id, rel, score, mmr_rank) AS (
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INT) WHERE false
+)"""
+    ]
+    for i in range(1, k_steps + 1):
+        parts.append(f""", p{i} AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, score FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+               {lam!r} * c.rel
+                 - COALESCE(pen.mx * {one_minus}, 0.0) AS score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam!r} * c.rel
+                            - COALESCE(pen.mx * {one_minus}, 0.0) DESC,
+                            c.neighbor_id) AS rn
+        FROM cand c
+        LEFT JOIN (
+            SELECT p.query_id, p.n1 AS neighbor_id, max(p.sim) AS mx
+            FROM psim p
+            JOIN s{i - 1} s ON s.query_id = p.query_id
+                           AND s.neighbor_id = p.n2
+            GROUP BY p.query_id, p.n1
+        ) pen ON pen.query_id = c.query_id
+             AND pen.neighbor_id = c.neighbor_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s{i - 1} s
+            WHERE s.query_id = c.query_id
+              AND s.neighbor_id = c.neighbor_id)
+    ) WHERE rn = 1
+), s{i} AS MATERIALIZED (
+    SELECT * FROM s{i - 1}
+    UNION ALL
+    SELECT query_id, neighbor_id, rel, score, {i} FROM p{i}
+)""")
+    parts.append(f"""
+SELECT query_id, neighbor_id,
+       {stable_round_sql('rel', 6)} AS relevance,
+       {stable_round_sql('score', 6)} AS mmr_score,
+       CAST(mmr_rank AS INT) AS mmr_rank
+FROM s{k_steps}
+""")
+    return "".join(parts)
+
+
 def _register():
     from stock_trend_predictor_spark.plans.registry import register
 
@@ -352,8 +439,8 @@ FROM pairs
 
     @register(
         "mmr_diverse_topk",
-        oracle=None,  # greedy set-valued recursion is not SQL-
-        # expressible; exact-equality Python law in tests/test_similarity.py
+        oracle=_mmr_oracle(10, 50, 0.7),
+        # + exact-equality Python law in tests/test_similarity.py
         doc="Maximal Marginal Relevance diverse top-10 for the same 8 "
         "query vectors as knn_bruteforce_cosine: exact top-50 "
         "candidates per query (broadcast queries, narrow corpus scan, "
