@@ -111,8 +111,11 @@ GROUP BY 1
         "the model is #langs x #vocab rows (broadcast side), test "
         "tokens fan out #langs x and reduce immediately — one wide "
         "shuffle on (doc, lang), no per-doc Python, no .collect(). "
-        "The 100 TB path is identical; only the model join flips to "
-        "shuffle-hash if the vocabulary outgrows broadcast.",
+        "The model join carries an explicit broadcast HINT (a hard "
+        "hint, it never flips on its own) — right while the model is "
+        "vocab x langs-bounded; at a vocabulary that outgrows "
+        "executor memory, drop the hint so the planner picks "
+        "shuffle-hash on the (tok, cand_lang) key.",
     )
     def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -133,10 +136,18 @@ GROUP BY 1
         )
         tot = cnt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
         vocab = cnt.agg(F.countDistinct("tok").alias("v"))
-        n_tr = tr.count()
-        prior = tr.groupBy("lang").agg(
-            F.log(F.count(F.lit(1)).cast("double") / F.lit(n_tr)).alias(
-                "lp_prior"
+        # training-doc count as a 1-row aggregate broadcast into the
+        # prior — mirrors the oracle's scalar subquery and keeps plan
+        # construction lazy (an eager .count() here would run a full
+        # documents scan just to BUILD or explain the plan)
+        ntr = tr.agg(F.count(F.lit(1)).alias("n_tr"))
+        prior = (
+            tr.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("double").alias("c_l"))
+            .crossJoin(F.broadcast(ntr))
+            .select(
+                "lang",
+                F.log(F.col("c_l") / F.col("n_tr")).alias("lp_prior"),
             )
         )
         model = (

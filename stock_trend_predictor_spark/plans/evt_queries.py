@@ -62,11 +62,11 @@ rets AS (
            CAST(count(*) AS BIGINT) AS n_blocks,
            CAST(SUM(CAST(block_max AS DECIMAL(38,18))) AS DOUBLE)
                / count(*) AS m,
-           sqrt((CAST(SUM(CAST(block_max * block_max
+           sqrt(greatest((CAST(SUM(CAST(block_max * block_max
                               AS DECIMAL(38,18))) AS DOUBLE)
                  - pow(CAST(SUM(CAST(block_max AS DECIMAL(38,18)))
                             AS DOUBLE), 2) / count(*))
-                / (count(*) - 1)) AS s
+                / (count(*) - 1), 0.0)) AS s
     FROM blocks GROUP BY symbol HAVING count(*) >= 2
 )
 SELECT symbol, n_blocks,
@@ -117,8 +117,15 @@ FROM mom
             .agg(
                 n.alias("n_blocks"),
                 (sdec / n).alias("m"),
+                # greatest(, 0): the double cancellation can go
+                # epsilon-negative for (near-)constant block maxima —
+                # Spark sqrt would yield NaN but DuckDB sqrt RAISES,
+                # killing the whole oracle run; both engines clamp
                 F.sqrt(
-                    (sxx - F.pow(sdec, 2) / n) / (n - 1)
+                    F.greatest(
+                        (sxx - F.pow(sdec, 2) / n) / (n - 1),
+                        F.lit(0.0),
+                    )
                 ).alias("s"),
             )
             .where(F.col("n_blocks") >= 2)

@@ -42,15 +42,15 @@ WITH dm AS (
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
            CAST(SUM(CAST(value AS {DECIMAL_T})) AS DOUBLE)
                / count(*) AS x
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value > 0 GROUP BY 1, 2
 ), st AS (
     SELECT symbol, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
                / count(*) AS mx,
-           sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+           sqrt(greatest(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
                     / count(*)
                 - pow(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
-                          / count(*), 2)) AS sd
+                          / count(*), 2), 0.0)) AS sd
     FROM dm GROUP BY symbol
 ), idx AS (
     SELECT symbol, x,
@@ -95,7 +95,10 @@ FROM sym GROUP BY symbol
         f"of series.",
     )
     def sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ev = load_table(spark, sf_dir, "events")
+        # value > 0: same bad-print exclusion _DAILIES_CTE applies —
+        # zero ticks are data errors, not prices; keeps daily means
+        # consistent across the volatility/EVT/spectral/symbolic tier
+        ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
         dm = ev.groupBy(
             F.col("event_type").alias("symbol"),
             F.floor(F.unix_timestamp("ts") / F.lit(86400))
@@ -113,16 +116,23 @@ FROM sym GROUP BY symbol
                 F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("mx"),
+            # greatest(, 0): clamp the double-cancellation radicand —
+            # a (near-)constant series would hand DuckDB's sqrt a tiny
+            # negative and ABORT the oracle run (Spark returns NaN)
             F.sqrt(
-                F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
-                .cast("double")
-                / F.count(F.lit(1))
-                - F.pow(
-                    F.sum(F.col("x").cast("decimal(38,18)")).cast(
-                        "double"
-                    )
-                    / F.count(F.lit(1)),
-                    2,
+                F.greatest(
+                    F.sum(
+                        (F.col("x") * F.col("x")).cast("decimal(38,18)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    - F.pow(
+                        F.sum(F.col("x").cast("decimal(38,18)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1)),
+                        2,
+                    ),
+                    F.lit(0.0),
                 )
             ).alias("sd"),
         )

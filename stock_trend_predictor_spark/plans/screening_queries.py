@@ -73,8 +73,8 @@ def _register():
     def corr_sql(i, j):
         return (
             f"(({ss(i, j)} - {s(i)} * {s(j)} / n)"
-            f" / (sqrt({ss(i, i)} - {s(i)} * {s(i)} / n)"
-            f" * sqrt({ss(j, j)} - {s(j)} * {s(j)} / n)))"
+            f" / (sqrt(greatest({ss(i, i)} - {s(i)} * {s(i)} / n, 0.0))"
+            f" * sqrt(greatest({ss(j, j)} - {s(j)} * {s(j)} / n, 0.0))))"
         )
 
     pair_rows_sql = "\n    UNION ALL\n".join(
@@ -135,11 +135,25 @@ FROM pairs
 
         def corr(i, j):
             n = F.col("n")
+            # greatest(, 0): a constant feature's variance radicand
+            # can cancel epsilon-negative; DuckDB's sqrt would abort
+            # the oracle run where Spark yields NaN — clamp on both
+            # (the 0/0 then yields NULL/NaN consistently)
             return (
                 F.col(ss(i, j)) - F.col(s(i)) * F.col(s(j)) / n
             ) / (
-                F.sqrt(F.col(ss(i, i)) - F.col(s(i)) * F.col(s(i)) / n)
-                * F.sqrt(F.col(ss(j, j)) - F.col(s(j)) * F.col(s(j)) / n)
+                F.sqrt(
+                    F.greatest(
+                        F.col(ss(i, i)) - F.col(s(i)) * F.col(s(i)) / n,
+                        F.lit(0.0),
+                    )
+                )
+                * F.sqrt(
+                    F.greatest(
+                        F.col(ss(j, j)) - F.col(s(j)) * F.col(s(j)) / n,
+                        F.lit(0.0),
+                    )
+                )
             )
 
         # One scan: explode a 1-row array of per-pair structs instead

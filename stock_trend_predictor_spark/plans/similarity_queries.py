@@ -526,15 +526,19 @@ GROUP BY 1
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("cand_label"),
         )
-        qlab = emb.select(
+        qlab = emb.where(F.col("vec_id") < KNN_VOTE_NQ).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("true_label"),
         )
         res = brute_force_topk(
             emb, emb.where(F.col("vec_id") < KNN_VOTE_NQ), k=KNN_VOTE_K
         )
+        # broadcast the NQ x K vote table (the genuinely small side)
+        # against the corpus-sized labels frame — labels is scanned
+        # once and never shuffled OR broadcast; qlab is query-filtered
+        # (NQ rows) so its broadcast is parameter-sized too
         votes = (
-            res.join(F.broadcast(labels), "neighbor_id")
+            labels.join(F.broadcast(res), "neighbor_id")
             .join(F.broadcast(qlab), "query_id")
             .groupBy("query_id", "true_label", "cand_label")
             .agg(F.count(F.lit(1)).alias("n_votes"))

@@ -110,7 +110,7 @@ WITH dm AS (
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
            CAST(SUM(CAST(value AS {DECIMAL_T})) AS DOUBLE)
                / count(*) AS x
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value > 0 GROUP BY 1, 2
 ), idx AS (
     SELECT symbol, x,
            row_number() OVER (PARTITION BY symbol ORDER BY day) - 1
@@ -147,7 +147,10 @@ FROM sums
         f"grain.",
     )
     def dft_power_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ev = load_table(spark, sf_dir, "events")
+        # value > 0: same bad-print exclusion _DAILIES_CTE applies —
+        # zero ticks are data errors, not prices; keeps daily means
+        # consistent across the volatility/EVT/spectral/symbolic tier
+        ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
         dm = (
             ev.groupBy(
                 F.col("event_type").alias("symbol"),
