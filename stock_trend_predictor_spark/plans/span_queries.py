@@ -50,14 +50,15 @@ from stock_trend_predictor_spark.sources.tables import load_table
 K_SPAN = 8
 
 
-def dup_gram_positions(
+def gram_positions(
     docs: DataFrame, text_col: str = "text", k: int = K_SPAN
 ) -> DataFrame:
-    """(doc_id, pos) of every k-token gram that occurs >= 2 times
-    corpus-wide. Gram identity is the md5-based 60-bit hash of the
-    space-joined token slice — reproducible in DuckDB, and only the
-    8-byte hash crosses the exchange."""
-    grams = (
+    """(doc_id, pos, h) for every k-token gram of every doc. Gram
+    identity is the md5-based 60-bit hash of the space-joined token
+    slice — reproducible in DuckDB, and only the 8-byte hash crosses
+    any exchange. Shared by the batch span-dedup pass and the
+    streaming substring admission gate (streaming/admission.py)."""
+    return (
         docs.withColumn("_toks", F.split(text_col, " "))
         .where(F.size("_toks") >= k)
         .select(
@@ -74,6 +75,14 @@ def dup_gram_positions(
         )
         .select("doc_id", "g.pos", "g.h")
     )
+
+
+def dup_gram_positions(
+    docs: DataFrame, text_col: str = "text", k: int = K_SPAN
+) -> DataFrame:
+    """(doc_id, pos) of every k-token gram that occurs >= 2 times
+    corpus-wide."""
+    grams = gram_positions(docs, text_col=text_col, k=k)
     dup = grams.withColumn(
         "_c", F.count(F.lit(1)).over(Window.partitionBy("h"))
     ).where(F.col("_c") >= 2)

@@ -163,3 +163,144 @@ def minhash_admission_sink(
 def read_admitted(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The committed keeper set (doc ids admitted so far)."""
     return read_state_table(spark, state_dir, "keepers")
+
+
+# ---------------------------------------------------------------------
+# Exact-substring admission: the streaming twin of dup_span_detection
+# (plans/span_queries.py) on the same idempotent state store.
+# ---------------------------------------------------------------------
+
+#: A document is rejected when more than this fraction of its tokens
+#: sits inside spans whose every K_SPAN-gram is already owned by the
+#: admitted corpus (or by a lower-id doc in the same batch).
+SPAN_DUP_THRESHOLD = 0.5
+
+
+def span_admit_batch(
+    docs: DataFrame,
+    state_grams: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One substring-admission election. Returns (admitted doc ids
+    with their dup stats, admitted docs' distinct gram hashes).
+
+    Deterministic pure function of (state, batch), like admit_batch:
+    a gram position of doc d is DUPLICATED when its 60-bit hash is in
+    the committed gram state, or a lower doc_id in the same batch
+    carries the same gram (min-id ownership — internal repeats within
+    one doc do NOT count against it). Duplicated positions merge into
+    maximal spans exactly as the batch operator does (gaps-and-islands
+    at distance K_SPAN), and the doc is admitted iff
+    dup_tokens / n_tokens <= SPAN_DUP_THRESHOLD.
+
+    Scale shape: only (doc_id, pos, 60-bit hash) triples shuffle —
+    text never moves after hashing, same contract as the batch pass;
+    the state join is hash-keyed and AQE-broadcast while the gram
+    state is small.
+    """
+    from stock_trend_predictor_spark.plans.span_queries import (
+        K_SPAN,
+        gram_positions,
+        merge_spans,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    ntok = base.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    grams = gram_positions(base)
+    owner = grams.groupBy("h").agg(F.min("doc_id").alias("_own"))
+    flagged = grams.join(owner, "h")
+    if state_grams is not None:
+        flagged = flagged.join(
+            state_grams.select("h", F.lit(1).alias("_st")), "h", "left"
+        )
+    else:
+        flagged = flagged.withColumn("_st", F.lit(None).cast("int"))
+    dup_pos = flagged.where(
+        (F.col("_own") < F.col("doc_id")) | F.col("_st").isNotNull()
+    ).select("doc_id", "pos")
+    per_doc = (
+        merge_spans(dup_pos, k=K_SPAN)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    stats = (
+        ntok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"),
+        )
+    )
+    admitted = stats.where(
+        F.col("dup_fraction") <= F.lit(SPAN_DUP_THRESHOLD)
+    )
+    admitted_grams = (
+        grams.join(admitted.select("doc_id"), "doc_id", "left_semi")
+        .select("h")
+        .distinct()
+    )
+    return admitted, admitted_grams
+
+
+def update_span_admission_state(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One substring-admission round: batch in, state (gram hashes +
+    keepers) out via the idempotent commit protocol — replayed batch
+    ids are no-ops, a crash never exposes partial state."""
+    state_grams = read_state_table(spark, state_dir, "grams")
+    admitted, admitted_grams = span_admit_batch(
+        batch_docs, state_grams, id_col=id_col, text_col=text_col
+    )
+    new_grams = admitted_grams
+    if state_grams is not None:
+        new_grams = state_grams.unionByName(new_grams).distinct()
+    keepers = admitted.select("doc_id")
+    prev_keepers = read_state_table(spark, state_dir, "keepers")
+    if prev_keepers is not None:
+        keepers = prev_keepers.unionByName(keepers)
+    commit_state(
+        state_dir,
+        {"grams": new_grams, "keepers": keepers},
+        batch_id=batch_id,
+    )
+
+
+def span_admission_sink(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous exact-substring admission: each micro-batch is gated
+    on its duplicated-token fraction against the admitted corpus."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_span_admission_state(
+            batch.sparkSession, batch, state_dir, batch_id=batch_id,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1024,3 +1024,84 @@ def test_cusum_sink_foreachbatch_runs_and_matches(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, read_cusum_state(spark, sdir).collect()))
     want = sorted(map(tuple, read_cusum_state(spark, bdir).collect()))
     assert got == want and got
+
+
+def test_span_admission_stream_equals_batch(spark, tmp_path):
+    """Streaming exact-substring admission (the dup_span_detection
+    gram gate as a foreachBatch sink) must produce EXACTLY the keeper
+    set of sequentially applying the batch update over the same
+    splits; replaying a batch id is a no-op; an exact duplicate of an
+    admitted doc is rejected (dup_fraction 1.0 > threshold)."""
+    from stock_trend_predictor_spark.sources.tables import load_table
+    from stock_trend_predictor_spark.streaming.admission import (
+        read_admitted,
+        span_admission_sink,
+        update_span_admission_state,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    splits = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for i in range(3):
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state_stream = str(tmp_path / "state_stream")
+    q = span_admission_sink(
+        stream, state_stream, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    state_batch = str(tmp_path / "state_batch")
+    for i, part in enumerate(splits):
+        update_span_admission_state(spark, part, state_batch, batch_id=i)
+
+    got_stream = {
+        r["doc_id"] for r in read_admitted(spark, state_stream).collect()
+    }
+    got_batch = {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+    assert got_stream == got_batch
+    assert got_stream, "some docs must be admitted"
+
+    # replay idempotence
+    update_span_admission_state(spark, splits[2], state_batch, batch_id=2)
+    assert got_batch == {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+
+    # an exact duplicate of an admitted doc: every gram is in state,
+    # dup_fraction ~ 1 > SPAN_DUP_THRESHOLD -> rejected
+    admitted_one = sorted(got_batch)[0]
+    dup = (
+        docs.where(F.col("doc_id") == admitted_one)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    update_span_admission_state(spark, dup, state_batch, batch_id=3)
+    after = {
+        r["doc_id"] for r in read_admitted(spark, state_batch).collect()
+    }
+    assert admitted_one + 1_000_000 not in after
