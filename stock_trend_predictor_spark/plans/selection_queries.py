@@ -151,3 +151,80 @@ def _register():
 
 
 _register()
+
+
+def _register_curriculum():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "curriculum_quality_order",
+        oracle="""
+WITH q AS (
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS vocab_richness
+    FROM documents
+), buck AS (
+    SELECT doc_id, vocab_richness,
+           ntile(10) OVER (ORDER BY vocab_richness, doc_id) AS decile,
+           md5(CAST(doc_id AS VARCHAR)) AS shuf
+    FROM q
+)
+SELECT doc_id, vocab_richness, CAST(decile AS INT) AS decile,
+       CAST(row_number() OVER (PARTITION BY decile
+                               ORDER BY shuf, doc_id) AS BIGINT)
+           AS pos_in_decile,
+       CAST(row_number() OVER (ORDER BY decile, shuf, doc_id)
+            AS BIGINT) AS curriculum_pos
+FROM buck
+""",
+        doc="Deterministic curriculum ordering of the corpus "
+        "(curriculum learning for LLM training data): documents "
+        "bucket into vocabulary-richness deciles (distinct-token "
+        "count — an integer, so the decile boundary is exact on both "
+        "engines; ties break on doc_id), then shuffle WITHIN each "
+        "decile by md5(doc_id) — a seeded, engine-reproducible "
+        "permutation, the same trick dataset_split_assignment uses. "
+        "Output: per-decile position and the global curriculum "
+        "position a data loader would stream in. Scale shape: one "
+        "tokenize pass, one global ntile window (rank-only, "
+        "single-pass), one per-decile window — the md5 shuffle keys "
+        "are 32-byte strings, text never moves after the token "
+        "count.",
+    )
+    def curriculum_quality_order(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("bigint")
+            .alias("vocab_richness"),
+        )
+        buck = q.select(
+            "doc_id",
+            "vocab_richness",
+            F.ntile(10)
+            .over(Window.orderBy("vocab_richness", "doc_id"))
+            .alias("decile"),
+            F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+        )
+        return buck.select(
+            "doc_id",
+            "vocab_richness",
+            F.col("decile").cast("int").alias("decile"),
+            F.row_number()
+            .over(Window.partitionBy("decile").orderBy("shuf", "doc_id"))
+            .cast("bigint")
+            .alias("pos_in_decile"),
+            F.row_number()
+            .over(Window.orderBy("decile", "shuf", "doc_id"))
+            .cast("bigint")
+            .alias("curriculum_pos"),
+        )
+
+
+_register_curriculum()

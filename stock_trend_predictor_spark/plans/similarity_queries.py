@@ -201,6 +201,105 @@ FROM ranked WHERE rank <= 10
         )
 
     @register(
+        "pq_embedding_codes",
+        oracle=None,  # iterative float k-means codebooks — no SQL
+        # oracle; exact numpy-replication law in tests/test_round4.py
+        doc="Product-quantization encoding of the embeddings table "
+        "(Jegou et al. 2011): 16 subspaces x 16 centroids (4-bit "
+        "codes) from the deterministic per-subspace Lloyd build, "
+        "encoded in one Arrow matmul pass — output is (vec_id, 8 "
+        "codes, reconstruction MSE). The memory half of the "
+        "billion-scale ANN layout next to ann_ivf_cosine: a 64-dim "
+        "float32 vector becomes 16 4-bit codes (32x smaller "
+        "residency). Laws: exact equality with a local numpy PQ and "
+        "a mean-reconstruction-error ceiling (operators/pq.py).",
+    )
+    def pq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.pq import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_codebooks(emb)
+        return pq_encode(emb, books).select(
+            "vec_id",
+            "codes",
+            stable_round(F.col("recon_mse"), 6).alias("recon_mse"),
+        )
+
+    @register(
+        "ann_pq_adc_cosine",
+        oracle=None,  # approximate by design; recall published in
+        # RECALL.json and floor-asserted in tests/test_round4.py
+        doc="Approximate top-10 by ADC (asymmetric distance "
+        "computation) over PQ codes with an exact refine stage — the "
+        "standard FAISS-style IVFPQ+refine pipeline: each of the 8 "
+        "fixed queries carries an exact subvector-centroid "
+        "lookup table in the task closure (16x16 at the tuned m=16); "
+        "the corpus side streams "
+        "ONLY (id, codes) for the shortlist scan (the PQ memory "
+        "contract at 100 TB — original vectors untouched for the "
+        "full corpus), then the 200-per-query shortlist alone is "
+        "re-scored against true vectors (a broadcast of NQ x 200 ids "
+        "into one narrow corpus scan). Completes the IVF (probe "
+        "pruning) + PQ (residency compression) story; recall@10 vs "
+        "brute force published per round in RECALL.json.",
+    )
+    def ann_pq_adc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.pq import (
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            cosine,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        books = pq_codebooks(emb)
+        codes = pq_encode(emb, books)
+        from stock_trend_predictor_spark.operators.pq import (
+            PQ_REFINE_SHORTLIST,
+        )
+
+        shortlist = pq_adc_topk(
+            codes, queries, books, k=PQ_REFINE_SHORTLIST
+        ).select("query_id", "neighbor_id")
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        refined = (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double("embedding").alias("cv"),
+            )
+            .join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(F.col("sim"), 6).alias("sim"),
+                "rank",
+            )
+        )
+
+    @register(
         "array_function_battery",
         oracle=f"""
 WITH e AS (

@@ -609,6 +609,148 @@ FROM cdf GROUP BY 1, 2
 
     # ------------------------------------------------------------------
     @register(
+        "mann_whitney_u_pairwise",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, tick_id, close - open AS r
+    FROM ticks WHERE open IS NOT NULL
+), pairs AS (
+    SELECT DISTINCT a.symbol AS sym_a, b.symbol AS sym_b
+    FROM rets a, rets b WHERE a.symbol < b.symbol
+), tagged AS (
+    SELECT p.sym_a, p.sym_b, r.r,
+           CASE WHEN r.symbol = p.sym_a THEN 1 ELSE 0 END AS from_a
+    FROM pairs p
+    JOIN rets r ON r.symbol = p.sym_a OR r.symbol = p.sym_b
+), grp AS (
+    SELECT sym_a, sym_b, r,
+           CAST(count(*) AS BIGINT) AS t,
+           CAST(SUM(from_a) AS BIGINT) AS ta
+    FROM tagged GROUP BY 1, 2, 3
+), rnk AS (
+    SELECT sym_a, sym_b, t, ta,
+           COALESCE(SUM(t) OVER (PARTITION BY sym_a, sym_b ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM grp
+), agg AS (
+    SELECT sym_a, sym_b,
+           CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(ta) AS BIGINT) AS na,
+           CAST(SUM(CAST(ta * (min_rank + (t - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+    FROM rnk GROUP BY 1, 2
+), stat AS (
+    SELECT sym_a, sym_b, n, na, n - na AS nb,
+           ra - na * (na + 1) / 2.0 AS ua,
+           na * (n - na) / 2.0 AS mu,
+           sqrt(greatest(na * (n - na) / 12.0
+                * (CAST(n + 1 AS DOUBLE)
+                   - CAST(tie_sum AS DOUBLE) / (n * (n - 1))),
+                0.0)) AS sigma
+    FROM agg
+)
+SELECT sym_a, sym_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {stable_round_sql('ua', 6)} AS u_a,
+       {stable_round_sql('(ua - mu) / sigma', 6)} AS z,
+       abs((ua - mu) / sigma) > 1.959963984540054 AS differ_5pct
+FROM stat
+""",
+        doc="Two-sample Mann-Whitney U (rank-sum) test for every "
+        "unordered symbol pair — the nonparametric complement of "
+        "ks_test_pairwise: does one symbol's return distribution "
+        "stochastically dominate the other's? Ties get average ranks "
+        "via ONE per-(pair, value) group pass: min_rank = cumulative "
+        "group-size window + 1, so rank sums are exact halves and "
+        "accumulate in DECIMAL (order-independent). Normal "
+        "approximation with the full tie correction "
+        "sigma^2 = na*nb/12 * ((N+1) - sum(t^3 - t)/(N(N-1))); no "
+        "continuity correction (documented, matched in the oracle). "
+        "Shuffle budget: one (pair, value) aggregate + one pair "
+        "window + one pair aggregate — pair fan-out is symbol-"
+        "universe-bounded, never data-bounded.",
+    )
+    def mann_whitney_u_pairwise(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        rets = t.select(
+            "symbol", (F.col("close") - F.col("open")).alias("r")
+        )
+        syms = rets.select("symbol").distinct()
+        pairs = (
+            syms.select(F.col("symbol").alias("sym_a"))
+            .join(syms.select(F.col("symbol").alias("sym_b")))
+            .where(F.col("sym_a") < F.col("sym_b"))
+        )
+        tagged = rets.join(
+            F.broadcast(pairs),
+            (F.col("symbol") == F.col("sym_a"))
+            | (F.col("symbol") == F.col("sym_b")),
+        ).select(
+            "sym_a",
+            "sym_b",
+            "r",
+            F.when(F.col("symbol") == F.col("sym_a"), 1)
+            .otherwise(0)
+            .alias("from_a"),
+        )
+        grp = tagged.groupBy("sym_a", "sym_b", "r").agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("from_a").cast("bigint").alias("ta"),
+        )
+        wr = (
+            Window.partitionBy("sym_a", "sym_b")
+            .orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rnk = grp.withColumn(
+            "min_rank",
+            F.coalesce(F.sum("t").over(wr), F.lit(0)) + 1,
+        )
+        contrib = (
+            F.col("ta")
+            * (F.col("min_rank") + (F.col("t") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        agg = rnk.groupBy("sym_a", "sym_b").agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum("ta").cast("bigint").alias("na"),
+            F.sum(contrib).cast("double").alias("ra"),
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("bigint").alias("tie_sum"),
+        )
+        n, na = F.col("n"), F.col("na")
+        nb = n - na
+        ua = F.col("ra") - na * (na + 1) / F.lit(2.0)
+        mu = na * nb / F.lit(2.0)
+        sigma = F.sqrt(
+            F.greatest(
+                na * nb / F.lit(12.0)
+                * (
+                    (n + 1).cast("double")
+                    - F.col("tie_sum").cast("double") / (n * (n - 1))
+                ),
+                F.lit(0.0),
+            )
+        )
+        return agg.select(
+            "sym_a",
+            "sym_b",
+            na.alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            stable_round(ua, 6).alias("u_a"),
+            stable_round((ua - mu) / sigma, 6).alias("z"),
+            (F.abs((ua - mu) / sigma) > 1.959963984540054).alias(
+                "differ_5pct"
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "movement_mutual_information",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE.strip()},
