@@ -404,3 +404,109 @@ LEFT JOIN pplx p ON p.doc_id = b.doc_id
 
 
 _register_decision()
+
+
+def _register_manifest():
+    from stock_trend_predictor_spark.plans.registry import REGISTRY, register
+
+    from stock_trend_predictor_spark.functions.text import (
+        hash60,
+        hash60_sql,
+    )
+
+    _ckd_oracle = REGISTRY["corpus_keep_decision"].oracle
+    _split_sql = hash60_sql("CAST(d.doc_id AS VARCHAR)")
+
+    @register(
+        "pretraining_block_manifest",
+        oracle=f"""
+WITH ckd AS MATERIALIZED (
+{_ckd_oracle}
+), kept AS (
+    SELECT d.doc_id, d.text,
+           CASE WHEN {_split_sql} % 100 < 90 THEN 'train'
+                WHEN {_split_sql} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN ckd ON ckd.doc_id = d.doc_id
+    WHERE ckd.decision NOT LIKE 'drop%'
+), packed AS (
+    SELECT split, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 512.0) AS BIGINT) AS block_id
+    FROM kept
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT block_id) AS BIGINT) AS n_blocks,
+       {stable_round_sql(
+           'CAST(sum(n_tokens) AS DOUBLE)'
+           ' / (count(DISTINCT block_id) * 512.0)', 6)} AS block_fill
+FROM packed GROUP BY split
+""",
+        doc="The end-to-end pretraining-data manifest — the capstone "
+        "composition of the LLM-pipeline tier: corpus_keep_decision "
+        "(quality gates + exact-dup election + perplexity screen + "
+        "span budget) filters the corpus, the surviving docs get the "
+        "deterministic md5-bucket train/val/test assignment "
+        "(dataset_split_assignment's rule), and each split is packed "
+        "into 512-token training blocks (sequence_packing's "
+        "concat-then-chunk rule) — reported as one manifest row per "
+        "split: docs, tokens, blocks, and mean block fill. Every "
+        "stage reuses the registry plan it names, and the oracle "
+        "nests corpus_keep_decision's full oracle as a MATERIALIZED "
+        "sub-CTE, so the composed result is value-hash-checked end "
+        "to end. Shuffles: the sub-pipeline's own (doc_id/digest "
+        "keyed) + one per-split cumsum window + one final aggregate; "
+        "text never moves past tokenization.",
+    )
+    def pretraining_block_manifest(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        ckd = REGISTRY["corpus_keep_decision"].fn(spark, sf_dir)
+        kept_ids = ckd.where(
+            ~F.col("decision").startswith("drop")
+        ).select("doc_id")
+        docs = load_table(spark, sf_dir, "documents").join(
+            kept_ids, "doc_id", "left_semi"
+        )
+        bucket = hash60(F.col("doc_id").cast("string")) % 100
+        kept = docs.select(
+            "doc_id",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("split")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        packed = kept.withColumn(
+            "block_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(512.0)
+            ).cast("bigint"),
+        )
+        return packed.groupBy("split").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("block_id").cast("bigint").alias("n_blocks"),
+            stable_round(
+                F.sum("n_tokens").cast("double")
+                / (F.countDistinct("block_id") * F.lit(512.0)),
+                6,
+            ).alias("block_fill"),
+        )
+
+
+_register_manifest()
