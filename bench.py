@@ -67,6 +67,11 @@ HEADLINE = [
     "rake_keyphrases",           # positional islands + phrase scoring
     "kcore_copurchase",          # iterative peel: agg + anti-joins per round
     "kendall_tau_hourly",        # hours^2 pair table concordance counts
+    # round-4 additions (heaviest of the new plans; everything above
+    # stays frozen for series continuity).
+    "mann_whitney_u_pairwise",   # (pair, value) rank table + tie windows
+    "ann_pq_adc_cosine",         # PQ build + ADC codes scan + exact refine
+    "pretraining_block_manifest",  # composed keep->split->pack pipeline
 ]
 
 

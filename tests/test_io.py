@@ -166,3 +166,44 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert (before2, after2) == (4, 4)
     got2 = sorted(map(tuple, spark.read.parquet(path).collect()), key=str)
     assert got2 == expect
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL daily sink partitions by date; the permissive reader
+    splits clean rows from malformed lines (DLQ) over ONE scan."""
+    from stock_trend_predictor_spark.sources.json_io import (
+        read_jsonl_ticks,
+        write_jsonl_daily,
+    )
+    from stock_trend_predictor_spark.sources.tables import ticks
+
+    t = (
+        ticks(spark, "/root/testdata/sf0.001")
+        .where(F.col("open").isNotNull())
+        .select("symbol", "ts", "open", "close")
+        .withColumn("high", F.greatest("open", "close"))
+        .withColumn("low", F.least("open", "close"))
+        .withColumn("volume", F.lit(1.0))
+        .withColumn("source", F.lit("test"))
+        .limit(200)
+    )
+    out = str(tmp_path / "jsonl_out")
+    write_jsonl_daily(t, out)
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(out, "dt=*"))
+    assert len(parts) > 1, "sink must partition by date"
+
+    # drop a malformed file into one partition (a fresh file, not an
+    # append — Spark's co-written .crc would flag a tampered part)
+    with open(os.path.join(parts[0], "part-99999-bad.json"), "w") as fh:
+        fh.write('{"symbol": "BAD", "ts": \n')
+        fh.write("not json at all\n")
+
+    good, dlq = read_jsonl_ticks(spark, out)
+    assert good.count() == 200
+    assert good.where(F.col("symbol") == "BAD").count() == 0
+    bad_lines = [r.raw_line for r in dlq.collect()]
+    assert len(bad_lines) == 2
+    assert "not json at all" in bad_lines
