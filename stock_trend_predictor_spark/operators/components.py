@@ -359,7 +359,10 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     # Bench SF effect: 14 rounds -> 2 (measured), fixpoint laws green.
     for _ in range(max_rounds):
         d1 = _degrees(e)
-        fringe = d1.where(F.col("deg") < 2 * k)
+        # checkpoint the band ONCE: it feeds both fe joins and the
+        # cascade's degree rows (re-deriving it per consumer would
+        # re-run the degrees shuffle)
+        fringe = d1.where(F.col("deg") < 2 * k).localCheckpoint()
         fe = (
             e.join(
                 F.broadcast(
@@ -378,6 +381,8 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
                 "b",
             )
             .select("a", "b", "da", "db")
+            # checkpointed: consumed by the cap probe AND the cascade
+            .localCheckpoint()
         )
         n_fringe_edges = fe.count()
         if n_fringe_edges <= _FRINGE_CAP:
