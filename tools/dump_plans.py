@@ -80,6 +80,11 @@ QUERIES = [
     ("bloom_filter_fpr", "bit-set broadcast to probes; member distinct is the only wide op"),
     ("decision_stump_movement", "ONE sorted window pass feeds all 9 candidate splits"),
     ("feature_correlation_prune", "all cross-moments in one combinable aggregate; pairs read a 1-row table"),
+    # round-4 additions
+    ("mann_whitney_u_pairwise", "one (pair, value) aggregate feeds the rank window; decimal rank sums; pair fan-out broadcast"),
+    ("ann_lsh_cosine", "hashing is ONE Arrow matmul (ArrowEvalPython); only (id,id,sim) through the dedup exchange"),
+    ("curriculum_quality_order", "one tokenize scan; ntile + per-decile windows; no join"),
+    ("pretraining_block_manifest", "keep-decision sub-pipeline reused; one per-split cumsum window; one final aggregate"),
 ]
 
 
