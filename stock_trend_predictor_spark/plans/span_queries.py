@@ -510,3 +510,4 @@ FROM packed GROUP BY split
 
 
 _register_manifest()
+

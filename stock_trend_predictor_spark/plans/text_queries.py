@@ -498,6 +498,122 @@ SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
         "CAST(bigram_cnt AS DOUBLE) / CAST(prefix_cnt AS DOUBLE)", 6
     )
 
+    pkn_sql = stable_round_sql(
+        "greatest(CAST(bigram_cnt AS DOUBLE) - 0.75, 0.0)"
+        " / CAST(prefix_cnt AS DOUBLE)"
+        " + 0.75 / CAST(prefix_cnt AS DOUBLE)"
+        " * CAST(n_followers AS DOUBLE)"
+        " * (CAST(n_preceders AS DOUBLE) / CAST(n_pairs AS DOUBLE))", 6
+    )
+
+    @register(
+        "token_bigram_kneser_ney",
+        oracle="""
+WITH bg AS (
+    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                  i -> {'w1': string_split(text, ' ')[i],
+                        'w2': string_split(text, ' ')[i + 1]}),
+                  recursive := true)
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+), c AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS bigram_cnt FROM bg GROUP BY w1, w2
+), np AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM c
+), p AS (
+    SELECT w1, w2, bigram_cnt,
+           CAST(sum(bigram_cnt) OVER (PARTITION BY w1) AS BIGINT) AS prefix_cnt,
+           CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n_followers,
+           CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n_preceders
+    FROM c
+)
+SELECT w1, w2, bigram_cnt, prefix_cnt, n_followers, n_preceders,
+       {pkn_sql} AS p_kn
+FROM p CROSS JOIN np
+WHERE bigram_cnt >= 3
+""".replace("{pkn_sql}", pkn_sql),
+        doc="Kneser-Ney smoothed bigram probabilities (absolute "
+        "discount D = 0.75) — the LM-smoothing step up from "
+        "doc_bigram_perplexity's add-0.5: P_KN(w2|w1) = "
+        "max(c12 - D, 0)/c1 + D/c1 * N1+(w1.) * P_cont(w2), with the "
+        "continuation probability P_cont(w2) = N1+(.w2) / N1+(..) "
+        "counting DISTINCT contexts, not raw frequency — the "
+        "correction that stops 'Francisco' (frequent, one context) "
+        "from outranking genuinely-productive words. Every statistic "
+        "is a window or 1-row aggregate over the ALREADY-AGGREGATED "
+        "vocabulary-sized bigram table (the corpus is tokenized "
+        "once); the pair total broadcasts as a 1-row frame, keeping "
+        "plan construction lazy. Integer counts make every input "
+        "exact; the discount tree is mirrored literally on both "
+        "engines. Support filter >= 3 applied AFTER the stats so the "
+        "discounted mass is computed against the full table.",
+    )
+    def token_bigram_kneser_ney(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = (
+            docs.select(F.split("text", " ").alias("ts"))
+            .where(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "if(size(ts) < 0, null, "
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> struct(try_element_at(ts, i) AS w1, "
+                        "try_element_at(ts, i + 1) AS w2)))"
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+        )
+        counts = pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("bigram_cnt")
+        )
+        np_ = counts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+        )
+        w1w = Window.partitionBy("w1")
+        w2w = Window.partitionBy("w2")
+        stats = (
+            counts.withColumn(
+                "prefix_cnt",
+                F.sum("bigram_cnt").over(w1w).cast("bigint"),
+            )
+            .withColumn(
+                "n_followers", F.count(F.lit(1)).over(w1w).cast("bigint")
+            )
+            .withColumn(
+                "n_preceders", F.count(F.lit(1)).over(w2w).cast("bigint")
+            )
+            .crossJoin(F.broadcast(np_))
+        )
+        p_kn = (
+            F.greatest(
+                F.col("bigram_cnt").cast("double") - F.lit(0.75),
+                F.lit(0.0),
+            )
+            / F.col("prefix_cnt").cast("double")
+            + F.lit(0.75)
+            / F.col("prefix_cnt").cast("double")
+            * F.col("n_followers").cast("double")
+            * (
+                F.col("n_preceders").cast("double")
+                / F.col("n_pairs").cast("double")
+            )
+        )
+        return stats.where(F.col("bigram_cnt") >= 3).select(
+            "w1",
+            "w2",
+            "bigram_cnt",
+            "prefix_cnt",
+            "n_followers",
+            "n_preceders",
+            stable_round(p_kn, 6).alias("p_kn"),
+        )
+
     @register(
         "token_bigram_condprob",
         oracle="""
