@@ -182,3 +182,52 @@ def test_curriculum_order_is_stratified_permutation(spark, sf_dir):
         )
     ]
     assert ids_in_curriculum_order != sorted(ids_in_curriculum_order)
+
+
+def test_kneser_ney_matches_python_and_normalizes(spark, sf_dir):
+    """P_KN must equal a direct Python computation for every reported
+    bigram, and the UNFILTERED smoothed distribution must sum to 1
+    per prefix (the defining property of Kneser-Ney)."""
+    from collections import Counter, defaultdict
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    c = Counter()
+    for r in docs:
+        t = r.text.split(" ")
+        for i in range(len(t) - 1):
+            c[(t[i], t[i + 1])] += 1
+    prefix = defaultdict(int)
+    followers = defaultdict(int)
+    preceders = defaultdict(int)
+    for (w1, w2), n in c.items():
+        prefix[w1] += n
+        followers[w1] += 1
+        preceders[w2] += 1
+    n_pairs = len(c)
+    d = 0.75
+
+    def pkn(w1, w2):
+        return max(c[(w1, w2)] - d, 0.0) / prefix[w1] + d / prefix[
+            w1
+        ] * followers[w1] * (preceders[w2] / n_pairs)
+
+    rows = REGISTRY["token_bigram_kneser_ney"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert c[(r.w1, r.w2)] == r.bigram_cnt
+        assert abs(r.p_kn - pkn(r.w1, r.w2)) < 1e-5, (r.w1, r.w2)
+
+    # normalization over the FULL (unfiltered) support of one prefix:
+    # sum of discounted mass + backoff mass == 1 when every observed
+    # continuation is included and P_cont sums over the full vocab.
+    vocab2 = {w2 for (_, w2) in c}
+    w1 = max(prefix, key=prefix.get)
+    total = sum(
+        max(c[(w1, w2)] - d, 0.0) / prefix[w1] for w2 in vocab2
+        if (w1, w2) in c
+    ) + d / prefix[w1] * followers[w1] * sum(
+        preceders[w2] / n_pairs for w2 in vocab2
+    )
+    assert abs(total - 1.0) < 1e-9
