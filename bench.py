@@ -128,7 +128,8 @@ def main() -> None:
         for r in REGISTRY["knn_bruteforce_cosine"].fn(spark, sf_dir).collect()
     }
     recall: dict[str, float] = {}
-    for ann in ("ann_lsh_cosine", "ann_ivf_cosine", "ann_pq_adc_cosine"):
+    for ann in ("ann_lsh_cosine", "ann_ivf_cosine", "ann_pq_adc_cosine",
+                "ann_ivfpq_cosine"):
         pairs = {
             (r["query_id"], r["neighbor_id"])
             for r in REGISTRY[ann].fn(spark, sf_dir).collect()

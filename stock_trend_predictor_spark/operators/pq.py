@@ -235,3 +235,52 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_adc_score_pairs(
+    cand_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC-score explicit (query_id, neighbor_id, codes) candidate
+    rows — the building block for IVF+PQ composition, where the
+    candidate set is already cell-pruned per query (unlike
+    pq_adc_topk's full-codes scan). One Arrow batch scores all rows:
+    the per-query M x KSUB lookup tables ride in the closure
+    (parameter-sized) and are gathered per row by query id."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(axis=2)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).collect()  # parameter-sized fixed query set
+    qids = [int(r["query_id"]) for r in qrows]
+    qx = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt((qx * qx).sum(axis=1))
+    luts = np.einsum("qmd,mkd->qmk", qx.reshape(len(qx), m, dsub), cb)
+    qindex = {q: i for i, q in enumerate(qids)}
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub = np.arange(m)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_arr = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = np.array([qindex[q] for q in pdf["query_id"]])
+            rnorm = np.sqrt(cnorm2[sub, codes_arr].sum(axis=1))
+            dots = luts[qi[:, None], sub, codes_arr].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "sim_adc": dots / (qnorm[qi] * rnorm),
+                }
+            )
+
+    return cand_codes.select(
+        "query_id", "neighbor_id", "codes"
+    ).mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim_adc double"
+    )

@@ -300,6 +300,134 @@ FROM ranked WHERE rank <= 10
         )
 
     @register(
+        "ann_ivfpq_cosine",
+        oracle=None,  # approximate by design; recall published in
+        # RECALL.json and floor-asserted in tests/test_round4.py
+        doc="The full billion-scale ANN layout in ONE query — "
+        "IVF + PQ + refine, the canonical FAISS IVFPQ pipeline: the "
+        "coarse quantizer prunes the probe to each query's nprobe=2 "
+        "of 16 cells (probe fraction ~0.12 — at 100 TB the cell id "
+        "is the partition column, so this prunes FILES), ADC scores "
+        "only the probed cells' PQ codes (8 B/vec residency — "
+        "original vectors untouched), and the exact refine stage "
+        "re-scores the 200-deep shortlist against true vectors. "
+        "Composes kmeans_centroids/assign_clusters (operators/ivf.py) "
+        "with pq_codebooks/pq_encode/pq_adc_score_pairs "
+        "(operators/pq.py). At this bench SF the probed cells hold "
+        "only ~250 candidates so the ADC cut is mild by construction "
+        "(documented); at real cell sizes the 200-of-cell shortlist "
+        "is the point. Recall@10 vs brute force per round in "
+        "RECALL.json.",
+    )
+    def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.ivf import (
+            _sq_dist_to,
+            assign_clusters,
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.pq import (
+            PQ_REFINE_SHORTLIST,
+            pq_adc_score_pairs,
+            pq_codebooks,
+            pq_encode,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            cosine,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+
+        cvec = emb.select(
+            F.col("vec_id"), as_double("embedding").alias("cv")
+        )
+        cents = kmeans_centroids(
+            cvec, k=16, iters=2, id_col="vec_id", vec_col="cv"
+        )
+        assigned = assign_clusters(cvec, cents, "cv").select(
+            "vec_id", "cid"
+        )
+        books = pq_codebooks(emb)
+        codes = pq_encode(emb, books).join(assigned, "vec_id")
+
+        qd = queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        ).withColumn(
+            "_d", F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in cents])
+        )
+        qprobe = qd.select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.zip_with(
+                                F.col("_d"),
+                                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                                lambda d, i: F.struct(
+                                    d.alias("d"), i.alias("i")
+                                ),
+                            )
+                        ),
+                        lambda st: st["i"],
+                    ),
+                    1,
+                    2,
+                )
+            ).alias("cid"),
+        )
+        cand = (
+            codes.join(F.broadcast(qprobe), "cid")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "codes",
+            )
+        )
+        scored = pq_adc_score_pairs(cand, queries, books)
+        wsl = Window.partitionBy("query_id").orderBy(
+            F.col("sim_adc").desc(), F.col("neighbor_id")
+        )
+        shortlist = (
+            scored.withColumn("_r", F.row_number().over(wsl))
+            .where(F.col("_r") <= PQ_REFINE_SHORTLIST)
+            .select("query_id", "neighbor_id")
+        )
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        refined = (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double("embedding").alias("cv"),
+            )
+            .join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(F.col("sim"), 6).alias("sim"),
+                "rank",
+            )
+        )
+
+    @register(
         "array_function_battery",
         oracle=f"""
 WITH e AS (

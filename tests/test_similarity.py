@@ -107,6 +107,17 @@ def test_ann_path_contract(spark):
     lsh_recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
     assert lsh_recall >= 0.9, f"LSH recall {lsh_recall} < 0.9"
 
+    # the composed IVF+PQ+refine pipeline must hold the same bar as
+    # the declared path at the bench SF
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    ivfpq_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["ann_ivfpq_cosine"].fn(spark, bench_sf).collect()
+    }
+    ivfpq_recall = len(exact_pairs & ivfpq_pairs) / len(exact_pairs)
+    assert ivfpq_recall >= 0.9, f"IVFPQ recall {ivfpq_recall} < 0.9"
+
     # IVF probe fraction: members of each query's nprobe nearest
     # clusters (same construction ivf_topk uses).
     from stock_trend_predictor_spark.operators.ivf import (
