@@ -38,6 +38,7 @@ from stock_trend_predictor_spark.plans import selection_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import signal_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import similarity_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import span_queries  # noqa: F401
+from stock_trend_predictor_spark.plans import expectations_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import spectral_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stattest_queries  # noqa: F401
 from stock_trend_predictor_spark.plans import stock_queries  # noqa: F401

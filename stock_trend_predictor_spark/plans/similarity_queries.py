@@ -790,3 +790,144 @@ GROUP BY 1
 
 
 _register_vote()
+
+
+def _register_retrieval_metrics():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "knn_retrieval_metrics",
+        oracle=f"""
+WITH q AS (
+    SELECT * FROM embeddings WHERE vec_id < {KNN_VOTE_NQ}
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS true_label,
+           c.vec_id AS neighbor_id, c.label AS cand_label,
+           {_COS_SQL} AS sim
+    FROM embeddings c JOIN q ON c.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, true_label, cand_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored
+), top10 AS (
+    SELECT query_id, true_label, rnk,
+           CAST(cand_label = true_label AS INT) AS rel
+    FROM ranked WHERE rnk <= 10
+), per_query AS (
+    SELECT query_id, any_value(true_label) AS true_label,
+           CAST(SUM(rel) AS DOUBLE) / 10 AS p_at_10,
+           COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0)
+               AS rr,
+           SUM(rel / log2(CAST(rnk + 1 AS DOUBLE))) AS dcg
+    FROM top10 GROUP BY query_id
+), ideal AS (
+    -- IDCG@10: all of the query's relevant hits packed at the top
+    SELECT query_id,
+           SUM(1.0 / log2(CAST(i + 1 AS DOUBLE))) AS idcg
+    FROM (
+        SELECT t.query_id, unnest(range(1, CAST(n_rel AS INTEGER) + 1)) AS i
+        FROM (SELECT query_id, SUM(rel) AS n_rel FROM top10
+              GROUP BY query_id) t
+        WHERE n_rel > 0
+    ) GROUP BY query_id
+)
+SELECT p.true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       {stable_round_sql('avg(p.p_at_10)', 6)} AS mean_p_at_10,
+       {stable_round_sql('avg(p.rr)', 6)} AS mrr,
+       {stable_round_sql(
+           'avg(CASE WHEN i.idcg IS NULL THEN 0.0'
+           ' ELSE p.dcg / i.idcg END)', 6)} AS mean_ndcg_at_10
+FROM per_query p LEFT JOIN ideal i ON i.query_id = p.query_id
+GROUP BY 1
+""",
+        doc=f"Retrieval-quality metrics for the embedding index, per "
+        f"true label: precision@10, MRR, and NDCG@10 with binary "
+        f"relevance = neighbor shares the query's label, over the "
+        f"exact cosine top-10 of the first {KNN_VOTE_NQ} vectors — "
+        f"the eval-tier companion to knn_label_vote (accuracy says "
+        f"WHETHER the vote wins; NDCG says how well the RANKING "
+        f"concentrates relevant neighbors at the top, which is what "
+        f"a semantic-dedup or RAG consumer of these vectors actually "
+        f"experiences). IDCG packs each query's realized relevant "
+        f"count at the head, so NDCG is 1.0 exactly when all "
+        f"relevant hits outrank all irrelevant ones; queries with "
+        f"zero relevant neighbors contribute 0 (documented, matched "
+        f"in the oracle). Same broadcast-queries/narrow-corpus scan "
+        f"as every knn query; the metric arithmetic runs on the "
+        f"NQ x 10 ranked table — driver-sized at any corpus scale. "
+        f"avg() over per-query doubles is order-dependent at the "
+        f"1e-16 level, hidden by stable rounding at 1e-6 (same "
+        f"contract as auc_roc_movement).",
+    )
+    def knn_retrieval_metrics(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        labels = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("cand_label"),
+        )
+        qlab = emb.where(F.col("vec_id") < KNN_VOTE_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        )
+        top10 = brute_force_topk(
+            emb, emb.where(F.col("vec_id") < KNN_VOTE_NQ), k=10
+        )
+        rel_rows = (
+            labels.join(F.broadcast(top10), "neighbor_id")
+            .join(F.broadcast(qlab), "query_id")
+            .select(
+                "query_id",
+                "true_label",
+                F.col("rank").alias("rnk"),
+                (F.col("cand_label") == F.col("true_label"))
+                .cast("int")
+                .alias("rel"),
+            )
+        )
+        per_query = rel_rows.groupBy("query_id").agg(
+            F.any_value("true_label").alias("true_label"),
+            (F.sum("rel").cast("double") / F.lit(10)).alias("p_at_10"),
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") == 1, F.col("rnk"))),
+                F.lit(0.0),
+            ).alias("rr"),
+            F.sum(
+                F.col("rel")
+                / F.log2((F.col("rnk") + 1).cast("double"))
+            ).alias("dcg"),
+            F.sum("rel").alias("n_rel"),
+        )
+        ideal = (
+            per_query.where(F.col("n_rel") > 0)
+            .select(
+                "query_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("n_rel").cast("int"))
+                ).alias("i"),
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.lit(1.0) / F.log2((F.col("i") + 1).cast("double"))
+                ).alias("idcg")
+            )
+        )
+        joined = per_query.join(ideal, "query_id", "left")
+        ndcg = F.when(
+            F.col("idcg").isNull(), F.lit(0.0)
+        ).otherwise(F.col("dcg") / F.col("idcg"))
+        return joined.groupBy(F.col("true_label").alias("label")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            stable_round(F.avg("p_at_10"), 6).alias("mean_p_at_10"),
+            stable_round(F.avg("rr"), 6).alias("mrr"),
+            stable_round(F.avg(ndcg), 6).alias("mean_ndcg_at_10"),
+        )
+
+
+_register_retrieval_metrics()
+
