@@ -1105,3 +1105,87 @@ def test_span_admission_stream_equals_batch(spark, tmp_path):
         r["doc_id"] for r in read_admitted(spark, state_batch).collect()
     }
     assert admitted_one + 1_000_000 not in after
+
+
+def test_quality_audit_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming expectations totals over 3 file-batches must equal
+    the one-shot audit of the whole table (additive fold), and a
+    replayed batch id must not change the totals."""
+    from stock_trend_predictor_spark.streaming.quality import (
+        audit_batch,
+        quality_audit_sink,
+        read_quality_totals,
+        update_quality_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    splits = [
+        ev.where(F.col("event_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdir = str(tmp_path / "state")
+    q = quality_audit_sink(stream, sdir, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r.expectation: (r.n_rows, r.n_violations, r["pass"])
+        for r in read_quality_totals(spark, sdir).collect()
+    }
+    want = {
+        r.expectation: (r.n_rows, r.n_violations)
+        for r in audit_batch(ev).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, v) in want.items():
+        assert got[k][0] == n and got[k][1] == v, k
+        assert got[k][2] == (v == 0)
+    # replay idempotence
+    update_quality_state(spark, splits[2], sdir, batch_id=2)
+    after = {
+        r.expectation: (r.n_rows, r.n_violations)
+        for r in read_quality_totals(spark, sdir).collect()
+    }
+    assert after == {k: (n, v) for k, (n, v) in want.items()}
+
+    # a regressing producer must flip the verdict on ITS batch: fold
+    # one synthetic batch with a null value and a non-positive print
+    bad = spark.createDataFrame(
+        [(10_000_000, None, "purchase", None),
+         (10_000_001, None, "purchase", -1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    update_quality_state(spark, bad, sdir, batch_id=3)
+    final = {
+        r.expectation: (r.n_violations, r["pass"])
+        for r in read_quality_totals(spark, sdir).collect()
+    }
+    base = {k: v for k, (_, v) in want.items()}
+    assert final["value_not_null"][0] == base["value_not_null"] + 1
+    assert final["value_positive"][0] == base["value_positive"] + 1
+    assert final["ts_not_null"][0] == base["ts_not_null"] + 2
+    assert not final["value_not_null"][1]
