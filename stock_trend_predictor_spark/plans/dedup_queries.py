@@ -724,3 +724,107 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 
 
 _register()
+
+
+def _register_er():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "entity_resolution_parts",
+        oracle="""
+WITH RECURSIVE names AS (
+    SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun
+    FROM part
+), edges AS (
+    SELECT least(a.p_name, b.p_name) AS src,
+           greatest(a.p_name, b.p_name) AS dst
+    FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+), und AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+), reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+)
+SELECT component AS canonical_name,
+       CAST(count(*) AS BIGINT) AS n_names,
+       list_aggregate(list_sort(list(node)), 'string_agg', '|')
+           AS all_names,
+       CAST(max(levenshtein(node, component)) AS BIGINT)
+           AS max_dist_to_canonical
+FROM comp GROUP BY component
+""",
+        doc="The composed entity-resolution capstone: blocked fuzzy "
+        "candidate pairs (same last word, levenshtein <= 2 — "
+        "fuzzy_match_part_names' generation, re-used) resolved into "
+        "ENTITIES by connected components over the match graph "
+        "(operators/components.py::connected_components — min-label "
+        "propagation, one join+min shuffle per round), with the "
+        "lexicographic-min name elected canonical per cluster. "
+        "Pairwise links alone under-resolve (A~B and B~C are one "
+        "entity even when A~C was never scored); the closure is the "
+        "resolution. Output: one row per resolved entity — canonical "
+        "name, member count, the sorted '|'-joined alias list, and "
+        "the max edit distance any alias sits from the canonical "
+        "(a quality bound for the merge). Oracle: recursive-CTE "
+        "transitive closure over the identical edge set. Scale "
+        "shape: blocking + triangle-decomposed pair enumeration "
+        "bound candidate generation; CC rounds = cluster diameter "
+        "(tiny for name-dedup graphs); the alias list is "
+        "cluster-sized, never corpus-sized.",
+    )
+    def entity_resolution_parts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.components import (
+            connected_components,
+        )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        names = (
+            load_table(spark, sf_dir, "part")
+            .select("p_name")
+            .distinct()
+            .withColumn(
+                "noun", F.element_at(F.split(F.col("p_name"), " "), -1)
+            )
+        )
+        pairs = pair_parallel_self_join(
+            names, block="noun", id_col="p_name"
+        )
+        dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        edges = (
+            pairs.where(dist <= 2)
+            .select(
+                F.least(
+                    F.col("a.p_name"), F.col("b.p_name")
+                ).alias("src"),
+                F.greatest(
+                    F.col("a.p_name"), F.col("b.p_name")
+                ).alias("dst"),
+            )
+            .distinct()
+        )
+        comp = connected_components(edges)
+        return comp.groupBy(
+            F.col("component").alias("canonical_name")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.array_join(
+                F.array_sort(F.collect_list("node")), "|"
+            ).alias("all_names"),
+            F.max(
+                F.levenshtein(F.col("node"), F.col("component"))
+            ).cast("bigint").alias("max_dist_to_canonical"),
+        )
+
+
+_register_er()

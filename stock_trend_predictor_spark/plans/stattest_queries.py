@@ -23,7 +23,11 @@ from stock_trend_predictor_spark.functions.exact import (
     stable_round,
     stable_round_sql,
 )
-from stock_trend_predictor_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from stock_trend_predictor_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    load_table,
+    ticks,
+)
 
 #: wide decimal for delta^2 / delta^4 products: integer part up to 1e26
 #: (deltas reach ~1e4, so 4th-power sums need the width), 12 exact dp.
@@ -747,6 +751,173 @@ FROM stat
             (F.abs((ua - mu) / sigma) > 1.959963984540054).alias(
                 "differ_5pct"
             ),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "wilcoxon_signed_rank_halves",
+        oracle=f"""
+WITH ev AS (
+    SELECT event_type AS symbol,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+           value
+    FROM events WHERE value > 0
+), bounds AS (
+    SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid
+    FROM ev
+), hm AS (
+    SELECT symbol, hod,
+           CASE WHEN day <= b.mid THEN 1 ELSE 2 END AS half,
+           CAST(SUM(CAST(value AS {{DECIMAL_T}})) AS DOUBLE)
+               / count(*) AS m
+    FROM ev CROSS JOIN bounds b
+    GROUP BY 1, 2, 3
+), paired AS (
+    SELECT h1.symbol, h1.hod, h2.m - h1.m AS d
+    FROM hm h1 JOIN hm h2
+      ON h1.symbol = h2.symbol AND h1.hod = h2.hod
+     AND h1.half = 1 AND h2.half = 2
+    WHERE h2.m - h1.m != 0
+), grp AS (
+    SELECT symbol, abs(d) AS absd,
+           CAST(count(*) AS BIGINT) AS t,
+           CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS tpos
+    FROM paired GROUP BY 1, 2
+), rnk AS (
+    SELECT symbol, t, tpos,
+           COALESCE(SUM(t) OVER (PARTITION BY symbol ORDER BY absd
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM grp
+), agg AS (
+    SELECT symbol,
+           CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(CAST(tpos * (min_rank + (t - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS w_plus,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+    FROM rnk GROUP BY 1
+), stat AS (
+    SELECT symbol, n, w_plus,
+           n * (n + 1) / 4.0 AS mu,
+           sqrt(greatest(n * (n + 1) * (2 * n + 1) / 24.0
+                         - CAST(tie_sum AS DOUBLE) / 48.0, 0.0)) AS sigma
+    FROM agg
+)
+SELECT symbol, n AS n_pairs,
+       {{w_plus_sql}} AS w_plus,
+       {{z_sql}} AS z,
+       abs((w_plus - mu) / sigma) > 1.959963984540054 AS shifted_5pct
+FROM stat
+""".replace("{DECIMAL_T}", "DECIMAL(27,6)")
+   .replace("{w_plus_sql}", stable_round_sql("w_plus", 6))
+   .replace("{z_sql}", stable_round_sql("(w_plus - mu) / sigma", 6)),
+        doc="Wilcoxon signed-rank test per symbol — the PAIRED "
+        "complement of mann_whitney_u_pairwise: did the hour-of-day "
+        "value profile SHIFT between the first and second half of "
+        "the observation window? Pairs are the 24 hод means (decimal-"
+        "exact) of each half, split at the global mid-day; zero "
+        "differences drop (the standard treatment), |d| ranks get "
+        "the same average-rank group construction as Mann-Whitney "
+        "(min_rank window over aggregated (symbol, |d|) groups, "
+        "DECIMAL rank sums), and z carries the tie correction "
+        "sigma^2 = n(n+1)(2n+1)/24 - sum(t^3 - t)/48. value > 0 "
+        "bad-print hygiene matches the volatility tier. Everything "
+        "after the per-(symbol, hour, half) mean aggregate operates "
+        "on a #symbols x 24 table — driver-sized at any SF.",
+    )
+    def wilcoxon_signed_rank_halves(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value") > 0)
+            .select(
+                F.col("event_type").alias("symbol"),
+                F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                .cast("bigint")
+                .alias("day"),
+                (F.floor(F.unix_timestamp("ts") / F.lit(3600)) % 24)
+                .cast("bigint")
+                .alias("hod"),
+                "value",
+            )
+        )
+        bounds = ev.agg(
+            F.floor((F.min("day") + F.max("day")) / F.lit(2.0))
+            .cast("bigint")
+            .alias("mid")
+        )
+        hm = (
+            ev.crossJoin(F.broadcast(bounds))
+            .groupBy(
+                "symbol",
+                "hod",
+                F.when(F.col("day") <= F.col("mid"), 1)
+                .otherwise(2)
+                .alias("half"),
+            )
+            .agg(
+                (
+                    F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        h1 = hm.where(F.col("half") == 1).select(
+            "symbol", "hod", F.col("m").alias("m1")
+        )
+        h2 = hm.where(F.col("half") == 2).select(
+            "symbol", "hod", F.col("m").alias("m2")
+        )
+        paired = (
+            h1.join(h2, ["symbol", "hod"])
+            .select("symbol", (F.col("m2") - F.col("m1")).alias("d"))
+            .where(F.col("d") != 0)
+        )
+        grp = paired.groupBy(
+            "symbol", F.abs("d").alias("absd")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+            F.count_if(F.col("d") > 0).cast("bigint").alias("tpos"),
+        )
+        wr = (
+            Window.partitionBy("symbol")
+            .orderBy("absd")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rnk = grp.withColumn(
+            "min_rank", F.coalesce(F.sum("t").over(wr), F.lit(0)) + 1
+        )
+        contrib = (
+            F.col("tpos")
+            * (F.col("min_rank") + (F.col("t") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        agg = rnk.groupBy("symbol").agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(contrib).cast("double").alias("w_plus"),
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("bigint").alias("tie_sum"),
+        )
+        n = F.col("n")
+        mu = n * (n + 1) / F.lit(4.0)
+        sigma = F.sqrt(
+            F.greatest(
+                n * (n + 1) * (2 * n + 1) / F.lit(24.0)
+                - F.col("tie_sum").cast("double") / F.lit(48.0),
+                F.lit(0.0),
+            )
+        )
+        z = (F.col("w_plus") - mu) / sigma
+        return agg.select(
+            "symbol",
+            n.alias("n_pairs"),
+            stable_round(F.col("w_plus"), 6).alias("w_plus"),
+            stable_round(z, 6).alias("z"),
+            (F.abs(z) > 1.959963984540054).alias("shifted_5pct"),
         )
 
     # ------------------------------------------------------------------

@@ -231,3 +231,67 @@ def test_kneser_ney_matches_python_and_normalizes(spark, sf_dir):
         preceders[w2] / n_pairs for w2 in vocab2
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_wilcoxon_matches_python(spark, sf_dir):
+    """W+ and tie-corrected z must equal a direct Python computation
+    (zero diffs dropped, average ranks, sigma^2 with tie term)."""
+    from collections import defaultdict
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    got = {
+        r.symbol: r
+        for r in REGISTRY["wilcoxon_signed_rank_halves"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got
+
+    ev = [
+        r
+        for r in load_table(spark, sf_dir, "events").collect()
+        if r.value is not None and r.value > 0
+    ]
+    days = [int(r.ts.timestamp() // 86400) for r in ev]
+    mid = (min(days) + max(days)) // 2
+    sums = defaultdict(lambda: [0.0, 0])
+    for r in ev:
+        day = int(r.ts.timestamp() // 86400)
+        hod = int(r.ts.timestamp() // 3600) % 24
+        half = 1 if day <= mid else 2
+        k = (r.event_type, hod, half)
+        sums[k][0] += r.value
+        sums[k][1] += 1
+    by_sym = defaultdict(list)
+    for (sym, hod, half), (tot, n) in sums.items():
+        if half == 1 and (sym, hod, 2) in sums:
+            m1 = tot / n
+            t2, n2 = sums[(sym, hod, 2)]
+            d = t2 / n2 - m1
+            if d != 0:
+                by_sym[sym].append(d)
+    for sym, ds in by_sym.items():
+        ds_sorted = sorted(ds, key=abs)
+        n = len(ds)
+        # average ranks over |d| with ties
+        i = 0
+        w_plus = 0.0
+        tie_sum = 0
+        while i < n:
+            j = i
+            while j < n and abs(ds_sorted[j]) == abs(ds_sorted[i]):
+                j += 1
+            t = j - i
+            avg_rank = i + 1 + (t - 1) / 2.0
+            w_plus += avg_rank * sum(1 for k in range(i, j)
+                                     if ds_sorted[k] > 0)
+            tie_sum += t * t * t - t
+            i = j
+        mu = n * (n + 1) / 4.0
+        sigma = (n * (n + 1) * (2 * n + 1) / 24.0 - tie_sum / 48.0) ** 0.5
+        z = (w_plus - mu) / sigma
+        row = got[sym]
+        assert row.n_pairs == n, sym
+        assert abs(row.w_plus - w_plus) < 1e-4, sym
+        assert abs(row.z - z) < 1e-5, sym
