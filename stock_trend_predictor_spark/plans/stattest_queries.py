@@ -922,6 +922,269 @@ FROM stat
 
     # ------------------------------------------------------------------
     @register(
+        "kruskal_wallis_event_types",
+        oracle="""
+WITH vals AS (
+    SELECT event_type AS grp, value AS v FROM events
+    WHERE value IS NOT NULL
+), g AS (
+    SELECT grp, v, CAST(count(*) AS BIGINT) AS t FROM vals GROUP BY 1, 2
+), vg AS (
+    SELECT v, CAST(SUM(t) AS BIGINT) AS tv FROM g GROUP BY v
+), rnk AS (
+    SELECT v, tv,
+           COALESCE(SUM(tv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM vg
+), per_grp AS (
+    SELECT g.grp,
+           CAST(SUM(g.t) AS BIGINT) AS n_j,
+           CAST(SUM(CAST(g.t * (r.min_rank + (r.tv - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS r_j
+    FROM g JOIN rnk r ON r.v = g.v
+    GROUP BY g.grp
+), tot AS (
+    SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+           count(*) AS k,
+           SUM(r_j * r_j / n_j) AS s
+    FROM per_grp
+), ties AS (
+    SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tie_sum FROM vg
+), stat AS (
+    SELECT t.n, t.k,
+           12.0 / (t.n * (t.n + 1.0)) * t.s - 3.0 * (t.n + 1.0) AS h,
+           1.0 - CAST(ti.tie_sum AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS c
+    FROM tot t CROSS JOIN ties ti
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_groups,
+       {h_sql} AS h_stat,
+       {hc_sql} AS h_corrected,
+       (h / c) > 9.487729036781154 AS differ_5pct
+FROM stat
+""".replace("{h_sql}", stable_round_sql("h", 6))
+   .replace("{hc_sql}", stable_round_sql("h / c", 6)),
+        doc="Kruskal-Wallis H across the 5 event types — the "
+        "independent k-sample member of the rank-test family "
+        "(Mann-Whitney is its k=2 case; Wilcoxon the paired case): "
+        "do the value distributions differ across types at all? "
+        "Pooled average ranks come from ONE (value)-group pass "
+        "(min_rank window over aggregated counts — the same "
+        "construction all three tests share), per-group rank sums "
+        "accumulate in DECIMAL, H gets the full tie correction "
+        "1 - sum(t^3 - t)/(N^3 - N), and the 5%% flag compares "
+        "against the chi-square(k-1=4) critical value. One value "
+        "aggregate + windows over the distinct-value table — never "
+        "the raw rows — then driver-sized arithmetic.",
+    )
+    def kruskal_wallis_event_types(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        vals = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(F.col("event_type").alias("grp"), F.col("value").alias("v"))
+        )
+        g = vals.groupBy("grp", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        )
+        vg = g.groupBy("v").agg(F.sum("t").cast("bigint").alias("tv"))
+        wr = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rnk = vg.withColumn(
+            "min_rank", F.coalesce(F.sum("tv").over(wr), F.lit(0)) + 1
+        )
+        contrib = (
+            F.col("t")
+            * (F.col("min_rank") + (F.col("tv") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        per_grp = (
+            g.join(rnk, "v")
+            .groupBy("grp")
+            .agg(
+                F.sum("t").cast("bigint").alias("n_j"),
+                F.sum(contrib).cast("double").alias("r_j"),
+            )
+        )
+        tot = per_grp.agg(
+            F.sum("n_j").cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("s"),
+        )
+        ties = vg.agg(
+            F.sum(
+                F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+            ).cast("bigint").alias("tie_sum")
+        )
+        n = F.col("n")
+        h = (
+            F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("s")
+            - F.lit(3.0) * (n + F.lit(1.0))
+        )
+        c = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+            n.cast("double") * n * n - n
+        )
+        return (
+            tot.crossJoin(F.broadcast(ties))
+            .select(
+                n.alias("n_total"),
+                F.col("k").cast("bigint").alias("k_groups"),
+                stable_round(h, 6).alias("h_stat"),
+                stable_round(h / c, 6).alias("h_corrected"),
+                ((h / c) > 9.487729036781154).alias("differ_5pct"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
+        "friedman_hod_symbols",
+        oracle="""
+WITH ev AS (
+    SELECT event_type AS symbol,
+           CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+           value
+    FROM events WHERE value > 0
+), cell AS (
+    SELECT hod, symbol,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               / count(*) AS m
+    FROM ev GROUP BY 1, 2
+), g AS (
+    SELECT hod, m, CAST(count(*) AS BIGINT) AS tv,
+           list_sort(list(symbol)) AS syms
+    FROM cell GROUP BY hod, m
+), rnk AS (
+    SELECT hod, m, tv, syms,
+           COALESCE(SUM(tv) OVER (PARTITION BY hod ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM g
+), ranked AS (
+    SELECT hod, unnest(syms) AS symbol,
+           min_rank + (tv - 1) / 2.0 AS avg_rank, tv
+    FROM rnk
+), per_sym AS (
+    SELECT symbol,
+           CAST(SUM(CAST(avg_rank AS DECIMAL(38,6))) AS DOUBLE) AS r_j
+    FROM ranked GROUP BY symbol
+), dims AS (
+    SELECT CAST(count(DISTINCT hod) AS BIGINT) AS b,
+           CAST(count(DISTINCT symbol) AS BIGINT) AS k
+    FROM cell
+), ties AS (
+    SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tie_sum FROM g
+), stat AS (
+    SELECT d.b, d.k,
+           12.0 / (d.b * d.k * (d.k + 1.0))
+             * (SELECT SUM(r_j * r_j) FROM per_sym)
+             - 3.0 * d.b * (d.k + 1.0) AS fr,
+           1.0 - CAST(t.tie_sum AS DOUBLE)
+                 / (d.b * d.k * (CAST(d.k AS DOUBLE) * d.k - 1.0)) AS c
+    FROM dims d CROSS JOIN ties t
+)
+SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       {fr_sql} AS friedman_stat,
+       {frc_sql} AS friedman_corrected,
+       (fr / c) > 9.487729036781154 AS differ_5pct
+FROM stat
+""".replace("{fr_sql}", stable_round_sql("fr", 6))
+   .replace("{frc_sql}", stable_round_sql("fr / c", 6)),
+        doc="Friedman test over the 24 x 5 hour-of-day x symbol mean-"
+        "value matrix — the PAIRED k-sample member of the rank-test "
+        "family (blocks = hours, treatments = symbols): does any "
+        "symbol systematically rank higher within the same hour? "
+        "Within-block average ranks use the shared group-rank "
+        "construction (per-(hod, m) groups, min_rank window, "
+        "DECIMAL rank sums); the statistic carries the tie "
+        "correction 1 - sum(t^3 - t)/(b k (k^2 - 1)) and the 5%% "
+        "flag is chi-square(k-1=4). The cell matrix is 24 x 5 — "
+        "everything after the one (hod, symbol) mean aggregate is "
+        "driver-sized at any SF. value > 0 hygiene matches the "
+        "volatility tier.",
+    )
+    def friedman_hod_symbols(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value") > 0)
+            .select(
+                F.col("event_type").alias("symbol"),
+                (F.floor(F.unix_timestamp("ts") / F.lit(3600)) % 24)
+                .cast("bigint")
+                .alias("hod"),
+                "value",
+            )
+        )
+        cell = ev.groupBy("hod", "symbol").agg(
+            (
+                F.sum(F.col("value").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        g = cell.groupBy("hod", "m").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tv"),
+            F.array_sort(F.collect_list("symbol")).alias("syms"),
+        )
+        wr = (
+            Window.partitionBy("hod")
+            .orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rnk = g.withColumn(
+            "min_rank", F.coalesce(F.sum("tv").over(wr), F.lit(0)) + 1
+        )
+        ranked = rnk.select(
+            "hod",
+            F.explode("syms").alias("symbol"),
+            (F.col("min_rank") + (F.col("tv") - 1) / F.lit(2.0)).alias(
+                "avg_rank"
+            ),
+        )
+        per_sym = ranked.groupBy("symbol").agg(
+            F.sum(F.col("avg_rank").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("r_j")
+        )
+        dims = cell.agg(
+            F.countDistinct("hod").cast("bigint").alias("b"),
+            F.countDistinct("symbol").cast("bigint").alias("k"),
+        )
+        ties = g.agg(
+            F.sum(
+                F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+            ).cast("bigint").alias("tie_sum")
+        )
+        ssum = per_sym.agg(
+            F.sum(F.col("r_j") * F.col("r_j")).alias("s2")
+        )
+        b, k = F.col("b"), F.col("k")
+        fr = (
+            F.lit(12.0) / (b * k * (k + F.lit(1.0))) * F.col("s2")
+            - F.lit(3.0) * b * (k + F.lit(1.0))
+        )
+        c = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+            b * k * (k.cast("double") * k - F.lit(1.0))
+        )
+        return (
+            dims.crossJoin(F.broadcast(ties))
+            .crossJoin(F.broadcast(ssum))
+            .select(
+                b.alias("n_blocks"),
+                k.alias("k_treatments"),
+                stable_round(fr, 6).alias("friedman_stat"),
+                stable_round(fr / c, 6).alias("friedman_corrected"),
+                ((fr / c) > 9.487729036781154).alias("differ_5pct"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "movement_mutual_information",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE.strip()},
