@@ -1185,6 +1185,169 @@ FROM stat
 
     # ------------------------------------------------------------------
     @register(
+        "effect_sizes_pairwise",
+        oracle=f"""
+WITH {TICKS_ORACLE_CTE.strip()},
+rets AS (
+    SELECT symbol, tick_id, close - open AS r
+    FROM ticks WHERE open IS NOT NULL
+), pairs AS (
+    SELECT DISTINCT a.symbol AS sym_a, b.symbol AS sym_b
+    FROM rets a, rets b WHERE a.symbol < b.symbol
+), tagged AS (
+    SELECT p.sym_a, p.sym_b, r.r,
+           CASE WHEN r.symbol = p.sym_a THEN 1 ELSE 0 END AS from_a
+    FROM pairs p
+    JOIN rets r ON r.symbol = p.sym_a OR r.symbol = p.sym_b
+), grp AS (
+    SELECT sym_a, sym_b, r,
+           CAST(count(*) AS BIGINT) AS t,
+           CAST(SUM(from_a) AS BIGINT) AS ta
+    FROM tagged GROUP BY 1, 2, 3
+), rnk AS (
+    SELECT sym_a, sym_b, t, ta,
+           COALESCE(SUM(t) OVER (PARTITION BY sym_a, sym_b ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM grp
+), uagg AS (
+    SELECT sym_a, sym_b,
+           CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(ta) AS BIGINT) AS na,
+           CAST(SUM(CAST(ta * (min_rank + (t - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS ra
+    FROM rnk GROUP BY 1, 2
+), hourly AS (
+    SELECT symbol, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+           CAST(SUM(CAST(close - open AS DECIMAL(27,6))) AS DOUBLE)
+               / count(*) AS m
+    FROM ticks WHERE open IS NOT NULL
+    GROUP BY 1, 2
+), hl AS (
+    SELECT p.sym_a, p.sym_b,
+           median(hb.m - ha.m) AS hl_shift
+    FROM pairs p
+    JOIN hourly ha ON ha.symbol = p.sym_a
+    JOIN hourly hb ON hb.symbol = p.sym_b
+    GROUP BY 1, 2
+)
+SELECT u.sym_a, u.sym_b,
+       {{cd_sql}} AS cliffs_delta,
+       {{hl_sql}} AS hl_shift
+FROM uagg u JOIN hl ON hl.sym_a = u.sym_a AND hl.sym_b = u.sym_b
+""".replace("{cd_sql}", stable_round_sql(
+            "2.0 * (u.ra - u.na * (u.na + 1) / 2.0)"
+            " / (u.na * (u.n - u.na)) - 1.0", 6))
+   .replace("{hl_sql}", stable_round_sql("hl.hl_shift", 6)),
+        doc="Effect sizes for every symbol pair — the magnitude "
+        "companion to the rank-test family (a significant "
+        "Mann-Whitney z says distributions DIFFER; these say by HOW "
+        "MUCH): Cliff's delta = 2U/(n_a n_b) - 1 in [-1, 1], exact "
+        "from the SAME average-rank aggregate the U test uses (tied "
+        "pairs contribute half, which the midrank formulation gives "
+        "for free), and the Hodges-Lehmann location shift = median "
+        "of pairwise differences of the decimal-exact HOURLY mean "
+        "returns (the full-sample HL is an na x nb pair blowup; the "
+        "hourly-mean form keeps the pair table hours^2-bounded — "
+        "documented estimator choice, identical in the oracle). "
+        "DuckDB median == Spark percentile(0.5) on doubles "
+        "(lower-interpolation midpoint, verified by the hash).",
+    )
+    def effect_sizes_pairwise(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+
+        t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
+        rets = t.select(
+            "symbol", (F.col("close") - F.col("open")).alias("r")
+        )
+        syms = rets.select("symbol").distinct()
+        pairs = (
+            syms.select(F.col("symbol").alias("sym_a"))
+            .join(syms.select(F.col("symbol").alias("sym_b")))
+            .where(F.col("sym_a") < F.col("sym_b"))
+        )
+        tagged = rets.join(
+            F.broadcast(pairs),
+            (F.col("symbol") == F.col("sym_a"))
+            | (F.col("symbol") == F.col("sym_b")),
+        ).select(
+            "sym_a",
+            "sym_b",
+            "r",
+            F.when(F.col("symbol") == F.col("sym_a"), 1)
+            .otherwise(0)
+            .alias("from_a"),
+        )
+        grp = tagged.groupBy("sym_a", "sym_b", "r").agg(
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+            F.sum("from_a").cast("bigint").alias("ta"),
+        )
+        wr = (
+            Window.partitionBy("sym_a", "sym_b")
+            .orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rnk = grp.withColumn(
+            "min_rank",
+            F.coalesce(F.sum("t").over(wr), F.lit(0)) + 1,
+        )
+        contrib = (
+            F.col("ta")
+            * (F.col("min_rank") + (F.col("t") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        uagg = rnk.groupBy("sym_a", "sym_b").agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum("ta").cast("bigint").alias("na"),
+            F.sum(contrib).cast("double").alias("ra"),
+        )
+        hourly = (
+            t.groupBy(
+                "symbol",
+                F.floor(F.unix_timestamp("ts") / F.lit(3600))
+                .cast("bigint")
+                .alias("hr"),
+            )
+            .agg(
+                (
+                    F.sum(
+                        (F.col("close") - F.col("open")).cast(DECIMAL_T)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        ha = hourly.select(
+            F.col("symbol").alias("sym_a"), F.col("m").alias("ma")
+        )
+        hb = hourly.select(
+            F.col("symbol").alias("sym_b"), F.col("m").alias("mb")
+        )
+        hl = (
+            pairs.join(ha, "sym_a")
+            .join(hb, "sym_b")
+            .groupBy("sym_a", "sym_b")
+            .agg(
+                F.expr("percentile(mb - ma, 0.5)").alias("hl_shift")
+            )
+        )
+        n, na = F.col("n"), F.col("na")
+        cliffs = (
+            F.lit(2.0)
+            * (F.col("ra") - na * (na + 1) / F.lit(2.0))
+            / (na * (n - na))
+            - F.lit(1.0)
+        )
+        return uagg.join(hl, ["sym_a", "sym_b"]).select(
+            "sym_a",
+            "sym_b",
+            stable_round(cliffs, 6).alias("cliffs_delta"),
+            stable_round(F.col("hl_shift"), 6).alias("hl_shift"),
+        )
+
+    # ------------------------------------------------------------------
+    @register(
         "movement_mutual_information",
         oracle=f"""
 WITH {TICKS_ORACLE_CTE.strip()},
