@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -72,6 +73,13 @@ HEADLINE = [
     "mann_whitney_u_pairwise",   # (pair, value) rank table + tie windows
     "ann_pq_adc_cosine",         # PQ build + ADC codes scan + exact refine
     "pretraining_block_manifest",  # composed keep->split->pack pipeline
+    # round-5 additions (r4 verdict #6: the rest of the rank-test
+    # family gets a timing series; everything above stays frozen).
+    "kruskal_wallis_event_types",  # pooled distinct-value rank pass
+    "wilcoxon_signed_rank_halves",  # paired halves + |d| rank table
+    "friedman_hod_symbols",      # within-block rank table
+    "effect_sizes_pairwise",     # Cliff's delta + Hodges-Lehmann
+    "stat_tests_panel",          # shared-pass KW + pairwise MW panel
 ]
 
 
@@ -104,18 +112,25 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
+    # N same-session runs per query (r4 verdict #3: the driver box has
+    # ±30% cross-session noise; per-query MEDIANS over N >= 5 runs are
+    # the number regressions can be judged on without litigating
+    # variance). "queries" stays the best-of-N for series continuity
+    # (best-of-2 through r4 — best-of-5 can only read slightly lower);
+    # "queries_median" is the robust column.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        # best-of-2: the first run may pay codegen JIT for this query's
-        # expressions; the second measures steady-state compute.
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
 
     # ANN quality evidence (untimed): recall@10 of each approximate
     # index vs the exact brute-force top-10, on the same sf. Emitted in
@@ -254,6 +269,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "bench_runs": runs,
         "sf": sf,
         "recall_at_10": recall,
         "lsh_probe_fraction": probe_fraction,

@@ -420,17 +420,27 @@ def _cascade_removals(fringe: DataFrame, fringe_edges: DataFrame, k: int) -> Dat
     too (their neighbors are all outside and never removed here)."""
     import pandas as pd
 
-    deg_part = fringe.select("v", "deg")
-    edge_part = fringe_edges.select("a", "b")
+    # ids travel as STRINGS through the NULL-padded union: mixing rows
+    # with nulls makes pandas coerce bigint columns to float64, which
+    # silently corrupts ids >= 2^53 (ADVICE r4). String transport is
+    # exact for any id width; `deg` stays numeric (degree <= |V|,
+    # float64-exact far beyond any real graph).
+    deg_part = fringe.select(F.col("v").cast("string").alias("v"), "deg")
+    edge_part = fringe_edges.select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    )
 
     # one task sees every row: a vertex-rows frame and an edge-rows
     # frame unioned on a compatible schema, coalesced to 1 partition
     unioned = deg_part.select(
-        "v", "deg", F.lit(None).cast(deg_part.schema["v"].dataType).alias("a"),
-        F.lit(None).cast(deg_part.schema["v"].dataType).alias("b"),
+        "v",
+        "deg",
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
     ).unionByName(
         edge_part.select(
-            F.lit(None).cast(edge_part.schema["a"].dataType).alias("v"),
+            F.lit(None).cast("string").alias("v"),
             F.lit(None).cast("long").alias("deg"),
             "a",
             "b",
@@ -462,6 +472,8 @@ def _cascade_removals(fringe: DataFrame, fringe_edges: DataFrame, k: int) -> Dat
         yield pd.DataFrame({"v": sorted(removed)})
 
     out_type = fringe.schema["v"].dataType.simpleString()
-    return unioned.coalesce(1).mapInPandas(
-        peel_rows, schema=f"v {out_type}"
+    return (
+        unioned.coalesce(1)
+        .mapInPandas(peel_rows, schema="v string")
+        .select(F.col("v").cast(out_type).alias("v"))
     )

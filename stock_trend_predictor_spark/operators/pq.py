@@ -118,16 +118,24 @@ def pq_codebooks(
                     }
                 )
 
+        # centroid means from DECIMAL sums, not F.avg over doubles:
+        # decimal addition is order-independent, so the codebook is
+        # bit-identical under any partition/merge schedule — the
+        # determinism the docstring contract claims (ADVICE r4). The
+        # single rounding to double happens once, in the driver.
         means = (
             vecs.mapInPandas(
                 emit, schema="sub int, cid int, pos int, x double"
             )
             .groupBy("sub", "cid", "pos")
-            .agg(F.avg("x").alias("mv"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"),
+                F.count(F.lit(1)).alias("nx"),
+            )
             .collect()
         )
         for r in means:
-            cb[r["sub"], r["cid"], r["pos"]] = r["mv"]
+            cb[r["sub"], r["cid"], r["pos"]] = float(r["sx"]) / r["nx"]
     return [[list(map(float, c)) for c in book] for book in cb]
 
 

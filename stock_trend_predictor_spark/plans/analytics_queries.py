@@ -1113,26 +1113,47 @@ WHERE cum_rev - revenue < total_rev * 0.8
         "the kept set bit-deterministic cross-engine; only the "
         "reported shares round to double. The ranking is total "
         "(revenue DESC, custkey). One shuffle for the per-customer "
-        "rollup; the ranked window runs on the aggregated (customer-"
-        "cardinality) relation — at 100 TB partition the prefix-sum "
-        "by revenue band and carry band offsets, the same two-level "
-        "scan as concurrent_intervals_profile.",
+        "rollup; rank AND running revenue then come from the "
+        "two-level prefix scan (operators/rank.py, r4 verdict #2 — "
+        "the mitigation this docstring used to merely describe): 64 "
+        "broadcast-percentile revenue bands, per-band decimal "
+        "count/sum carry-ins, windows partitioned by band. The grand "
+        "total is an aggregate broadcast back, not a global window.",
     )
     def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
+
         orders = load_table(spark, sf_dir, "orders")
         rev = orders.groupBy("o_custkey").agg(
             F.sum(F.col("o_totalprice").cast(DECIMAL_T))
             .cast(DECIMAL_T)
             .alias("revenue")
         )
-        w_cum = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-        w_all = Window.partitionBy()
-        ranked = rev.select(
-            "o_custkey",
-            "revenue",
-            F.sum("revenue").over(w_cum).cast("decimal(38,6)").alias("cum_rev"),
-            F.sum("revenue").over(w_all).cast("decimal(38,6)").alias("total_rev"),
-            F.row_number().over(w_cum).cast("bigint").alias("rk"),
+        # descending revenue order: reverse the ascending band id
+        bucket = F.lit(63) - quantile_bucket(rev, "revenue", 64)
+        tot = rev.agg(
+            F.sum("revenue").cast("decimal(38,6)").alias("total_rev")
+        )
+        ranked = (
+            prefix_scan_rank(
+                rev,
+                bucket,
+                [F.col("revenue").desc(), F.col("o_custkey")],
+                "rk",
+                sum_col="revenue",
+                cumsum_name="cum_rev_raw",
+            )
+            .join(F.broadcast(tot))
+            .select(
+                "o_custkey",
+                "revenue",
+                F.col("cum_rev_raw").cast("decimal(38,6)").alias("cum_rev"),
+                "total_rev",
+                "rk",
+            )
         )
         return ranked.where(
             F.col("cum_rev") - F.col("revenue")
@@ -1179,24 +1200,32 @@ FROM sums
         "number for 'how concentrated is the book'. Computed from "
         "the rank-weighted sum identity G = 2*sum(i*x_i)/(n*sum x) "
         "- (n+1)/n over revenues ranked ascending with the custkey "
-        "tiebreak (a total order, so ranks are deterministic). The "
-        "rank window runs over the customer-grain AGGREGATE (one "
-        "row per customer), never raw orders; rank x revenue "
-        "products sum at decimal(38,6) since rank reaches n.",
+        "tiebreak (a total order, so ranks are deterministic). Ranks "
+        "come from the two-level prefix scan (operators/rank.py, r4 "
+        "verdict #2): 64 broadcast-percentile revenue bands, per-band "
+        "count carry-ins, row_number partitioned by band — no window "
+        "in the plan ever sees more than one band of the customer "
+        "aggregate; rank x revenue products sum at decimal(38,6) "
+        "since rank reaches n.",
     )
     def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
+
         o = load_table(spark, sf_dir, "orders")
         rev = o.groupBy("o_custkey").agg(
             F.sum(F.col("o_totalprice").cast(DECIMAL_T))
             .cast("double")
             .alias("revenue")
         )
-        rk = (
-            F.row_number()
-            .over(Window.orderBy("revenue", "o_custkey"))
-            .cast("double")
-        )
-        ranked = rev.select("revenue", rk.alias("rk"))
+        ranked = prefix_scan_rank(
+            rev,
+            quantile_bucket(rev, "revenue", 64),
+            ["revenue", "o_custkey"],
+            "rk_i",
+        ).select("revenue", F.col("rk_i").cast("double").alias("rk"))
         sums = ranked.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("revenue").cast(DECIMAL_T)).cast("double").alias("s"),

@@ -207,7 +207,7 @@ FROM ranked WHERE rank <= 10
         doc="Product-quantization encoding of the embeddings table "
         "(Jegou et al. 2011): 16 subspaces x 16 centroids (4-bit "
         "codes) from the deterministic per-subspace Lloyd build, "
-        "encoded in one Arrow matmul pass — output is (vec_id, 8 "
+        "encoded in one Arrow matmul pass — output is (vec_id, 16 "
         "codes, reconstruction MSE). The memory half of the "
         "billion-scale ANN layout next to ann_ivf_cosine: a 64-dim "
         "float32 vector becomes 16 4-bit codes (32x smaller "

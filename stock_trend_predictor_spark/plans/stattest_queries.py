@@ -243,9 +243,9 @@ rets AS (
 )
 SELECT symbol, CAST(any_value(n) AS BIGINT) AS n_obs,
        {stable_round_sql(
-           'any_value(n) * (any_value(n) + 2)'
+           'CAST(any_value(n) AS DOUBLE) * (any_value(n) + 2)'
            ' * SUM(rho_k * rho_k / (n - k))', 6)} AS q_stat,
-       any_value(n) * (any_value(n) + 2)
+       CAST(any_value(n) AS DOUBLE) * (any_value(n) + 2)
          * SUM(rho_k * rho_k / (n - k)) > {CHI2_10_5PCT}
            AS autocorrelated_5pct
 FROM rho GROUP BY 1
@@ -306,7 +306,9 @@ FROM rho GROUP BY 1
             )
         )
         n = F.any_value("n")
-        q = n * (n + 2) * F.sum(
+        # n*(n+2) through DOUBLE: the bigint product overflows int64
+        # at n ~ 3e9 ticks per symbol (oracle mirrors the cast)
+        q = n.cast("double") * (n + 2) * F.sum(
             F.col("rho_k") * F.col("rho_k") / (F.col("n") - F.col("k"))
         )
         return rho.groupBy("symbol").agg(
@@ -644,15 +646,18 @@ rets AS (
            CAST(SUM(ta) AS BIGINT) AS na,
            CAST(SUM(CAST(ta * (min_rank + (t - 1) / 2.0)
                          AS DECIMAL(38,6))) AS DOUBLE) AS ra,
-           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+           SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_sum
     FROM rnk GROUP BY 1, 2
 ), stat AS (
     SELECT sym_a, sym_b, n, na, n - na AS nb,
-           ra - na * (na + 1) / 2.0 AS ua,
-           na * (n - na) / 2.0 AS mu,
-           sqrt(greatest(na * (n - na) / 12.0
-                * (CAST(n + 1 AS DOUBLE)
-                   - CAST(tie_sum AS DOUBLE) / (n * (n - 1))),
+           ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1) / 2.0 AS ua,
+           CAST(na AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+               / 2.0 AS mu,
+           sqrt(greatest(CAST(na AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE)) / 12.0
+                * ((CAST(n AS DOUBLE) + 1)
+                   - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
                 0.0)) AS sigma
     FROM agg
 )
@@ -723,20 +728,29 @@ FROM stat
             F.sum("t").cast("bigint").alias("n"),
             F.sum("ta").cast("bigint").alias("na"),
             F.sum(contrib).cast("double").alias("ra"),
+            # tie cube in DECIMAL(38,0): t*t*t-t overflows int64 once a
+            # single tied value has count > ~2.1M (cube > 2^63); decimal
+            # sums stay exact AND order-independent (ADVICE r4)
             F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).cast("bigint").alias("tie_sum"),
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("tie_sum"),
         )
         n, na = F.col("n"), F.col("na")
         nb = n - na
-        ua = F.col("ra") - na * (na + 1) / F.lit(2.0)
-        mu = na * nb / F.lit(2.0)
+        # every pairwise count product goes through DOUBLE first:
+        # na*nb / na*(na+1) / n*(n-1) in bigint overflow at n ~ 3e9 —
+        # real territory for a 100 TB events table (oracle mirrors)
+        na_d, n_d = na.cast("double"), n.cast("double")
+        nb_d = n_d - na_d
+        ua = F.col("ra") - na_d * (na_d + 1) / F.lit(2.0)
+        mu = na_d * nb_d / F.lit(2.0)
         sigma = F.sqrt(
             F.greatest(
-                na * nb / F.lit(12.0)
+                na_d * nb_d / F.lit(12.0)
                 * (
-                    (n + 1).cast("double")
-                    - F.col("tie_sum").cast("double") / (n * (n - 1))
+                    (n_d + 1)
+                    - F.col("tie_sum").cast("double") / (n_d * (n_d - 1))
                 ),
                 F.lit(0.0),
             )
@@ -950,7 +964,7 @@ WITH vals AS (
            SUM(r_j * r_j / n_j) AS s
     FROM per_grp
 ), ties AS (
-    SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tie_sum FROM vg
+    SELECT SUM(CAST(tv AS DECIMAL(38,0)) * tv * tv - tv) AS tie_sum FROM vg
 ), stat AS (
     SELECT t.n, t.k,
            12.0 / (t.n * (t.n + 1.0)) * t.s - 3.0 * (t.n + 1.0) AS h,
@@ -1014,10 +1028,13 @@ FROM stat
             F.count(F.lit(1)).alias("k"),
             F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("s"),
         )
+        # DECIMAL(38,0) cube: a single value tied > ~2.1M times
+        # overflows int64 (ADVICE r4; same fix as mann_whitney)
         ties = vg.agg(
             F.sum(
-                F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
-            ).cast("bigint").alias("tie_sum")
+                F.col("tv").cast("decimal(38,0)")
+                * F.col("tv") * F.col("tv") - F.col("tv")
+            ).alias("tie_sum")
         )
         n = F.col("n")
         h = (
