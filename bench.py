@@ -79,7 +79,7 @@ HEADLINE = [
     "wilcoxon_signed_rank_halves",  # paired halves + |d| rank table
     "friedman_hod_symbols",      # within-block rank table
     "effect_sizes_pairwise",     # Cliff's delta + Hodges-Lehmann
-    "stat_tests_panel",          # shared-pass KW + pairwise MW panel
+    "rank_tests_panel",          # shared-pass KW + pairwise MW panel
 ]
 
 
@@ -144,7 +144,7 @@ def main() -> None:
     }
     recall: dict[str, float] = {}
     for ann in ("ann_lsh_cosine", "ann_ivf_cosine", "ann_pq_adc_cosine",
-                "ann_ivfpq_cosine"):
+                "ann_ivfpq_cosine", "ann_ivf_maintained"):
         pairs = {
             (r["query_id"], r["neighbor_id"])
             for r in REGISTRY[ann].fn(spark, sf_dir).collect()

@@ -99,6 +99,7 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF search: exact cosine top-k within the nprobe nearest
     clusters of each query.
@@ -109,14 +110,19 @@ def ivf_topk(
     0.123 on the RECALL.json protocol, vs the best LSH Pareto point of
     0.938 @ 0.401 (see operators/similarity.py for the full sweep
     note). nlist scales with sqrt(n) at real corpus sizes; nprobe is
-    the recall dial."""
+    the recall dial.
+
+    Pass ``centroids`` to search a PRE-BUILT quantizer (e.g. the
+    continuously-maintained index from streaming/ivf_maintenance.py)
+    instead of rebuilding one in batch."""
     from pyspark.sql.window import Window
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", l2norm(F.col("cv")))
-    centroids = kmeans_centroids(c, k=n_clusters, iters=iters,
-                                 id_col="neighbor_id", vec_col="cv")
+    if centroids is None:
+        centroids = kmeans_centroids(c, k=n_clusters, iters=iters,
+                                     id_col="neighbor_id", vec_col="cv")
     c = assign_clusters(c, centroids, "cv")
 
     q = queries.select(

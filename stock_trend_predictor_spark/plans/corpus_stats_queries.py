@@ -883,3 +883,147 @@ LEFT JOIN (
 
 
 _register()
+
+
+def _register_r5():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "token_kl_drift",
+        oracle=f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), st AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+), ct AS (
+    SELECT token, CAST(SUM(c) AS BIGINT) AS c_t FROM st GROUP BY 1
+), consts AS (
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(SUM(c_t) AS BIGINT) AS n FROM ct
+), srcs AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1
+), ndocs AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+), grid AS (
+    SELECT s.source, s.n_s, v.token, v.c_t, k.v, k.n,
+           COALESCE(st.c, 0) AS c
+    FROM srcs s
+    CROSS JOIN ct v
+    CROSS JOIN consts k
+    LEFT JOIN st ON st.source = s.source AND st.token = v.token
+), terms AS (
+    SELECT source, n_s, token,
+           (CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+           * ln((CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+                / (CAST(c_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)))
+               AS term
+    FROM grid
+), ranked AS (
+    SELECT source, n_s, token, term,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY term DESC, token) AS rn
+    FROM terms
+), agg AS (
+    SELECT source, any_value(n_s) AS n_tokens,
+           CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS kl
+    FROM terms GROUP BY 1
+)
+SELECT a.source, d.n_docs, a.n_tokens,
+       {stable_round_sql('a.kl', 6)} AS kl_nats,
+       r.token AS top_token,
+       {stable_round_sql('r.term', 6)} AS top_token_kl
+FROM agg a
+JOIN ndocs d ON d.source = a.source
+JOIN ranked r ON r.source = a.source AND r.rn = 1
+""",
+        doc="Per-source unigram KL drift monitor — the corpus-slice "
+        "distribution check an LLM-data pipeline runs when a new "
+        "crawl/source lands: KL(P_source || P_corpus) with add-one "
+        "smoothing over the shared vocabulary, plus the single most "
+        "over-represented token per source (the usual smoking gun "
+        "for template spam or a mis-tagged crawl). Every term is a "
+        "fixed IEEE tree on exact bigint counts (bit-identical "
+        "cross-engine) and the vocab-sized term sum accumulates in "
+        "DECIMAL(38,18), so kl_nats is partition-order independent. "
+        "Scale shape: one (source, token) combinable agg; the grid "
+        "is vocabulary x #sources (vocab-bounded, never corpus-"
+        "bounded); the only windows are per-source over that grid.",
+    )
+    def token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        st = tok.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        ct = st.groupBy("token").agg(
+            F.sum("c").cast("bigint").alias("c_t")
+        )
+        consts = ct.agg(
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+            F.sum("c_t").cast("bigint").alias("n"),
+        )
+        srcs = st.groupBy("source").agg(
+            F.sum("c").cast("bigint").alias("n_s")
+        )
+        ndocs = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+        grid = (
+            F.broadcast(srcs)
+            .crossJoin(ct)
+            .crossJoin(F.broadcast(consts))
+            .join(st, ["source", "token"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        )
+        ps = (F.col("c") + 1).cast("double") / (
+            F.col("n_s") + F.col("v")
+        ).cast("double")
+        pc = (F.col("c_t") + 1).cast("double") / (
+            F.col("n") + F.col("v")
+        ).cast("double")
+        terms = grid.select(
+            "source", "n_s", "token", (ps * F.log(ps / pc)).alias("term")
+        )
+        ranked = terms.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("term").desc(), "token"
+                )
+            ),
+        ).where(F.col("rn") == 1)
+        agg = terms.groupBy("source").agg(
+            F.any_value("n_s").alias("n_tokens"),
+            F.sum(F.col("term").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("kl"),
+        )
+        return (
+            agg.join(F.broadcast(ndocs), "source")
+            .join(
+                F.broadcast(
+                    ranked.select(
+                        "source",
+                        F.col("token").alias("top_token"),
+                        F.col("term").alias("top_term"),
+                    )
+                ),
+                "source",
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_tokens",
+                stable_round(F.col("kl"), 6).alias("kl_nats"),
+                "top_token",
+                stable_round(F.col("top_term"), 6).alias("top_token_kl"),
+            )
+        )
+
+
+_register_r5()

@@ -298,3 +298,147 @@ FROM buck
 
 
 _register_curriculum()
+
+
+def _register_r5():
+    from stock_trend_predictor_spark.functions.exact import stable_round_sql
+
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "block_size_tradeoff",
+        oracle=f"""
+WITH lens AS (
+    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), grid AS (
+    SELECT b.block_size, l.n_tok
+    FROM lens l CROSS JOIN (
+        SELECT unnest([64, 128, 256, 512]) AS block_size
+    ) b
+), agg AS (
+    SELECT block_size,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_tok > block_size) AS BIGINT)
+               AS docs_truncated,
+           CAST(SUM(least(n_tok, block_size)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(greatest(n_tok - block_size, 0)) AS BIGINT)
+               AS tokens_lost
+    FROM grid GROUP BY 1
+)
+SELECT CAST(block_size AS BIGINT) AS block_size, n_docs, docs_truncated,
+       tokens_kept, tokens_lost,
+       {stable_round_sql(
+           'CAST(tokens_lost AS DOUBLE)'
+           ' / (tokens_kept + tokens_lost)', 6)} AS trunc_loss_share,
+       {stable_round_sql(
+           'CAST(tokens_kept AS DOUBLE) / (CAST(block_size AS DOUBLE)'
+           ' * ((tokens_kept + block_size - 1) // block_size))',
+           6)} AS util_lower_bound
+FROM agg
+""",
+        doc="Training-block-size tradeoff sweep: for each candidate "
+        "context length (64/128/256/512), the exact truncation loss "
+        "(tokens beyond the block, docs affected) against the "
+        "bin-packing LOWER-bound utilization ceil(kept/B) blocks "
+        "would give — the two numbers a pretraining-data team trades "
+        "when picking max_seq_len (sequence_packing then realizes "
+        "the 512 choice greedily). All integer aggregates off ONE "
+        "narrow token-length pass crossed with the 4-row candidate "
+        "grid; ratios are fixed IEEE trees on bigints; integer DIV "
+        "for the block count (a double quotient can misround ceil at "
+        "1e10+ token scale — the curriculum lesson applied).",
+    )
+    def block_size_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.functions.exact import stable_round
+
+        docs = load_table(spark, sf_dir, "documents")
+        lens = docs.select(
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+        )
+        bs = F.explode(
+            F.array(*[F.lit(b) for b in (64, 128, 256, 512)])
+        ).alias("block_size")
+        grid = lens.select("n_tok", bs)
+        agg = grid.groupBy("block_size").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("n_tok") > F.col("block_size"))
+            .cast("bigint")
+            .alias("docs_truncated"),
+            F.sum(F.least(F.col("n_tok"), F.col("block_size")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("block_size"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_lost"),
+        )
+        kept, lost = F.col("tokens_kept"), F.col("tokens_lost")
+        blocks = F.expr(
+            "(tokens_kept + block_size - 1) DIV block_size"
+        )
+        return agg.select(
+            F.col("block_size").cast("bigint").alias("block_size"),
+            "n_docs",
+            "docs_truncated",
+            "tokens_kept",
+            "tokens_lost",
+            stable_round(
+                lost.cast("double") / (kept + lost), 6
+            ).alias("trunc_loss_share"),
+            stable_round(
+                kept.cast("double")
+                / (F.col("block_size").cast("double") * blocks),
+                6,
+            ).alias("util_lower_bound"),
+        )
+
+    @register(
+        "stratified_hash_sample",
+        oracle="""
+WITH keyed AS (
+    SELECT source, doc_id, lang,
+           md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+), ranked AS (
+    SELECT source, doc_id, lang, sample_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY sample_key, doc_id)
+                AS BIGINT) AS sample_rank
+    FROM keyed
+)
+SELECT source, doc_id, lang, sample_key, sample_rank
+FROM ranked WHERE sample_rank <= 20
+""",
+        doc="Deterministic stratified corpus sample: the 20 documents "
+        "per source with the smallest md5(doc_id) — the seeded, "
+        "engine-reproducible 'random' sample every eval/debug "
+        "pipeline needs (same md5 trick as dataset_split_assignment: "
+        "a uniform hash IS the sample's randomness, and any two runs "
+        "— or engines — agree on the exact member set). Scale shape: "
+        "one window partitioned by source (rank<=k prunes via "
+        "WindowGroupLimit before the sort materializes), no global "
+        "window, no driver participation; swap k or the stratum "
+        "column freely.",
+    )
+    def stratified_hash_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        keyed = docs.select(
+            "source",
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("source").orderBy("sample_key", "doc_id")
+        )
+        return (
+            keyed.withColumn("sample_rank", rn.cast("bigint"))
+            .where(F.col("sample_rank") <= 20)
+        )
+
+
+_register_r5()

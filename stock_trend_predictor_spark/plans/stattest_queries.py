@@ -1526,3 +1526,250 @@ JOIN kpss_t k USING (symbol)
 
 
 _register()
+
+
+#: chi-square(4) critical value at 5% (k=5 event types - 1).
+CHI2_4_5PCT = 9.487729036781154
+#: two-sided normal critical value at 5%.
+Z_5PCT = 1.959963984540054
+
+
+def _register_panel():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "rank_tests_panel",
+        oracle=f"""
+WITH ev AS (
+    SELECT event_type AS grp, value AS v
+    FROM events WHERE value IS NOT NULL
+), g AS (
+    SELECT grp, v, CAST(count(*) AS BIGINT) AS t FROM ev GROUP BY 1, 2
+), vg AS (
+    SELECT v, CAST(SUM(t) AS BIGINT) AS tv FROM g GROUP BY 1
+), rnk AS (
+    SELECT v, tv,
+           COALESCE(SUM(tv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM vg
+), per_grp AS (
+    SELECT g.grp, CAST(SUM(g.t) AS BIGINT) AS n_j,
+           CAST(SUM(CAST(g.t * (r.min_rank + (r.tv - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS r_j
+    FROM g JOIN rnk r ON r.v = g.v
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_j) AS BIGINT) AS n, SUM(r_j * r_j / n_j) AS s
+    FROM per_grp
+), ties AS (
+    SELECT SUM(CAST(tv AS DECIMAL(38,0)) * tv * tv - tv) AS tie_sum
+    FROM vg
+), kw AS (
+    SELECT t.n,
+           12.0 / (t.n * (t.n + 1.0)) * t.s - 3.0 * (t.n + 1.0) AS h,
+           1.0 - CAST(ti.tie_sum AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS c
+    FROM tot t CROSS JOIN ties ti
+), grps AS (
+    SELECT DISTINCT grp FROM g
+), pairs AS (
+    SELECT a.grp AS sym_a, b.grp AS sym_b
+    FROM grps a JOIN grps b ON a.grp < b.grp
+), pg AS (
+    SELECT p.sym_a, p.sym_b, g.v,
+           CAST(SUM(g.t) AS BIGINT) AS t,
+           CAST(SUM(CASE WHEN g.grp = p.sym_a THEN g.t ELSE 0 END)
+                AS BIGINT) AS ta
+    FROM g JOIN pairs p ON g.grp = p.sym_a OR g.grp = p.sym_b
+    GROUP BY 1, 2, 3
+), prnk AS (
+    SELECT sym_a, sym_b, v, t, ta,
+           COALESCE(SUM(t) OVER (PARTITION BY sym_a, sym_b ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS min_rank
+    FROM pg
+), pagg AS (
+    SELECT sym_a, sym_b,
+           CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(ta) AS BIGINT) AS na,
+           CAST(SUM(CAST(ta * (min_rank + (t - 1) / 2.0)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+           SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_sum
+    FROM prnk GROUP BY 1, 2
+), mw AS (
+    SELECT sym_a, sym_b, n,
+           ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1) / 2.0
+               AS ua,
+           CAST(na AS DOUBLE)
+               * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE)) / 2.0 AS mu,
+           sqrt(greatest(CAST(na AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE)) / 12.0
+                * ((CAST(n AS DOUBLE) + 1)
+                   - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))),
+                0.0)) AS sigma
+    FROM pagg
+)
+SELECT 'kruskal_wallis' AS test, '*' AS grp_a, '*' AS grp_b,
+       n,
+       {stable_round_sql('h', 6)} AS stat,
+       {stable_round_sql('h / c', 6)} AS z,
+       (h / c) > {CHI2_4_5PCT} AS sig
+FROM kw
+UNION ALL
+SELECT 'mann_whitney', sym_a, sym_b, n,
+       {stable_round_sql('ua', 6)},
+       {stable_round_sql('(ua - mu) / sigma', 6)},
+       abs((ua - mu) / sigma) > {Z_5PCT}
+FROM mw
+""",
+        doc="Shared-pass rank-test panel (r4 verdict #6): Kruskal-"
+        "Wallis across all k event types AND all k(k-1)/2 pairwise "
+        "Mann-Whitney tests from ONE (grp, value) aggregate over the "
+        "raw events — the single heavy pass both tests share. The "
+        "pooled distinct-value table feeds KW's rank construction; "
+        "the PAIRWISE rank tables are re-derived by fanning the "
+        "AGGREGATED counts (never raw rows) out to pairs, so the "
+        "pair fan-out is distinct-value-bounded. One output row per "
+        "test: KW carries (stat=H, z=tie-corrected H) vs "
+        "chi-square(k-1); each MW pair carries (stat=U_a, z) vs "
+        "N(0,1). Same tie corrections, DECIMAL rank sums, and "
+        "overflow-hardened (decimal cube / double product) "
+        "arithmetic as the standalone family members. The measured "
+        "sharing win vs running the members separately is published "
+        "in BENCH_DELTA_LOCAL.md.",
+    )
+    def rank_tests_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("grp"),
+                F.col("value").alias("v"),
+            )
+        )
+        # THE shared pass: one (grp, value) aggregate
+        g = ev.groupBy("grp", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        )
+        # ---- Kruskal-Wallis from pooled ranks
+        vg = g.groupBy("v").agg(F.sum("t").cast("bigint").alias("tv"))
+        wr = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rnk = vg.withColumn(
+            "min_rank", F.coalesce(F.sum("tv").over(wr), F.lit(0)) + 1
+        )
+        contrib = (
+            F.col("t")
+            * (F.col("min_rank") + (F.col("tv") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        per_grp = (
+            g.join(rnk, "v")
+            .groupBy("grp")
+            .agg(
+                F.sum("t").cast("bigint").alias("n_j"),
+                F.sum(contrib).cast("double").alias("r_j"),
+            )
+        )
+        tot = per_grp.agg(
+            F.sum("n_j").cast("bigint").alias("n"),
+            F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("s"),
+        )
+        ties = vg.agg(
+            F.sum(
+                F.col("tv").cast("decimal(38,0)")
+                * F.col("tv") * F.col("tv") - F.col("tv")
+            ).alias("tie_sum")
+        )
+        n = F.col("n")
+        h = (
+            F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("s")
+            - F.lit(3.0) * (n + F.lit(1.0))
+        )
+        c = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+            n.cast("double") * n * n - n
+        )
+        kw_row = tot.crossJoin(F.broadcast(ties)).select(
+            F.lit("kruskal_wallis").alias("test"),
+            F.lit("*").alias("grp_a"),
+            F.lit("*").alias("grp_b"),
+            n.alias("n"),
+            stable_round(h, 6).alias("stat"),
+            stable_round(h / c, 6).alias("z"),
+            ((h / c) > CHI2_4_5PCT).alias("sig"),
+        )
+        # ---- pairwise Mann-Whitney from the SAME aggregate: fan the
+        # (grp, value) counts (not raw rows) out to unordered pairs
+        grps = g.select("grp").distinct()
+        pairs = (
+            grps.select(F.col("grp").alias("sym_a"))
+            .join(grps.select(F.col("grp").alias("sym_b")))
+            .where(F.col("sym_a") < F.col("sym_b"))
+        )
+        pg = (
+            g.join(
+                F.broadcast(pairs),
+                (F.col("grp") == F.col("sym_a"))
+                | (F.col("grp") == F.col("sym_b")),
+            )
+            .groupBy("sym_a", "sym_b", "v")
+            .agg(
+                F.sum("t").cast("bigint").alias("t"),
+                F.sum(
+                    F.when(F.col("grp") == F.col("sym_a"), F.col("t"))
+                    .otherwise(F.lit(0))
+                ).cast("bigint").alias("ta"),
+            )
+        )
+        wp = (
+            Window.partitionBy("sym_a", "sym_b")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prnk = pg.withColumn(
+            "min_rank", F.coalesce(F.sum("t").over(wp), F.lit(0)) + 1
+        )
+        contrib2 = (
+            F.col("ta")
+            * (F.col("min_rank") + (F.col("t") - 1) / F.lit(2.0))
+        ).cast("decimal(38,6)")
+        pagg = prnk.groupBy("sym_a", "sym_b").agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum("ta").cast("bigint").alias("na"),
+            F.sum(contrib2).cast("double").alias("ra"),
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum"),
+        )
+        pn, pna = F.col("n"), F.col("na")
+        pn_d, pna_d = pn.cast("double"), pna.cast("double")
+        pnb_d = pn_d - pna_d
+        ua = F.col("ra") - pna_d * (pna_d + 1) / F.lit(2.0)
+        mu = pna_d * pnb_d / F.lit(2.0)
+        sigma = F.sqrt(
+            F.greatest(
+                pna_d * pnb_d / F.lit(12.0)
+                * (
+                    (pn_d + 1)
+                    - F.col("tie_sum").cast("double")
+                    / (pn_d * (pn_d - 1))
+                ),
+                F.lit(0.0),
+            )
+        )
+        mw_rows = pagg.select(
+            F.lit("mann_whitney").alias("test"),
+            F.col("sym_a").alias("grp_a"),
+            F.col("sym_b").alias("grp_b"),
+            pn.alias("n"),
+            stable_round(ua, 6).alias("stat"),
+            stable_round((ua - mu) / sigma, 6).alias("z"),
+            (F.abs((ua - mu) / sigma) > Z_5PCT).alias("sig"),
+        )
+        return kw_row.unionByName(mw_rows)
+
+
+_register_panel()

@@ -1,0 +1,184 @@
+"""Continuous IVF coarse-quantizer maintenance on the idempotent
+state store (r4 verdict #7).
+
+The declared ANN path (`ann_ivf_cosine`, operators/ivf.py) rebuilt its
+coarse quantizer in batch; a live ingest needs the index to FOLLOW the
+stream. The streaming-k-means observation makes that cheap: a centroid
+is fully determined by its cell's sufficient statistics (count n and
+per-dimension vector sum s), and those stats are ADDITIVE — so they
+fold per micro-batch through the same versioned-dir + atomic-META
+protocol as the admission/quality sinks, and the centroid refresh is
+just s/n on a parameter-sized table.
+
+State = two tables:
+
+- ``cell_counts`` (cid, n)        — k rows
+- ``cell_sums``   (cid, dim, s)   — k x d rows, s at DECIMAL(38,12)
+
+Decimal sums make the fold ORDER-INDEPENDENT (the pq.py codebook
+trick): any batch arrival order, any partitioning, any replay schedule
+commits bit-identical state. Batch vectors are assigned to their cell
+by the FROZEN trainer quantizer (``init_centroids`` — the FAISS
+train-then-add discipline), so every committed stat belongs to ONE
+well-defined quantizer version and the stream fold is exactly the
+batch fold of the union. Replayed batch ids are skipped before any
+write, so at-least-once foreachBatch delivery yields exactly-once
+folds.
+
+Why frozen, measured (round 5, sf0.1, nlist=16): letting assignments
+follow the refreshed centroids (mini-batch k-means) does NOT recover
+batch-rebuild recall on this near-random corpus — evolving 2-batch
+fold 0.625 @ nprobe=2, 10-batch fold 0.362 (stale assignments
+actively hurt), frozen fold 0.637; meanwhile ANY quantizer trained on
+half the corpus caps at ~0.65 @ nprobe=2 (the full-corpus batch build
+measures 1.000). The ceiling is the trainer's SAMPLE, not the
+maintenance scheme — so the maintained index is a freshness BRIDGE
+between periodic full retrains, served at a wider nprobe (measured
+0.76 @ nprobe=4 ≈ probe fraction 0.25, still well under the demoted
+LSH's 0.40), not a replacement for retraining. Mirrors the round-4
+LSH demotion: a measured ceiling, documented instead of papered over.
+
+Laws (tests/test_streaming.py):
+
+- replay idempotence: re-delivering a committed batch id is a no-op;
+- stream==batch parity: folding splits b0..bn equals the one-shot
+  sufficient stats of their union, decimal-exact — the sink's REAL
+  behavior, not a special case, because the quantizer is frozen;
+- centroid refresh: maintained centroids equal the per-cell mean of
+  every vector ever folded (numpy replication to 1e-9).
+
+Scale shape: per batch, one narrow assignment map (centroid literals
+in codegen — no join, no shuffle) + one (cid, dim) aggregate; state
+traffic is k x d decimals per commit, independent of corpus size. A
+query serves from the maintained index via ``maintained_centroids`` +
+``operators/ivf.ivf_topk``'s probe path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.operators.ivf import assign_clusters
+from stock_trend_predictor_spark.operators.similarity import as_double
+from stock_trend_predictor_spark.operators.statestore import (
+    commit_state,
+    read_state_table,
+)
+
+#: order-independent per-dimension accumulator type.
+SUM_DECIMAL = "decimal(38,12)"
+
+
+def batch_cell_stats(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's additive sufficient stats under a FIXED
+    quantizer: (cid, n) and (cid, dim, s)."""
+    a = assign_clusters(
+        batch.select(as_double(vec_col).alias("v")), centroids, "v"
+    )
+    counts = a.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sums = (
+        a.select("cid", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.sum(F.col("x").cast(SUM_DECIMAL)).alias("s"))
+    )
+    return counts, sums
+
+
+def update_ivf_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    init_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch into the maintained index (idempotent: replayed
+    batch ids are skipped before any write). Assignment uses the
+    FROZEN trainer ``init_centroids`` — see the module docstring for
+    the measured reason."""
+    counts, sums = batch_cell_stats(batch, init_centroids, vec_col=vec_col)
+    prev_c = read_state_table(spark, state_dir, "cell_counts")
+    prev_s = read_state_table(spark, state_dir, "cell_sums")
+    if prev_c is not None:
+        counts = (
+            prev_c.unionByName(counts)
+            .groupBy("cid")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+    if prev_s is not None:
+        sums = (
+            prev_s.unionByName(sums)
+            .groupBy("cid", "dim")
+            .agg(F.sum("s").cast(SUM_DECIMAL).alias("s"))
+        )
+    commit_state(
+        state_dir,
+        {"cell_counts": counts, "cell_sums": sums},
+        batch_id=batch_id,
+    )
+
+
+def maintained_centroids(
+    spark: SparkSession,
+    state_dir: str,
+    init_centroids: list[list[float]],
+) -> list[list[float]] | None:
+    """The committed quantizer: per-cell s/n, rounded to double once
+    in the driver (k x d values — a model, not data), overlaid onto
+    ``init_centroids`` so a cell that has never seen a vector keeps
+    its seed centroid AND its cid (mirrors kmeans_centroids'
+    empty-cluster rule). None before the first commit."""
+    counts = read_state_table(spark, state_dir, "cell_counts")
+    sums = read_state_table(spark, state_dir, "cell_sums")
+    if counts is None or sums is None:
+        return None
+    rows = (
+        sums.join(counts, "cid")
+        .select("cid", "dim", "s", "n")
+        .collect()
+    )
+    if not rows:
+        return None
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cid"], {})[r["dim"]] = float(r["s"]) / r["n"]
+    out: list[list[float]] = []
+    for cid, seed in enumerate(init_centroids):
+        dims = by_cell.get(cid)
+        if dims is None:
+            out.append(list(seed))
+        else:
+            out.append([dims[d] for d in sorted(dims)])
+    return out
+
+
+def ivf_maintenance_sink(
+    vec_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    init_centroids: list[list[float]],
+    vec_col: str = "embedding",
+):
+    """Continuous index maintenance over a vector stream."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_ivf_state(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            init_centroids,
+            vec_col=vec_col,
+            batch_id=batch_id,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -284,3 +284,28 @@ def test_phrase_search_matches_python(spark, sf_dir):
         if pos:
             expect[d.doc_id] = (len(pos), pos[0])
     assert got == expect and got  # non-empty at every SF
+
+
+def test_ivf_maintained_recall_floor(spark):
+    """The continuously-maintained index (streaming fold of two
+    batches under a FROZEN half-corpus trainer, NO batch rebuild)
+    must hold its measured bridge-recall contract: ~0.70 @ nprobe=4
+    at sf0.001 (0.66 sf0.01 / 0.76 sf0.1 — the half-corpus-trainer
+    ceiling on this near-random corpus; full retrain restores 1.0,
+    see streaming/ivf_maintenance.py). Floor at 0.5 = collapse
+    detector, not a luck pin."""
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "embeddings")
+    queries = corpus.where(F.col("vec_id") < 8)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["ann_ivf_maintained"].fn(spark, sf).collect()
+    }
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.5, f"maintained-IVF recall {recall} collapsed"

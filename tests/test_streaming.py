@@ -1189,3 +1189,172 @@ def test_quality_audit_stream_equals_batch(spark, sf_dir, tmp_path):
     assert final["value_positive"][0] == base["value_positive"] + 1
     assert final["ts_not_null"][0] == base["ts_not_null"] + 2
     assert not final["value_not_null"][1]
+
+
+def test_ivf_maintenance_stats_fold_is_exact(spark, sf_dir):
+    """Stream==batch law: with a FIXED quantizer, folding per-batch
+    sufficient stats over splits equals the one-shot stats of the
+    union — decimal-exact (order-independent accumulators)."""
+    from stock_trend_predictor_spark.operators.ivf import kmeans_centroids
+    from stock_trend_predictor_spark.operators.similarity import as_double
+    from stock_trend_predictor_spark.streaming.ivf_maintenance import (
+        batch_cell_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = kmeans_centroids(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        ),
+        k=8,
+        iters=1,
+        id_col="neighbor_id",
+        vec_col="cv",
+    )
+    splits = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    parts = [batch_cell_stats(s, init) for s in splits]
+    folded_counts = parts[0][0]
+    folded_sums = parts[0][1]
+    for c, s in parts[1:]:
+        folded_counts = (
+            folded_counts.unionByName(c)
+            .groupBy("cid")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        folded_sums = (
+            folded_sums.unionByName(s)
+            .groupBy("cid", "dim")
+            .agg(F.sum("s").cast("decimal(38,12)").alias("s"))
+        )
+    one_c, one_s = batch_cell_stats(emb, init)
+    got_c = {r.cid: r.n for r in folded_counts.collect()}
+    want_c = {r.cid: r.n for r in one_c.collect()}
+    assert got_c == want_c
+    got_s = {(r.cid, r.dim): r.s for r in folded_sums.collect()}
+    want_s = {(r.cid, r.dim): r.s for r in one_s.collect()}
+    assert got_s == want_s  # Decimal == Decimal: bit-exact
+
+
+def test_ivf_maintenance_replay_and_centroids(spark, sf_dir, tmp_path):
+    """Replayed batch ids are no-ops; maintained centroids equal the
+    numpy replication of the frozen-trainer fold (every batch
+    assigned under init — the measured design, see module doc)."""
+    import numpy as np
+
+    from stock_trend_predictor_spark.operators.ivf import kmeans_centroids
+    from stock_trend_predictor_spark.operators.similarity import as_double
+    from stock_trend_predictor_spark.streaming.ivf_maintenance import (
+        maintained_centroids,
+        update_ivf_state,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    init = kmeans_centroids(
+        even.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        ),
+        k=8,
+        iters=1,
+        id_col="neighbor_id",
+        vec_col="cv",
+    )
+    sdir = str(tmp_path / "ivf-state")
+    update_ivf_state(spark, even, sdir, init, batch_id=0)
+    update_ivf_state(spark, odd, sdir, init, batch_id=1)
+    after = maintained_centroids(spark, sdir, init)
+    # replay batch 1: state must be bit-identical
+    update_ivf_state(spark, odd, sdir, init, batch_id=1)
+    assert maintained_centroids(spark, sdir, init) == after
+
+    # numpy replication: every batch assigned under the frozen init
+    def vecs(df):
+        rows = df.orderBy("vec_id").collect()
+        return np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+
+    def assign(x, cents):
+        c = np.asarray(cents)
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    k = len(init)
+    xs_even, xs_odd = vecs(even), vecs(odd)
+    n = np.zeros(k)
+    s = np.zeros((k, xs_even.shape[1]))
+    for x in (xs_even, xs_odd):
+        a = assign(x, init)
+        for cid in range(k):
+            m = a == cid
+            n[cid] += m.sum()
+            s[cid] += x[m].sum(axis=0)
+    for cid in range(k):
+        if n[cid] == 0:
+            assert after[cid] == list(init[cid])
+        else:
+            want = s[cid] / n[cid]
+            assert np.allclose(after[cid], want, atol=1e-9), cid
+
+
+def test_ivf_maintenance_sink_end_to_end(spark, sf_dir, tmp_path):
+    """The real foreachBatch sink over a file stream commits the same
+    state as driver-side folds of the same batches."""
+    import glob
+
+    from stock_trend_predictor_spark.operators.ivf import kmeans_centroids
+    from stock_trend_predictor_spark.operators.similarity import as_double
+    from stock_trend_predictor_spark.streaming.ivf_maintenance import (
+        ivf_maintenance_sink,
+        maintained_centroids,
+        update_ivf_state,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    splits = [
+        emb.where(F.col("vec_id") % 2 == i).localCheckpoint(eager=True)
+        for i in range(2)
+    ]
+    init = kmeans_centroids(
+        splits[0].select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        ),
+        k=8,
+        iters=1,
+        id_col="neighbor_id",
+        vec_col="cv",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    now = time.time()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdir = str(tmp_path / "stream-state")
+    q = ivf_maintenance_sink(
+        stream, sdir, checkpoint=str(tmp_path / "ckpt"), init_centroids=init
+    )
+    q.awaitTermination(120)
+
+    ref_dir = str(tmp_path / "ref-state")
+    update_ivf_state(spark, splits[0], ref_dir, init, batch_id=0)
+    update_ivf_state(spark, splits[1], ref_dir, init, batch_id=1)
+    got = maintained_centroids(spark, sdir, init)
+    want = maintained_centroids(spark, ref_dir, init)
+    assert got == want  # same folds, bit-identical state

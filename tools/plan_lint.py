@@ -84,7 +84,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
         "cross-bucket prefix-min heads: one row per price bucket — "
         "the parameter-sized level of its own two-level decomposition"
     ),
-    "stat_tests_panel": (
+    "rank_tests_panel": (
         "pooled and per-pair distinct-value counts tables — the "
         "shared rank construction never windows raw rows"
     ),
