@@ -5,12 +5,16 @@ the bench scale factor (default sf0.1) on local[$SPARK_GRAFT_CPUS] and
 prints ONE JSON line:
 
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "queries_median": {...},
+     "bench_runs": 5, "sf": 0.1}
 
 Each query is forced to full execution with the `noop` sink (distributed
 materialization of every output row — no driver collect, no disk write),
 so the measured time is scan + shuffle + compute, exactly what scales to
-a real cluster.
+a real cluster. Since round 5 each query runs N=5 times in-session:
+"queries" keeps the best (series continuity with the best-of-2 rounds),
+"queries_median" is the robust column the box's ±30% cross-session noise
+cannot fake (r4 verdict #3).
 """
 
 from __future__ import annotations

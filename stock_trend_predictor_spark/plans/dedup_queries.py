@@ -828,3 +828,110 @@ FROM comp GROUP BY component
 
 
 _register_er()
+
+
+def _register_r5():
+    from stock_trend_predictor_spark.functions.exact import (
+        stable_round,
+        stable_round_sql,
+    )
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "source_overlap_matrix",
+        oracle=f"""
+WITH d AS (
+    SELECT DISTINCT source, md5(text) AS dg FROM documents
+), sz AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_common, 0) AS n_common
+    FROM sz sa
+    JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN inter i
+      ON i.source_a = sa.source AND i.source_b = sb.source
+)
+SELECT source_a, source_b, n_a, n_b, n_common,
+       {stable_round_sql(
+           'CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)',
+           6)} AS jaccard,
+       {stable_round_sql(
+           'CAST(n_common AS DOUBLE) / least(n_a, n_b)',
+           6)} AS containment
+FROM pairs
+""",
+        doc="Cross-source duplication matrix — WHICH crawls duplicate "
+        "each other, the curation question dedup_source_attribution's "
+        "per-source shares can't answer (two sources can both be 30% "
+        "duplicated against the corpus while sharing nothing with "
+        "each other): per unordered source pair, the exact Jaccard "
+        "and containment of their content-digest sets. Scale shape: "
+        "digests are 16-byte md5 — text never crosses an exchange; "
+        "the intersection is one digest-keyed equi-join of the "
+        "DISTINCT (source, digest) table (dup-group bounded, the "
+        "dedup_exact discipline); the pair frame is "
+        "#sources-squared — universe-bounded, computed off the "
+        "broadcast per-source size table.",
+    )
+    def source_overlap_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        d = docs.select(
+            "source", F.md5("text").alias("dg")
+        ).distinct()
+        sz = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        inter = (
+            d.alias("a")
+            .join(
+                d.alias("b"),
+                (F.col("a.dg") == F.col("b.dg"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        )
+        sa = sz.select(
+            F.col("source").alias("source_a"), F.col("n").alias("n_a")
+        )
+        sb = sz.select(
+            F.col("source").alias("source_b"), F.col("n").alias("n_b")
+        )
+        pairs = (
+            F.broadcast(sa)
+            .join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+            .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+            .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+        )
+        return pairs.select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            stable_round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            stable_round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("containment"),
+        )
+
+
+_register_r5()

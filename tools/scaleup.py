@@ -24,9 +24,11 @@ from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scaleup30"
-REPLICAS = 30
+REPLICAS = int(os.environ.get("SCALEUP_REPLICAS", "30"))
+DST = os.environ.get("SCALEUP_DST", f"/tmp/scaleup{REPLICAS}")
 STRIDE = 10**9
 
 
