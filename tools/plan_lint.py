@@ -73,6 +73,16 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
         "per-nation allocation table (nation-universe-bounded, 25 "
         "rows at any SF)"
     ),
+    "pareto_customer_revenue": (
+        "prefix-scan offsets table only: one row per revenue band "
+        "(64 broadcast-percentile buckets); customer rows are "
+        "windowed exclusively per-band (operators/rank.py step 3)"
+    ),
+    "gini_customer_revenue": (
+        "prefix-scan offsets table only: one row per revenue band "
+        "(64 broadcast-percentile buckets); customer rows are "
+        "windowed exclusively per-band (operators/rank.py step 3)"
+    ),
     "portfolio_equal_weight_summary": (
         "portfolio-level hourly grid: one row per hour after the "
         "per-hour aggregate"
