@@ -76,6 +76,7 @@ def prefix_scan_rank(
     rank_name: str = "global_rank",
     sum_col: str | None = None,
     cumsum_name: str = "global_cumsum",
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``df`` plus an exact 1-based global ``row_number`` over
     ``order_cols`` — computed without any unpartitioned window over
@@ -87,17 +88,26 @@ def prefix_scan_rank(
     column in the same global order (inclusive frame) as
     ``cumsum_name`` — per-bucket totals become carry-in offsets
     exactly like the counts, so decimal inputs stay exact.
+
+    With ``partition_cols``, the rank restarts per group (the
+    many-groups generalization: e.g. one exact median selection per
+    symbol pair). The offsets table grows to groups x buckets rows —
+    still parameter-sized as long as the group universe is — and the
+    offsets window partitions by group, so no frame ever exceeds the
+    bucket count.
     """
+    parts = list(partition_cols)
     b = df.withColumn("__bucket", bucket)
     aggs = [F.count(F.lit(1)).alias("__n")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__s"))
-    counts = b.groupBy("__bucket").agg(*aggs)
-    # parameter-sized frame: one row per bucket
-    w_prev = Window.orderBy("__bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    counts = b.groupBy(*parts, "__bucket").agg(*aggs)
+    # parameter-sized frame: one row per (group, bucket)
+    w_prev = (
+        Window.partitionBy(*parts) if parts else Window
+    ).orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
+        *[F.col(c) for c in parts],
         F.col("__bucket"),
         F.coalesce(F.sum("__n").over(w_prev), F.lit(0)).alias("__off"),
     ]
@@ -109,10 +119,10 @@ def prefix_scan_rank(
             F.coalesce(F.sum("__s").over(w_prev), zero).alias("__soff")
         )
     off = counts.select(*off_cols)
-    w_in = Window.partitionBy("__bucket").orderBy(*order_cols)
+    w_in = Window.partitionBy(*parts, "__bucket").orderBy(*order_cols)
     rn = F.row_number().over(w_in)
     out = (
-        b.join(F.broadcast(off), "__bucket")
+        b.join(F.broadcast(off), [*parts, "__bucket"])
         .withColumn(rank_name, (F.col("__off") + rn).cast("bigint"))
     )
     if sum_col is not None:

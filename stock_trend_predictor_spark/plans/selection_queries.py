@@ -442,3 +442,176 @@ FROM ranked WHERE sample_rank <= 20
 
 
 _register_r5()
+
+
+def _register_r5b():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "epoch_shuffle_manifest",
+        oracle="""
+WITH e AS (
+    SELECT unnest([1, 2]) AS epoch
+), h AS (
+    SELECT e.epoch, d.doc_id,
+           md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS shuf
+    FROM documents d CROSS JOIN e
+), r AS (
+    SELECT epoch, doc_id, shuf,
+           row_number() OVER (PARTITION BY epoch
+                              ORDER BY shuf, doc_id) AS shuffle_pos,
+           count(*) OVER (PARTITION BY epoch) AS n
+    FROM h
+)
+SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST(((shuffle_pos - 1) * 8) // n AS INT) AS shard
+FROM r
+""",
+        doc="Per-epoch deterministic global shuffle order + contiguous "
+        "shard assignment — the reproducible data-loader manifest "
+        "every pretraining run needs (epoch reshuffles come from "
+        "seeding the hash with the epoch number, so run N and a "
+        "restarted run N agree byte-for-byte; cf. the reference's "
+        "ad-hoc per-restart ordering, predict_from_vm4.py:44-45 "
+        "consumes change-stream arrival order, which is not "
+        "replayable). Scale shape: the global shuffle position is "
+        "NOT a global window — prefix_scan_rank buckets by the first "
+        "two hex chars of the order key itself (256 order-aligned "
+        "buckets per epoch, partition_cols=[epoch]), so every "
+        "physical window sees ~1/256 of one epoch and the only "
+        "unpartitioned frame is the 512-row offsets table. Shards "
+        "are contiguous rank ranges (8 per epoch) in pure integer "
+        "arithmetic — a shard IS a sequential-read file at 100 TB.",
+    )
+    def epoch_shuffle_manifest(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        epochs = F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch")
+        keyed = docs.select("doc_id", epochs).select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit("epoch"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("shuf"),
+        )
+        # bucket = first byte of the order key: order-aligned because
+        # lowercase-hex strings sort identically to their numeric value
+        bucket = F.conv(F.substring("shuf", 1, 2), 16, 10).cast("int")
+        ranked = prefix_scan_rank(
+            keyed,
+            bucket,
+            ["shuf", "doc_id"],
+            rank_name="shuffle_pos",
+            partition_cols=["epoch"],
+        )
+        tot = docs.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            ranked.join(F.broadcast(tot))
+            .select(
+                F.col("epoch").cast("int").alias("epoch"),
+                "doc_id",
+                "shuffle_pos",
+                F.expr("((shuffle_pos - 1) * 8) DIV n")
+                .cast("int")
+                .alias("shard"),
+            )
+        )
+
+    @register(
+        "token_budget_selection",
+        oracle="""
+WITH q AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS richness
+    FROM documents
+), tot AS (
+    SELECT source, SUM(n_tok) AS src_tokens FROM q GROUP BY 1
+), r AS (
+    SELECT q.*,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY richness DESC, doc_id)
+               AS sel_rank,
+           SUM(n_tok) OVER (PARTITION BY source
+                            ORDER BY richness DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM q
+)
+SELECT r.source, r.doc_id, r.n_tok, r.richness,
+       CAST(r.sel_rank AS BIGINT) AS sel_rank,
+       CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+       (r.cum_tokens <= (6 * t.src_tokens) // 10) AS kept
+FROM r JOIN tot t ON t.source = r.source
+""",
+        doc="Token-budget selection: each source keeps its "
+        "highest-quality documents (vocabulary richness, doc_id "
+        "tie-break) until 60% of that source's token mass is spent — "
+        "the greedy quality-under-budget policy data-constrained "
+        "pretraining mixes use. The budget is integer arithmetic "
+        "(6*total DIV 10) so the keep frontier is exact on both "
+        "engines. Scale shape: per-source rank AND running token sum "
+        "come from ONE prefix_scan_rank pass (partition_cols=[source],"
+        " sum_col=n_tok) bucketed by the value-bounded richness "
+        "domain — a plain source-partitioned window would sort "
+        "corpus/n_sources rows in one task (the same class as the r4 "
+        "curriculum finding); here no window exceeds a (source x "
+        "richness) cell and the offsets table is parameter-sized.",
+    )
+    def token_budget_selection(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        q = docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("richness"),
+        )
+        ranked = prefix_scan_rank(
+            q,
+            (-F.col("richness")).cast("int"),
+            [F.col("richness").desc(), F.col("doc_id")],
+            rank_name="sel_rank",
+            sum_col="n_tok",
+            cumsum_name="cum_tokens",
+            partition_cols=["source"],
+        )
+        tot = q.groupBy("source").agg(
+            F.sum("n_tok").alias("src_tokens")
+        )
+        return (
+            ranked.join(F.broadcast(tot), "source")
+            .select(
+                "source",
+                "doc_id",
+                "n_tok",
+                "richness",
+                "sel_rank",
+                F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+                (
+                    F.col("cum_tokens")
+                    <= F.expr("(6 * src_tokens) DIV 10")
+                ).alias("kept"),
+            )
+        )
+
+
+_register_r5b()

@@ -26,6 +26,7 @@ from stock_trend_predictor_spark.functions.exact import (
 from stock_trend_predictor_spark.sources.tables import (
     TICKS_ORACLE_CTE,
     load_table,
+    materialize_once,
     ticks,
 )
 
@@ -1241,11 +1242,16 @@ rets AS (
     FROM ticks WHERE open IS NOT NULL
     GROUP BY 1, 2
 ), hl AS (
-    SELECT p.sym_a, p.sym_b,
-           median(hb.m - ha.m) AS hl_shift
-    FROM pairs p
-    JOIN hourly ha ON ha.symbol = p.sym_a
-    JOIN hourly hb ON hb.symbol = p.sym_b
+    SELECT sym_a, sym_b, AVG(d) AS hl_shift FROM (
+        SELECT p.sym_a, p.sym_b, hb.m - ha.m AS d,
+               row_number() OVER (PARTITION BY p.sym_a, p.sym_b
+                                  ORDER BY hb.m - ha.m) AS rn,
+               count(*) OVER (PARTITION BY p.sym_a, p.sym_b) AS cnt
+        FROM pairs p
+        JOIN hourly ha ON ha.symbol = p.sym_a
+        JOIN hourly hb ON hb.symbol = p.sym_b
+    ) WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+         OR rn = CAST(floor((cnt + 2) / 2.0) AS BIGINT)
     GROUP BY 1, 2
 )
 SELECT u.sym_a, u.sym_b,
@@ -1266,20 +1272,51 @@ FROM uagg u JOIN hl ON hl.sym_a = u.sym_a AND hl.sym_b = u.sym_b
         "of pairwise differences of the decimal-exact HOURLY mean "
         "returns (the full-sample HL is an na x nb pair blowup; the "
         "hourly-mean form keeps the pair table hours^2-bounded — "
-        "documented estimator choice, identical in the oracle). "
-        "DuckDB median == Spark percentile(0.5) on doubles "
-        "(lower-interpolation midpoint, verified by the hash).",
+        "documented estimator choice, identical in the oracle). The "
+        "median is an exact rank SELECTION, not an aggregate: "
+        "exact percentile() buffers every difference as JVM map "
+        "entries in one buffer per pair (measured: OOMs a 1 GiB "
+        "driver at sf0.1's 5.2M diffs), so the engine ranks via "
+        "prefix_scan_rank partitioned by pair — uniform value-grid "
+        "buckets from the hourly-mean min/max (cut placement only "
+        "moves load, never the rank), Tungsten sort per (pair, "
+        "bucket), broadcast carry-in offsets — and keeps the rows "
+        "at rank floor((n+1)/2) and floor((n+2)/2), averaging the "
+        "two (one row when n is odd; a+b is order-exact IEEE for "
+        "two values). Oracle mirrors the same selection with "
+        "row_number, so both engines average identical doubles.",
     )
     def effect_sizes_pairwise(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         from stock_trend_predictor_spark.functions.exact import DECIMAL_T
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+        )
 
         t = ticks(spark, sf_dir).where(F.col("open").isNotNull())
         rets = t.select(
             "symbol", (F.col("close") - F.col("open")).alias("r")
         )
-        syms = rets.select("symbol").distinct()
+        # hourly is symbols x hours — parameter-sized; materializing it
+        # once feeds pairs/bounds/counts/both diff sides off ONE base
+        # scan instead of five.
+        hourly = materialize_once(
+            t.groupBy(
+                "symbol",
+                F.floor(F.unix_timestamp("ts") / F.lit(3600))
+                .cast("bigint")
+                .alias("hr"),
+            ).agg(
+                (
+                    F.sum(
+                        (F.col("close") - F.col("open")).cast(DECIMAL_T)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        syms = hourly.select("symbol").distinct()
         pairs = (
             syms.select(F.col("symbol").alias("sym_a"))
             .join(syms.select(F.col("symbol").alias("sym_b")))
@@ -1319,35 +1356,85 @@ FROM uagg u JOIN hl ON hl.sym_a = u.sym_a AND hl.sym_b = u.sym_b
             F.sum("ta").cast("bigint").alias("na"),
             F.sum(contrib).cast("double").alias("ra"),
         )
-        hourly = (
-            t.groupBy(
-                "symbol",
-                F.floor(F.unix_timestamp("ts") / F.lit(3600))
-                .cast("bigint")
-                .alias("hr"),
-            )
-            .agg(
-                (
-                    F.sum(
-                        (F.col("close") - F.col("open")).cast(DECIMAL_T)
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-        )
         ha = hourly.select(
             F.col("symbol").alias("sym_a"), F.col("m").alias("ma")
         )
         hb = hourly.select(
             F.col("symbol").alias("sym_b"), F.col("m").alias("mb")
         )
-        hl = (
-            pairs.join(ha, "sym_a")
-            .join(hb, "sym_b")
-            .groupBy("sym_a", "sym_b")
-            .agg(
-                F.expr("percentile(mb - ma, 0.5)").alias("hl_shift")
+        # hours^2-per-pair diff table: spread the expansion across
+        # tasks (pairs is a handful of rows in one partition — without
+        # the repartition the whole blowup runs in a single task),
+        # then rank per pair with the two-level prefix scan and keep
+        # only the middle row(s). See doc for why not percentile().
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # NOT materialized: the hours^2 expansion re-runs for the
+        # rank's counts pass and window pass, but each re-expansion
+        # off the materialized hourly is one broadcast probe — far
+        # cheaper than pinning hours^2 rows in block storage
+        # (measured: localCheckpoint here OOMs a 1 GiB driver).
+        diffs = (
+            pairs.join(F.broadcast(ha), "sym_a")
+            .repartition(n_shuffle)
+            .join(F.broadcast(hb), "sym_b")
+            .select(
+                "sym_a",
+                "sym_b",
+                (F.col("mb") - F.col("ma")).alias("d"),
             )
+        )
+        bounds = hourly.agg(
+            F.min("m").alias("lo"), F.max("m").alias("hi")
+        ).collect()[0]  # parameter-sized: one row
+        lo_d = float(bounds["lo"]) - float(bounds["hi"])
+        width = max(2.0 * (float(bounds["hi"]) - float(bounds["lo"])), 1e-12)
+        n_b = 64
+        grid = F.least(
+            F.lit(n_b - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("d") - F.lit(lo_d)) / F.lit(width) * n_b),
+            ),
+        ).cast("int")
+        ranked = prefix_scan_rank(
+            diffs,
+            grid,
+            ["d"],
+            rank_name="rk",
+            partition_cols=["sym_a", "sym_b"],
+        )
+        hcnt = hourly.groupBy("symbol").agg(
+            F.count(F.lit(1)).cast("bigint").alias("hc")
+        )
+        pcnt = (
+            pairs.join(
+                hcnt.select(
+                    F.col("symbol").alias("sym_a"),
+                    F.col("hc").alias("hca"),
+                ),
+                "sym_a",
+            )
+            .join(
+                hcnt.select(
+                    F.col("symbol").alias("sym_b"),
+                    F.col("hc").alias("hcb"),
+                ),
+                "sym_b",
+            )
+            .select(
+                "sym_a",
+                "sym_b",
+                (F.col("hca") * F.col("hcb")).alias("cnt"),
+            )
+        )
+        hl = (
+            ranked.join(F.broadcast(pcnt), ["sym_a", "sym_b"])
+            .where(
+                (F.col("rk") == F.floor((F.col("cnt") + 1) / 2))
+                | (F.col("rk") == F.floor((F.col("cnt") + 2) / 2))
+            )
+            .groupBy("sym_a", "sym_b")
+            .agg(F.avg("d").alias("hl_shift"))
         )
         n, na = F.col("n"), F.col("na")
         cliffs = (
