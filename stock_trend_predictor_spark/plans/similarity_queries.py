@@ -1010,3 +1010,108 @@ def _register_maintained_ivf():
 
 
 _register_maintained_ivf()
+
+
+def _register_hard_negatives():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "hard_negative_mining",
+        oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           {_COS_SQL} AS sim
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 16) q
+      ON c.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+           CASE WHEN neighbor_label = query_label
+                THEN 'positive' ELSE 'hard_negative' END AS role,
+           row_number() OVER (
+               PARTITION BY query_id,
+                            (neighbor_label = query_label)
+               ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(query_label AS INT) AS query_label, role,
+       CAST(rank AS INT) AS rank, neighbor_id,
+       CAST(neighbor_label AS INT) AS neighbor_label,
+       {stable_round_sql('sim', 6)} AS sim
+FROM ranked WHERE rank <= 5
+""",
+        doc="Contrastive-training pair mining over the labeled "
+        "embeddings table: for each anchor, the 5 nearest SAME-label "
+        "vectors (positives) and the 5 nearest DIFFERENT-label "
+        "vectors (hard negatives — the near-boundary examples that "
+        "make contrastive/metric-learning batches informative, "
+        "per the in-batch-negatives recipe of dense-retrieval "
+        "training). One narrow corpus scan against the broadcast "
+        "anchor set, sequential-fold cosine (bit-identical to "
+        "DuckDB's list_inner_product), ONE window partitioned by "
+        "(anchor, same-label flag) serving both roles — no second "
+        "pass, no per-role scan. Scale shape: anchors are the small "
+        "side (a training batch), so cost is anchors x corpus with "
+        "the corpus scanned once; swap the exact scan for the IVF "
+        "probe path (ann_ivf_cosine) when the corpus side outgrows "
+        "brute force — mining quality then degrades gracefully with "
+        "measured recall (RECALL.json), not silently.",
+    )
+    def hard_negative_mining(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = (
+            emb.where(F.col("vec_id") < 16)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("query_label"),
+                as_double("embedding").alias("qv"),
+            )
+            .withColumn("qn", l2norm(F.col("qv")))
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            as_double("embedding").alias("cv"),
+        ).withColumn("cn", l2norm(F.col("cv")))
+        sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        same = F.col("neighbor_label") == F.col("query_label")
+        scored = c.join(
+            F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            same.alias("is_same"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            sim.alias("sim"),
+        )
+        w = Window.partitionBy("query_id", "is_same").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(
+                "query_id",
+                "query_label",
+                F.when(F.col("is_same"), F.lit("positive"))
+                .otherwise(F.lit("hard_negative"))
+                .alias("role"),
+                "rank",
+                "neighbor_id",
+                "neighbor_label",
+                stable_round(F.col("sim"), 6).alias("sim"),
+            )
+        )
+
+
+_register_hard_negatives()
