@@ -1,0 +1,152 @@
+"""Laws for operators/rank.py::prefix_scan_rank — the two-level
+prefix scan must agree exactly with the single-window construction it
+replaces, for every bucket source and for the partition_cols /
+sum_col generalizations."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.operators.rank import (
+    prefix_scan_rank,
+    quantile_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = random.Random(20260814)
+    rows = [
+        (
+            i,
+            rng.choice(["alpha", "beta", "gamma"]),
+            rng.randint(0, 40),
+            float(rng.randint(1, 999)) / 8.0,
+        )
+        for i in range(700)
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, grp string, score int, weight double"
+    )
+
+
+def test_global_rank_matches_global_window(frame):
+    got = prefix_scan_rank(
+        frame, F.col("score"), ["score", "id"], rank_name="rk"
+    )
+    want = frame.withColumn(
+        "rk", F.row_number().over(Window.orderBy("score", "id"))
+    )
+    assert (
+        got.select("id", "rk")
+        .exceptAll(want.select("id", "rk"))
+        .count()
+        == 0
+    )
+
+
+def test_partitioned_rank_and_cumsum_match_partitioned_window(frame):
+    got = prefix_scan_rank(
+        frame,
+        F.col("score"),
+        ["score", "id"],
+        rank_name="rk",
+        sum_col="weight",
+        cumsum_name="cw",
+        partition_cols=["grp"],
+    )
+    w = Window.partitionBy("grp").orderBy("score", "id")
+    want = frame.withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn(
+        "cw",
+        F.sum("weight").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert (
+        got.select("id", "rk", "cw")
+        .exceptAll(want.select("id", "rk", "cw"))
+        .count()
+        == 0
+    )
+
+
+def test_descending_order_with_negated_bucket(frame):
+    # the token_budget_selection shape: bucket = -value aligns with
+    # a DESC ordering
+    got = prefix_scan_rank(
+        frame,
+        (-F.col("score")).cast("int"),
+        [F.col("score").desc(), F.col("id")],
+        rank_name="rk",
+        partition_cols=["grp"],
+    )
+    want = frame.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("score").desc(), F.col("id")
+            )
+        ),
+    )
+    assert (
+        got.select("id", "rk")
+        .exceptAll(want.select("id", "rk"))
+        .count()
+        == 0
+    )
+
+
+def test_hash_prefix_bucket_is_order_aligned(frame):
+    # the epoch_shuffle_manifest shape: bucket = first hex byte of
+    # the md5 order key itself
+    keyed = frame.withColumn(
+        "h", F.md5(F.col("id").cast("string"))
+    )
+    got = prefix_scan_rank(
+        keyed,
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int"),
+        ["h", "id"],
+        rank_name="rk",
+    )
+    want = keyed.withColumn(
+        "rk", F.row_number().over(Window.orderBy("h", "id"))
+    )
+    assert (
+        got.select("id", "rk")
+        .exceptAll(want.select("id", "rk"))
+        .count()
+        == 0
+    )
+
+
+def test_quantile_bucket_equal_values_share_bucket(frame):
+    b = frame.withColumn(
+        "bkt", quantile_bucket(frame, "score", n_buckets=8)
+    )
+    assert (
+        b.groupBy("score")
+        .agg(F.count_distinct("bkt").alias("nb"))
+        .where(F.col("nb") > 1)
+        .count()
+        == 0
+    )
+    # and bucket ids are order-aligned with the value
+    viol = (
+        b.groupBy("bkt")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .alias("a")
+        .join(
+            b.groupBy("bkt")
+            .agg(F.min("score").alias("lo"))
+            .alias("b"),
+            F.col("a.bkt") < F.col("b.bkt"),
+        )
+        .where(F.col("a.hi") > F.col("b.lo"))
+    )
+    assert viol.count() == 0
