@@ -615,3 +615,86 @@ FROM r JOIN tot t ON t.source = r.source
 
 
 _register_r5b()
+
+
+def _register_r5c():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "budget_admission_state",
+        oracle="""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), b AS (
+    SELECT CAST(SUM(n_tok) AS BIGINT)
+           // (CAST(COUNT(DISTINCT source) AS BIGINT) * 2) AS budget
+    FROM toks
+), c AS (
+    SELECT doc_id, source, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT doc_id, source, n_tok
+FROM c WHERE cum <= (SELECT budget FROM b)
+""",
+        doc="The CONTINUOUS token-budget admission gate, oracle-checked "
+        "end-to-end: the documents table arrives as three contiguous "
+        "doc_id ranges folded through streaming/budget.py's "
+        "hard-frontier sink on the versioned state store, and the "
+        "returned admitted set is compared against the one-shot SQL "
+        "prefix rule — the stream==batch law (admission under a fixed "
+        "arrival order is batching-invariant; per-doc token counts "
+        "are strictly positive, so the frontier is exactly "
+        "cum <= budget) run as a driver-checked oracle rather than "
+        "only a pytest assertion. The budget is half the mean "
+        "per-source token mass in integer arithmetic (tot DIV "
+        "(n_sources*2)), so the frontier BINDS at every SF — a "
+        "never-binding budget would make the check vacuous. Per "
+        "batch: one window over the batch's own rows + a broadcast "
+        "join against the parameter-sized totals table; replayed "
+        "batch ids are no-ops (laws in tests/test_streaming.py).",
+    )
+    def budget_admission_state(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.budget import (
+            read_admitted_docs,
+            update_budget_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        # contiguous arrival order = doc_id order: split at the exact
+        # tertile ids; budget = half the mean per-source token mass
+        # (three parameter-sized scalars)
+        lo, hi, budget = docs.agg(
+            F.expr("percentile(doc_id, 0.33)"),
+            F.expr("percentile(doc_id, 0.67)"),
+            F.expr(
+                "CAST(SUM(size(split(text, ' '))) AS BIGINT)"
+                " DIV (COUNT(DISTINCT source) * 2)"
+            ),
+        ).first()
+        state_dir = tempfile.mkdtemp(prefix="budget-adm-")
+        splits = [
+            docs.where(F.col("doc_id") <= F.lit(lo)),
+            docs.where(
+                (F.col("doc_id") > F.lit(lo))
+                & (F.col("doc_id") <= F.lit(hi))
+            ),
+            docs.where(F.col("doc_id") > F.lit(hi)),
+        ]
+        for i, part in enumerate(splits):
+            update_budget_state(
+                spark, part, state_dir, budget=int(budget), batch_id=i
+            )
+        return read_admitted_docs(spark, state_dir)
+
+
+_register_r5c()

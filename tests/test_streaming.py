@@ -11,6 +11,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from stock_trend_predictor_spark.streaming.ingest import (
@@ -1358,3 +1359,122 @@ def test_ivf_maintenance_sink_end_to_end(spark, sf_dir, tmp_path):
     got = maintained_centroids(spark, sdir, init)
     want = maintained_centroids(spark, ref_dir, init)
     assert got == want  # same folds, bit-identical state
+
+
+def test_budget_admission_laws(spark, sf_dir, tmp_path):
+    """streaming/budget.py hard-frontier admission: budget cap,
+    stream==batch (one-shot prefix rule) under contiguous splits, a
+    real writeStream run agreeing with the direct fold, monotone
+    exhaustion, and replay idempotence."""
+    from stock_trend_predictor_spark.streaming.budget import (
+        admit_batch,
+        budget_admission_sink,
+        read_admitted_docs,
+        read_budget_totals,
+        tokenize_counts,
+        update_budget_state,
+    )
+
+    budget = 800
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    lo, hi = docs.agg(
+        F.expr("percentile(doc_id, 0.33)"),
+        F.expr("percentile(doc_id, 0.67)"),
+    ).first()
+    splits = [
+        docs.where(F.col("doc_id") <= F.lit(lo)),
+        docs.where(
+            (F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi))
+        ),
+        docs.where(F.col("doc_id") > F.lit(hi)),
+    ]
+
+    sdir = str(tmp_path / "state")
+    for i, part in enumerate(splits):
+        update_budget_state(spark, part, sdir, budget=budget, batch_id=i)
+
+    kept = read_admitted_docs(spark, sdir)
+    totals = read_budget_totals(spark, sdir)
+
+    # law 1: budget cap per source, exactly the committed totals
+    for r in totals.collect():
+        assert r.admitted_tokens <= budget, r
+    recomputed = {
+        r.source: r.s
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    for r in totals.collect():
+        assert recomputed.get(r.source, 0) == r.admitted_tokens
+
+    # law 2: stream==batch — the one-shot prefix rule over doc_id order
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    oneshot = (
+        tokenize_counts(docs)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= budget)
+        .select("doc_id", "source", "n_tok")
+    )
+    assert kept.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(kept).count() == 0
+
+    # law 3: monotone exhaustion — an exhausted source admits nothing,
+    # even a 1-token document
+    exhausted = [
+        r.source for r in totals.where("exhausted").collect()
+    ]
+    assert exhausted, "sf0.001 corpus should exhaust at this budget"
+    tiny = spark.createDataFrame(
+        [(99_000_000, exhausted[0], "x")],
+        "doc_id long, source string, text string",
+    )
+    update_budget_state(spark, tiny, sdir, budget=budget, batch_id=3)
+    assert (
+        read_admitted_docs(spark, sdir)
+        .where(F.col("doc_id") == 99_000_000)
+        .count()
+        == 0
+    )
+
+    # law 4: replay idempotence
+    before = read_budget_totals(spark, sdir).collect()
+    update_budget_state(spark, splits[1], sdir, budget=budget, batch_id=1)
+    after = read_budget_totals(spark, sdir).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # law 5: the real writeStream sink agrees with the direct fold
+    src = tmp_path / "in"
+    src.mkdir()
+    import glob
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+        (f,) = glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdir2 = str(tmp_path / "state2")
+    q = budget_admission_sink(
+        stream, sdir2, checkpoint=str(tmp_path / "ckpt2"), budget=budget
+    )
+    q.awaitTermination(120)
+    kept2 = read_admitted_docs(spark, sdir2)
+    assert kept2.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(kept2).count() == 0
