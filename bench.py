@@ -84,6 +84,12 @@ HEADLINE = [
     "friedman_hod_symbols",      # within-block rank table
     "effect_sizes_pairwise",     # Cliff's delta + Hodges-Lehmann
     "rank_tests_panel",          # shared-pass KW + pairwise MW panel
+    # round-5b additions (the new manifest/mining/admission ops get a
+    # timing series from birth; everything above stays frozen).
+    "epoch_shuffle_manifest",    # partitioned prefix-scan global shuffle
+    "token_budget_selection",    # rank+cumsum one-pass budget frontier
+    "hard_negative_mining",      # anchors x corpus contrastive top-k
+    "budget_admission_state",    # stateful streaming fold (3 commits)
 ]
 
 
