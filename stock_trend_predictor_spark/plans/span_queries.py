@@ -511,3 +511,185 @@ FROM packed GROUP BY split
 
 _register_manifest()
 
+
+
+def _register_r5():
+    from stock_trend_predictor_spark.functions.text import hash60, hash60_sql
+    from stock_trend_predictor_spark.plans.registry import register
+
+    W_CHUNK, S_CHUNK = 128, 96  # window / stride (32-token overlap)
+
+    @register(
+        "context_window_chunking",
+        oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+), starts AS (
+    SELECT doc_id, t, n,
+           CAST(unnest(range(1, n + 1, {S_CHUNK})) AS BIGINT) AS tok_start
+    FROM toks
+)
+SELECT doc_id,
+       CAST((tok_start - 1) // {S_CHUNK} AS INT) AS chunk_id,
+       tok_start,
+       least(tok_start + {W_CHUNK - 1}, n) AS tok_end,
+       least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1 AS n_chunk_tok,
+       (least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1
+        < {W_CHUNK}) AS is_partial,
+       md5(array_to_string(
+           t[tok_start : least(tok_start + {W_CHUNK - 1}, n)], ' '
+       )) AS chunk_hash
+FROM starts
+""",
+        doc=f"Overlapping context-window chunk manifest (RAG/retrieval "
+        f"indexing): every document is cut into {W_CHUNK}-token windows "
+        f"on a stride-{S_CHUNK} grid ({W_CHUNK - S_CHUNK}-token "
+        "overlap, so no boundary-straddling passage is lost to "
+        "retrieval), each chunk carrying its token range and an "
+        "md5 content fingerprint for chunk-level dedup and "
+        "incremental re-embedding (only chunks whose hash changed "
+        "need re-encoding). Trailing partial chunks are kept and "
+        "flagged. Pure narrow per-row compute — the explode is "
+        "n/stride per doc, text never shuffles, and the chunk_id "
+        "grid is integer arithmetic identical on both engines.",
+    )
+    def context_window_chunking(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+        starts = toks.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(
+                F.expr(f"sequence(1L, n, {S_CHUNK}L)")
+            ).alias("tok_start"),
+        )
+        tok_end = F.least(
+            F.col("tok_start") + F.lit(W_CHUNK - 1), F.col("n")
+        )
+        n_chunk = tok_end - F.col("tok_start") + 1
+        return starts.select(
+            "doc_id",
+            F.expr(f"CAST((tok_start - 1) DIV {S_CHUNK} AS INT)").alias(
+                "chunk_id"
+            ),
+            "tok_start",
+            tok_end.alias("tok_end"),
+            n_chunk.alias("n_chunk_tok"),
+            (n_chunk < W_CHUNK).alias("is_partial"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "slice(t, CAST(tok_start AS INT), "
+                        f"CAST(least(tok_start + {W_CHUNK - 1}, n) "
+                        "- tok_start + 1 AS INT))"
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+
+    @register(
+        "train_test_leakage_report",
+        oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest([{{'pos': CAST(i AS BIGINT),
+                     'h': CAST(('0x' || substr(md5(array_to_string(
+                              t[i + 1 : i + {K_SPAN}], ' ')), 1, 15))
+                           AS BIGINT)}}
+                   FOR i IN range(len(t) - {K_SPAN - 1})]) AS g
+    FROM toks WHERE len(t) >= {K_SPAN}
+), lab AS (
+    SELECT doc_id, g.pos AS pos, g.h AS h,
+           {hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+    FROM grams
+), train_h AS (
+    SELECT DISTINCT h FROM lab WHERE bucket < 90
+), ev AS (
+    SELECT * FROM lab WHERE bucket >= 90
+), tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams FROM ev
+    GROUP BY 1
+), cont AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS leaked_grams FROM ev
+    WHERE h IN (SELECT h FROM train_h) GROUP BY 1
+)
+SELECT t.doc_id,
+       CASE WHEN {hash60_sql('CAST(t.doc_id AS VARCHAR)')} % 100 < 95
+            THEN 'val' ELSE 'test' END AS split,
+       t.total_grams,
+       COALESCE(c.leaked_grams, 0) AS leaked_grams,
+       {stable_round_sql(
+           'CAST(COALESCE(c.leaked_grams, 0) AS DOUBLE) / t.total_grams',
+           6)} AS leak_frac,
+       (COALESCE(c.leaked_grams, 0) >= 0.2 * t.total_grams) AS leaked
+FROM tot t LEFT JOIN cont c ON c.doc_id = t.doc_id
+""",
+        doc="Train→eval contamination report over the SAME split rule "
+        "the pipeline ships (dataset_split_assignment's md5 90/5/5) "
+        f"and the SAME {K_SPAN}-gram fingerprints the span-dedup tier "
+        "uses: for every val/test document, the fraction of its gram "
+        "positions whose hash occurs in ANY train document — the "
+        "eval-integrity audit (GPT-3 appendix-C style) that "
+        "decontaminate_ngram_overlap runs against an EXTERNAL "
+        "benchmark, turned inward on the split itself. leaked = "
+        ">= 20% of positions contaminated (integer-free comparison: "
+        "leaked_grams >= 0.2*total on both engines). One shuffle on "
+        "the 8-byte gram hash (semi join against the distinct train "
+        "gram set); documents shorter than the gram width carry no "
+        "fingerprints and are excluded, as in the span tier.",
+    )
+    def train_test_leakage_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        g = gram_positions(docs).withColumn(
+            "bucket", hash60(F.col("doc_id").cast("string")) % 100
+        )
+        train_h = (
+            g.where(F.col("bucket") < 90).select("h").distinct()
+        )
+        ev = g.where(F.col("bucket") >= 90)
+        tot = ev.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_grams")
+        )
+        cont = (
+            ev.join(train_h, "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_grams"))
+        )
+        leaked_g = F.coalesce("leaked_grams", F.lit(0))
+        return (
+            tot.join(cont, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    hash60(F.col("doc_id").cast("string")) % 100 < 95,
+                    "val",
+                )
+                .otherwise("test")
+                .alias("split"),
+                "total_grams",
+                leaked_g.alias("leaked_grams"),
+                stable_round(
+                    leaked_g.cast("double") / F.col("total_grams"), 6
+                ).alias("leak_frac"),
+                (
+                    leaked_g >= F.lit(0.2) * F.col("total_grams")
+                ).alias("leaked"),
+            )
+        )
+
+
+_register_r5()
