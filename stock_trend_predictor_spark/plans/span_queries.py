@@ -513,35 +513,92 @@ _register_manifest()
 
 
 
+#: chunk window / stride (8-token overlap). Sized to the corpus: the
+#: documents run 10-99 tokens, so a 128-token window would degenerate
+#: to one partial chunk per doc; 32/24 yields 1-5 real windows each.
+W_CHUNK, S_CHUNK = 32, 24
+
+
+def chunk_manifest(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, tok_start, tok_end, n_chunk_tok, is_partial,
+    chunk_hash) — every W_CHUNK-token window on the S_CHUNK grid of
+    every document. Narrow per-row compute; shared by the chunking
+    query and the incremental re-index delta."""
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.expr(f"sequence(1L, n, {S_CHUNK}L)")).alias(
+            "tok_start"
+        ),
+    )
+    tok_end = F.least(
+        F.col("tok_start") + F.lit(W_CHUNK - 1), F.col("n")
+    )
+    n_chunk = tok_end - F.col("tok_start") + 1
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((tok_start - 1) DIV {S_CHUNK} AS INT)").alias(
+            "chunk_id"
+        ),
+        "tok_start",
+        tok_end.alias("tok_end"),
+        n_chunk.alias("n_chunk_tok"),
+        (n_chunk < W_CHUNK).alias("is_partial"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "slice(t, CAST(tok_start AS INT), "
+                    f"CAST(least(tok_start + {W_CHUNK - 1}, n) "
+                    "- tok_start + 1 AS INT))"
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+#: DuckDB mirror of chunk_manifest over table/CTE ``{src}`` (columns
+#: doc_id, text) — ends as a SELECT, embed as a CTE body.
+def _chunks_sql(src: str) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST((tok_start - 1) // {S_CHUNK} AS INT) AS chunk_id,
+           tok_start,
+           least(tok_start + {W_CHUNK - 1}, n) AS tok_end,
+           least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1
+               AS n_chunk_tok,
+           (least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1
+            < {W_CHUNK}) AS is_partial,
+           md5(array_to_string(
+               t[tok_start : least(tok_start + {W_CHUNK - 1}, n)], ' '
+           )) AS chunk_hash
+    FROM (
+        SELECT doc_id, t, n,
+               CAST(unnest(range(1, n + 1, {S_CHUNK})) AS BIGINT)
+                   AS tok_start
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM {src}
+        )
+    )"""
+
+
 def _register_r5():
     from stock_trend_predictor_spark.functions.text import hash60, hash60_sql
     from stock_trend_predictor_spark.plans.registry import register
 
-    W_CHUNK, S_CHUNK = 128, 96  # window / stride (32-token overlap)
-
     @register(
         "context_window_chunking",
         oracle=f"""
-WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-    FROM documents
-), starts AS (
-    SELECT doc_id, t, n,
-           CAST(unnest(range(1, n + 1, {S_CHUNK})) AS BIGINT) AS tok_start
-    FROM toks
-)
-SELECT doc_id,
-       CAST((tok_start - 1) // {S_CHUNK} AS INT) AS chunk_id,
-       tok_start,
-       least(tok_start + {W_CHUNK - 1}, n) AS tok_end,
-       least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1 AS n_chunk_tok,
-       (least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1
-        < {W_CHUNK}) AS is_partial,
-       md5(array_to_string(
-           t[tok_start : least(tok_start + {W_CHUNK - 1}, n)], ' '
-       )) AS chunk_hash
-FROM starts
+WITH chunks AS ({_chunks_sql('documents')})
+SELECT * FROM chunks
 """,
         doc=f"Overlapping context-window chunk manifest (RAG/retrieval "
         f"indexing): every document is cut into {W_CHUNK}-token windows "
@@ -559,42 +616,93 @@ FROM starts
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        toks = docs.select(
+        return chunk_manifest(docs)
+
+    @register(
+        "chunk_reindex_delta",
+        oracle=f"""
+WITH revised AS (
+    SELECT doc_id,
+           text || ' ' || array_to_string(
+               string_split(text, ' ')[1 :
+                   least(40, len(string_split(text, ' ')))], ' ')
+               AS text
+    FROM documents
+), old_chunks AS ({_chunks_sql('documents')}),
+new_chunks AS ({_chunks_sql('revised')}),
+old_idx AS (
+    SELECT DISTINCT chunk_hash FROM old_chunks
+), per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count_if(chunk_hash NOT IN
+                         (SELECT chunk_hash FROM old_idx)) AS BIGINT)
+               AS n_embed
+    FROM new_chunks GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_embed,
+       n_chunks - n_embed AS n_reused,
+       {stable_round_sql(
+           'CAST(n_chunks - n_embed AS DOUBLE) / n_chunks', 6)}
+           AS reuse_frac
+FROM per_doc
+""",
+        doc="Incremental re-embedding planner over the chunk index "
+        "under APPEND-style document revisions (each doc grows by its "
+        "own first 40 tokens — a deterministic stand-in for log/wiki "
+        "growth that both engines derive identically): the new "
+        "snapshot's chunks split into reusable (content hash already "
+        "in the old index — the encoder is skipped) vs must-embed. "
+        "Because the stride grid is anchored at token 1, appends "
+        "preserve every full interior chunk — real nonzero reuse — "
+        "while the trailing window genuinely re-embeds; a PREFIX "
+        "edit would shift the whole grid and force full re-embedding "
+        "(the documented fixed-grid limitation that content-defined "
+        "chunking addresses). Chunk-level analog of "
+        "dedup_incremental_batch: one shuffle of 16-byte hashes "
+        "(semi join against the distinct old index); chunk text "
+        "never moves. At 100 TB the old index is a bucketed table "
+        "on chunk_hash and the probe is bucket-local.",
+    )
+    def chunk_reindex_delta(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        revised = docs.select(
             "doc_id",
-            F.split("text", " ").alias("t"),
-            F.size(F.split("text", " ")).cast("bigint").alias("n"),
-        )
-        starts = toks.select(
-            "doc_id",
-            "t",
-            "n",
-            F.explode(
-                F.expr(f"sequence(1L, n, {S_CHUNK}L)")
-            ).alias("tok_start"),
-        )
-        tok_end = F.least(
-            F.col("tok_start") + F.lit(W_CHUNK - 1), F.col("n")
-        )
-        n_chunk = tok_end - F.col("tok_start") + 1
-        return starts.select(
-            "doc_id",
-            F.expr(f"CAST((tok_start - 1) DIV {S_CHUNK} AS INT)").alias(
-                "chunk_id"
-            ),
-            "tok_start",
-            tok_end.alias("tok_end"),
-            n_chunk.alias("n_chunk_tok"),
-            (n_chunk < W_CHUNK).alias("is_partial"),
-            F.md5(
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
                 F.concat_ws(
                     " ",
-                    F.expr(
-                        "slice(t, CAST(tok_start AS INT), "
-                        f"CAST(least(tok_start + {W_CHUNK - 1}, n) "
-                        "- tok_start + 1 AS INT))"
+                    F.slice(
+                        toks, 1, F.least(F.lit(40), F.size(toks))
                     ),
-                )
-            ).alias("chunk_hash"),
+                ),
+            ).alias("text"),
+        )
+        old_idx = (
+            chunk_manifest(docs).select("chunk_hash").distinct()
+        )
+        newc = chunk_manifest(revised)
+        hits = (
+            newc.join(old_idx, "chunk_hash", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_reused"))
+        )
+        per_doc = newc.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+        )
+        reused = F.coalesce("n_reused", F.lit(0))
+        return per_doc.join(hits, "doc_id", "left").select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - reused).alias("n_embed"),
+            reused.alias("n_reused"),
+            stable_round(
+                reused.cast("double") / F.col("n_chunks"), 6
+            ).alias("reuse_frac"),
         )
 
     @register(
