@@ -521,9 +521,15 @@ W_CHUNK, S_CHUNK = 32, 24
 
 def chunk_manifest(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_id, tok_start, tok_end, n_chunk_tok, is_partial,
-    chunk_hash) — every W_CHUNK-token window on the S_CHUNK grid of
-    every document. Narrow per-row compute; shared by the chunking
-    query and the incremental re-index delta."""
+    chunk_hash) — the W_CHUNK-token windows on the S_CHUNK grid of
+    every document, DROPPING trailing windows fully contained in
+    their predecessor (a grid start s > 1 adds coverage only while
+    s <= n - W + S; emitting the contained ones would pollute the
+    index with sub-chunks that can never be the best retrieval hit).
+    Guarantees law-tested in tests/test_rank.py: windows tile [1, n]
+    exactly, neighbors overlap by exactly W - S, chunk ids are dense
+    from 0, and at most the LAST window is partial. Narrow per-row
+    compute; shared by the chunking query and the re-index delta."""
     toks = docs.select(
         "doc_id",
         F.split("text", " ").alias("t"),
@@ -536,6 +542,9 @@ def chunk_manifest(docs: DataFrame) -> DataFrame:
         F.explode(F.expr(f"sequence(1L, n, {S_CHUNK}L)")).alias(
             "tok_start"
         ),
+    ).where(
+        (F.col("tok_start") == 1)
+        | (F.col("tok_start") <= F.col("n") - W_CHUNK + S_CHUNK)
     )
     tok_end = F.least(
         F.col("tok_start") + F.lit(W_CHUNK - 1), F.col("n")
@@ -587,7 +596,8 @@ def _chunks_sql(src: str) -> str:
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
             FROM {src}
         )
-    )"""
+    )
+    WHERE tok_start = 1 OR tok_start <= n - {W_CHUNK} + {S_CHUNK}"""
 
 
 def _register_r5():
@@ -607,10 +617,13 @@ SELECT * FROM chunks
         "retrieval), each chunk carrying its token range and an "
         "md5 content fingerprint for chunk-level dedup and "
         "incremental re-embedding (only chunks whose hash changed "
-        "need re-encoding). Trailing partial chunks are kept and "
-        "flagged. Pure narrow per-row compute — the explode is "
-        "n/stride per doc, text never shuffles, and the chunk_id "
-        "grid is integer arithmetic identical on both engines.",
+        "need re-encoding). A trailing partial window is kept and "
+        "flagged; trailing windows fully CONTAINED in their "
+        "predecessor are dropped (sub-chunks can never be the best "
+        "retrieval hit — grid laws in tests/test_rank.py). Pure "
+        "narrow per-row compute — the explode is n/stride per doc, "
+        "text never shuffles, and the chunk_id grid is integer "
+        "arithmetic identical on both engines.",
     )
     def context_window_chunking(
         spark: SparkSession, sf_dir: str

@@ -150,3 +150,59 @@ def test_quantile_bucket_equal_values_share_bucket(frame):
         .where(F.col("a.hi") > F.col("b.lo"))
     )
     assert viol.count() == 0
+
+
+def test_chunk_manifest_covers_every_token(spark, sf_dir):
+    """Chunk-grid laws: windows tile [1, n] with exactly W-S overlap
+    between neighbors, ids are dense from 0, and the only partial
+    chunk is the last one."""
+    from stock_trend_predictor_spark.plans.span_queries import (
+        S_CHUNK,
+        W_CHUNK,
+        chunk_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    c = chunk_manifest(docs)
+    per_doc = c.groupBy("doc_id").agg(
+        F.min("tok_start").alias("first_start"),
+        F.max("tok_end").alias("last_end"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("chunk_id").alias("max_id"),
+        F.sum(F.when(F.col("is_partial"), 1).otherwise(0)).alias(
+            "n_partial"
+        ),
+    )
+    j = per_doc.join(n_tok, "doc_id")
+    bad = j.where(
+        (F.col("first_start") != 1)
+        | (F.col("last_end") != F.col("n"))
+        | (F.col("max_id") != F.col("k") - 1)
+        | (F.col("n_partial") > 1)
+    )
+    assert bad.count() == 0
+    # neighbor overlap is exactly W-S wherever a successor exists
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("chunk_id")
+    succ = c.withColumn("next_start", F.lead("tok_start").over(w)).where(
+        F.col("next_start").isNotNull()
+    )
+    assert (
+        succ.where(
+            F.col("next_start") - F.col("tok_start") != S_CHUNK
+        ).count()
+        == 0
+    )
+    full = c.where(~F.col("is_partial"))
+    assert (
+        full.where(
+            F.col("tok_end") - F.col("tok_start") + 1 != W_CHUNK
+        ).count()
+        == 0
+    )
