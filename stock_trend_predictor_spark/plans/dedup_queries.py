@@ -935,3 +935,108 @@ FROM pairs
 
 
 _register_r5()
+
+
+def _register_r5b():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "semdedup_keep_decision",
+        # No oracle: built on the IVF cell assignment, whose k-means
+        # centroids are not engine-reproducible at the last ulp (same
+        # reason as dedup_embedding_ivf). Laws in tests/test_dedup.py:
+        # exactly one keeper per cluster and it is the min member,
+        # singletons kept, drop count == sum(cluster_size - 1), and
+        # every cluster id equals its min member.
+        doc="SemDeDup (Abbas et al. 2023) keep decision — semantic "
+        "dedup at the corpus level, label-free: the IVF coarse "
+        "quantizer blocks candidates (nprobe=3 cells, pair recall "
+        "published in RECALL.json), exact cosine >= 0.35 builds the "
+        "near-dup graph, transitive closure via min-label "
+        "propagation (operators/components.py) groups semantic "
+        "duplicates, and each cluster keeps ONE representative — the "
+        "min vec_id, a deterministic stand-in for the paper's "
+        "lowest-centroid-similarity choice, which would inherit the "
+        "quantizer's float non-reproducibility. Output: every vector "
+        "with its cluster, cluster size, and keep flag; the drop set "
+        "is sum(cluster_size - 1) vectors. Composes the three "
+        "operators this repo already ships (IVF blocking, triangle "
+        "pair enumeration, iterative CC) into the end-to-end "
+        "curation pass a 100 TB embedding corpus runs before "
+        "training.",
+    )
+    def semdedup_keep_decision(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.components import (
+            connected_components,
+        )
+        from stock_trend_predictor_spark.operators.ivf import (
+            assign_clusters_multiprobe,
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.operators.skew import (
+            pair_parallel_self_join,
+        )
+
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        cents = kmeans_centroids(e, k=8, iters=3, vec_col="v")
+        probed = assign_clusters_multiprobe(e, cents, nprobe=3)
+        pairs = pair_parallel_self_join(
+            probed, block="cid", id_col="vec_id"
+        )
+        cos = dot(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        edges = (
+            pairs.select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                    "vec_a"
+                ),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                    "vec_b"
+                ),
+                cos.alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= 0.35)
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        comps = connected_components(edges, src="vec_a", dst="vec_b")
+        labeled = (
+            e.select("vec_id")
+            .join(
+                comps.select(
+                    F.col("node").alias("vec_id"), "component"
+                ),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                F.coalesce("component", F.col("vec_id")).alias(
+                    "cluster"
+                ),
+            )
+        )
+        sizes = labeled.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+        )
+        return labeled.join(F.broadcast(sizes), "cluster").select(
+            "vec_id",
+            "cluster",
+            "cluster_size",
+            (F.col("vec_id") == F.col("cluster")).alias("keep"),
+        )
+
+
+_register_r5b()

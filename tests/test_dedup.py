@@ -141,3 +141,45 @@ def test_simhash_short_docs(spark):
     )
     for r in rows:
         assert r["sh"] is not None and 0 <= r["sh"] < (1 << 28)
+
+
+def test_semdedup_keep_decision_laws(spark, sf_dir):
+    """SemDeDup keep decision: cluster id is the min member, exactly
+    one keeper per cluster (the min), singletons are kept, and the
+    drop count is sum(cluster_size - 1)."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.plans import REGISTRY
+
+    out = REGISTRY["semdedup_keep_decision"].fn(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+
+    per = out.groupBy("cluster").agg(
+        F.min("vec_id").alias("min_id"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.first("cluster_size").alias("sz"),
+    )
+    bad = per.where(
+        (F.col("min_id") != F.col("cluster"))
+        | (F.col("n_keep") != 1)
+        | (F.col("n") != F.col("sz"))
+    )
+    assert bad.count() == 0
+    # keeper is the min member
+    assert (
+        out.where("keep")
+        .where(F.col("vec_id") != F.col("cluster"))
+        .count()
+        == 0
+    )
+    # drop count law: one keeper per cluster => drops = total - #clusters
+    total = out.count()
+    kept = out.where("keep").count()
+    n_clusters = per.count()
+    assert kept == n_clusters
+    assert total - kept == per.select(
+        F.sum(F.col("sz") - 1)
+    ).first()[0]
+    # every vector appears exactly once
+    assert out.select("vec_id").distinct().count() == total
