@@ -814,3 +814,197 @@ FROM tot t LEFT JOIN cont c ON c.doc_id = t.doc_id
 
 
 _register_r5()
+
+
+def _register_r5_retrieval():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # same fixed query-term set as bm25_doc_search, same constants
+    # (k1=1.2, b=0.75, non-negative idf) — the comparison of document-
+    # vs passage-granularity retrieval is only meaningful if the
+    # scoring function is identical
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+
+    def _term_sql(t: str) -> str:
+        return (
+            f"ln((n_chunks - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+            f" * (tf_{t} * 2.2)"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        )
+
+    _tf_sql = ",\n               ".join(
+        f"len(list_filter(ct, x -> x = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    _df_sql = ",\n           ".join(
+        f"count(*) FILTER (WHERE tf_{t} > 0) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    _score_sql = " + ".join(_term_sql(t) for t in BM25_TERMS)
+
+    @register(
+        "chunk_bm25_search",
+        oracle=f"""
+WITH starts AS (
+    SELECT doc_id, t, n,
+           CAST(unnest(range(1, n + 1, {S_CHUNK})) AS BIGINT)
+               AS tok_start
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    )
+), cw AS (
+    SELECT doc_id,
+           CAST((tok_start - 1) // {S_CHUNK} AS INT) AS chunk_id,
+           least(tok_start + {W_CHUNK - 1}, n) - tok_start + 1 AS dl,
+           t[tok_start : least(tok_start + {W_CHUNK - 1}, n)] AS ct
+    FROM starts
+    WHERE tok_start = 1 OR tok_start <= n - {W_CHUNK} + {S_CHUNK}
+), tf AS (
+    SELECT doc_id, chunk_id, dl,
+               {_tf_sql}
+    FROM cw
+), s AS (
+    SELECT count(*) AS n_chunks, avg(dl) AS avgdl, {_df_sql}
+    FROM tf
+), scored AS (
+    SELECT doc_id, chunk_id,
+           {stable_round_sql(_score_sql, 6)} AS bm25
+    FROM tf CROSS JOIN s
+), best AS (
+    SELECT doc_id, chunk_id, bm25,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY bm25 DESC, chunk_id) AS rn
+    FROM scored
+)
+SELECT doc_id, chunk_id, bm25
+FROM best WHERE rn = 1
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+        doc="Passage-granularity BM25 retrieval over the chunk "
+        "manifest — the RAG retrieval shape: every chunk is scored "
+        "with the SAME term set and constants as bm25_doc_search "
+        "(k1=1.2, b=0.75, non-negative idf; df and avgdl at CHUNK "
+        "granularity), each document collapses to its best chunk "
+        "(max-passage, the window is per-doc and chunk-count-bounded) "
+        "and the top-20 passages come off the PRE-ROUNDED score with "
+        "doc_id tiebreak so the cut is engine-exact. Per-chunk term "
+        "frequencies are array_filter over the window slice — no "
+        "explode, no (chunk x term) shuffle; corpus stats collapse to "
+        "one broadcast row. Completes the chunk tier: chunk -> "
+        "dedup/reindex (chunk_reindex_delta) -> retrieve (this).",
+    )
+    def chunk_bm25_search(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+        cw = (
+            toks.select(
+                "doc_id",
+                "t",
+                "n",
+                F.explode(
+                    F.expr(f"sequence(1L, n, {S_CHUNK}L)")
+                ).alias("tok_start"),
+            )
+            .where(
+                (F.col("tok_start") == 1)
+                | (
+                    F.col("tok_start")
+                    <= F.col("n") - W_CHUNK + S_CHUNK
+                )
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST((tok_start - 1) DIV {S_CHUNK} AS INT)"
+                ).alias("chunk_id"),
+                (
+                    F.least(
+                        F.col("tok_start") + F.lit(W_CHUNK - 1),
+                        F.col("n"),
+                    )
+                    - F.col("tok_start")
+                    + 1
+                ).alias("dl"),
+                F.expr(
+                    "slice(t, CAST(tok_start AS INT), "
+                    f"CAST(least(tok_start + {W_CHUNK - 1}, n) "
+                    "- tok_start + 1 AS INT))"
+                ).alias("ct"),
+            )
+        )
+
+        def _eq(term: str):
+            return lambda x: x == F.lit(term)
+
+        # tf pass feeds both the stats agg and the scoring side
+        tf = materialize_once(
+            cw.select(
+                "doc_id",
+                "chunk_id",
+                "dl",
+                *[
+                    F.size(F.filter(F.col("ct"), _eq(t))).alias(
+                        f"tf_{t}"
+                    )
+                    for t in BM25_TERMS
+                ],
+            )
+        )
+        stats = tf.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(
+                    f"df_{t}"
+                )
+                for t in BM25_TERMS
+            ],
+        )
+        score = None
+        for t in BM25_TERMS:
+            tfc = F.col(f"tf_{t}")
+            df = F.col(f"df_{t}")
+            idf = F.log(
+                (F.col("n_chunks") - df + F.lit(0.5))
+                / (df + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            norm = tfc + F.lit(1.2) * (
+                F.lit(0.25)
+                + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+            )
+            term = idf * (tfc * F.lit(2.2)) / norm
+            score = term if score is None else score + term
+        scored = tf.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            "chunk_id",
+            stable_round(score, 6).alias("bm25"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("bm25").desc(), F.col("chunk_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "chunk_id", "bm25")
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(20)
+        )
+
+
+_register_r5_retrieval()
