@@ -90,6 +90,12 @@ HEADLINE = [
     "token_budget_selection",    # rank+cumsum one-pass budget frontier
     "hard_negative_mining",      # anchors x corpus contrastive top-k
     "budget_admission_state",    # stateful streaming fold (3 commits)
+    # round-5c additions (the chunk/retrieval tier and the SemDeDup
+    # composition; everything above stays frozen).
+    "chunk_reindex_delta",       # chunk-hash semi join re-embed planner
+    "train_test_leakage_report",  # cross-split gram contamination
+    "semdedup_keep_decision",    # IVF blocks + cosine graph + CC keep
+    "chunk_bm25_search",         # passage BM25 + max-passage collapse
 ]
 
 

@@ -986,10 +986,24 @@ def _register_r5b():
 
         e = (
             load_table(spark, sf_dir, "embeddings")
+            # a single-file parquet corpus would pin every narrow
+            # stage (assignment, norms) to ONE task — spread first
+            .repartition(spark.sparkContext.defaultParallelism)
             .select("vec_id", as_double("embedding").alias("v"))
             .withColumn("nrm", l2norm(F.col("v")))
         )
-        cents = kmeans_centroids(e, k=8, iters=3, vec_col="v")
+        # cell count scales with the corpus (parameter-sized count
+        # action): a FIXED nlist makes cells grow linearly and the
+        # within-cell pair enumeration quadratically — measured: the
+        # 30x dup-saturated corpus never finishes at k=8. The cap at
+        # 64 keeps the literal-centroid assignment expression inside
+        # whole-stage-codegen limits; past that, the next lever is
+        # sample-trained centroids + a broadcast-join assignment
+        # (SCALE.md) — the standard IVF sizing rule either way
+        # (nlist ~ N / cell_budget).
+        n = e.count()
+        k = max(8, min(64, n // 500))
+        cents = kmeans_centroids(e, k=k, iters=3, vec_col="v")
         probed = assign_clusters_multiprobe(e, cents, nprobe=3)
         pairs = pair_parallel_self_join(
             probed, block="cid", id_col="vec_id"
