@@ -367,13 +367,26 @@ LIMIT {PMI_TOP_K}
             .select("p.w1", "p.w2")
         )
         c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
-        m = c.withColumns(
-            {
-                "w1_cnt": F.sum("pair_cnt").over(Window.partitionBy("w1")),
-                "w2_cnt": F.sum("pair_cnt").over(Window.partitionBy("w2")),
-                "total": F.sum("pair_cnt").over(Window.partitionBy()),
-            }
-        ).where(F.col("pair_cnt") >= PMI_MIN_COUNT)
+        # the grand total is a SCALAR: a global window here would move
+        # the whole distinct-bigram table (vocabulary^2-bounded, not
+        # parameter-sized) into one task just to annotate it — one
+        # aggregate + broadcast instead (r5 lint: the unordered-window
+        # invariant caught this site)
+        tot = c.agg(F.sum("pair_cnt").alias("total"))
+        m = (
+            c.withColumns(
+                {
+                    "w1_cnt": F.sum("pair_cnt").over(
+                        Window.partitionBy("w1")
+                    ),
+                    "w2_cnt": F.sum("pair_cnt").over(
+                        Window.partitionBy("w2")
+                    ),
+                }
+            )
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("pair_cnt") >= PMI_MIN_COUNT)
+        )
         pc = F.col("pair_cnt").cast("double")
         pmi = F.log(
             pc * F.col("total") / (F.col("w1_cnt").cast("double") * F.col("w2_cnt"))

@@ -653,13 +653,18 @@ FROM c WHERE cum <= (SELECT budget FROM b)
         "per-source token mass in integer arithmetic (tot DIV "
         "(n_sources*2)), so the frontier BINDS at every SF — a "
         "never-binding budget would make the check vacuous. Per "
-        "batch: one window over the batch's own rows + a broadcast "
-        "join against the parameter-sized totals table; replayed "
-        "batch ids are no-ops (laws in tests/test_streaming.py).",
+        "batch the admission plan is one window over the batch's own "
+        "rows + a broadcast join against the parameter-sized totals "
+        "table; the state COMMIT snapshots the keepers history (see "
+        "streaming/budget.py for the append-segment lever at "
+        "long-running scale); replayed batch ids are no-ops (laws in "
+        "tests/test_streaming.py).",
     )
     def budget_admission_state(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
+        import os
+        import shutil
         import tempfile
 
         from stock_trend_predictor_spark.streaming.budget import (
@@ -681,7 +686,14 @@ FROM c WHERE cum <= (SELECT budget FROM b)
                 " DIV (COUNT(DISTINCT source) * 2)"
             ),
         ).first()
-        state_dir = tempfile.mkdtemp(prefix="budget-adm-")
+        # one deterministic state dir per run target, wiped on entry —
+        # a fresh mkdtemp per invocation would leak a parquet-filled
+        # dir every bench/sweep repetition
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"budget-adm-{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
         splits = [
             docs.where(F.col("doc_id") <= F.lit(lo)),
             docs.where(

@@ -961,6 +961,8 @@ def _register_maintained_ivf():
         "batch IVF in RECALL.json.",
     )
     def ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
         import tempfile
 
         from stock_trend_predictor_spark.operators.ivf import (
@@ -991,10 +993,21 @@ def _register_maintained_ivf():
             id_col="neighbor_id",
             vec_col="cv",
         )
-        state_dir = tempfile.mkdtemp(prefix="ivf-maint-")
+        # one deterministic state dir per run target, wiped on entry —
+        # a fresh mkdtemp per invocation would leak a parquet-filled
+        # dir every bench/sweep repetition
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ivf-maint-{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
         update_ivf_state(spark, even, state_dir, init, batch_id=0)
         update_ivf_state(spark, odd, state_dir, init, batch_id=1)
         cents = maintained_centroids(spark, state_dir, init)
+        # a None here means the fold never committed — falling through
+        # would let ivf_topk train a fresh batch quantizer and publish
+        # its ~1.0 recall as the MAINTAINED index's number
+        assert cents is not None, "IVF maintenance state missing"
         return ivf_topk(
             emb,
             emb.where(F.col("vec_id") < 8),

@@ -28,9 +28,15 @@ Laws (tests/test_streaming.py):
 - replay idempotence: commit_state skips already-applied batch ids,
   so at-least-once foreachBatch delivery never double-counts.
 
-Per batch the plan is one window over the batch's own rows partitioned
-by source (micro-batch-bounded frame — never the corpus) plus one
-broadcast join against the parameter-sized totals table.
+Per batch the ADMISSION plan is one window over the batch's own rows
+partitioned by source (micro-batch-bounded frame — never the corpus)
+plus one broadcast join against the parameter-sized totals table. The
+STATE COMMIT, however, rewrites the full keepers history each version
+(the versioned-dir protocol snapshots whole tables — same shape as
+the MinHash/span admission sinks), so per-commit IO grows with total
+admitted docs; for a long-running ingest the documented lever is
+appendable per-batch keeper segments under the same atomic META
+pointer, with `totals` staying the O(sources) fast path.
 
 Reference parity: the reference ingests unboundedly
 (data_collection/kafka_producer.py:12-21 polls forever, no budget

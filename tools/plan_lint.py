@@ -11,13 +11,16 @@ claims:
 - no ``CartesianProduct``: every cross join in the repo must be a
   broadcast of a parameter-sized frame (which plans as
   BroadcastNestedLoopJoin), never a shuffled cartesian;
-- no UNADJUDICATED unpartitioned window (r4 verdict #2): an ordered
-  ``Window`` node with an empty partition spec moves every input row
-  to ONE task — the scale-killer class that produced r4's only weak
-  finding. Every query whose plan contains one must carry a
-  whitelist adjudication naming the parameter-sized frame the window
-  actually runs over (distinct-value table, hour/day grid, offsets /
-  carry-in table, top-k head, symbol-universe-bounded frame, ...).
+- no UNADJUDICATED unpartitioned window (r4 verdict #2): a
+  ``Window`` node with an empty partition spec — ordered or not —
+  moves every input row to ONE task, the scale-killer class that
+  produced r4's only weak finding. Every query whose plan contains
+  one must carry a whitelist adjudication naming the parameter-sized
+  frame the window actually runs over (distinct-value table,
+  hour/day grid, offsets / carry-in table, top-k head,
+  symbol-universe-bounded frame, ...), and the adjudication pins the
+  exact SITE COUNT — growing a new global window inside a
+  whitelisted query re-trips the lint.
   A corpus-sized unpartitioned window must be rewritten with the
   two-level prefix scan (``operators/rank.py``) instead of
   whitelisted.
@@ -40,61 +43,83 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
 
-#: query -> why its unpartitioned ordered window(s) are parameter-sized,
-#: i.e. the window input is NEVER the corpus. Adjudications are
-#: size-CLASS claims a reviewer can check against the query source.
-GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
-    "concurrent_intervals_profile": (
+#: query -> (expected site count, why its unpartitioned window(s) are
+#: parameter-sized, i.e. the window input is NEVER the corpus).
+#: Adjudications are size-CLASS claims a reviewer can check against the
+#: query source; the pinned count makes the adjudication PER-SITE — a
+#: whitelisted query that grows a new global window trips the lint
+#: instead of inheriting a stale blanket approval.
+GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
+    "concurrent_intervals_profile": (1,
         "day-grid carry-in offsets: one row per day — the "
         "parameter-sized level of its own two-level sweep"
     ),
-    "cumulative_unique_users": (
+    "cumulative_unique_users": (1,
         "#days frame: running sum over per-day first-seen counts "
         "(docstring: 'tiny by construction', never the event log)"
     ),
-    "curriculum_quality_order": (
+    "curriculum_quality_order": (3,
         "prefix-scan offsets tables only: per-richness-value counts "
         "(domain bounded by tokens-per-doc) and the 10x256 "
         "(decile, md5-prefix) cell table; corpus rows are windowed "
         "exclusively per-cell (r4 verdict #1 fix)"
     ),
-    "kaplan_meier_conversion": (
+    "kaplan_meier_conversion": (2,
         "life table: one row per discrete hour up to the censor "
         "horizon (docstring: horizon+1 rows max)"
     ),
-    "kruskal_wallis_event_types": (
+    "kruskal_wallis_event_types": (1,
         "pooled distinct-value counts table — the rank construction "
         "never windows raw rows"
     ),
-    "lang_temperature_mix": (
-        "per-language mixture table (language-universe-bounded)"
+    "lang_temperature_mix": (4,
+        "per-language mixture table (language-universe-bounded); all "
+        "4 sites — temperature normalizers and totals — run over the "
+        "same #languages-row frame"
     ),
-    "largest_remainder_allocation": (
+    "largest_remainder_allocation": (3,
         "per-nation allocation table (nation-universe-bounded, 25 "
-        "rows at any SF)"
+        "rows at any SF); all 3 sites — total, floor-sum, and the "
+        "remainder rank — run over the same 25-row frame"
     ),
-    "pareto_customer_revenue": (
+    "pareto_customer_revenue": (1,
         "prefix-scan offsets table only: one row per revenue band "
         "(64 broadcast-percentile buckets); customer rows are "
         "windowed exclusively per-band (operators/rank.py step 3)"
     ),
-    "gini_customer_revenue": (
+    "gini_customer_revenue": (1,
         "prefix-scan offsets table only: one row per revenue band "
         "(64 broadcast-percentile buckets); customer rows are "
         "windowed exclusively per-band (operators/rank.py step 3)"
     ),
-    "portfolio_equal_weight_summary": (
+    "portfolio_equal_weight_summary": (1,
         "portfolio-level hourly grid: one row per hour after the "
         "per-hour aggregate"
     ),
-    "rolling_pair_correlation": (
+    "rolling_pair_correlation": (1,
         "hourly grid: one row per hour after the per-hour aggregate"
     ),
-    "skyline_parts": (
+    "skyline_parts": (1,
         "cross-bucket prefix-min heads: one row per price bucket — "
         "the parameter-sized level of its own two-level decomposition"
     ),
-    "rank_tests_panel": (
+    "benford_first_digit": (1,
+        "digit-universe frame: the share denominator runs over the "
+        "9-row first-digit count table"
+    ),
+    "histogram2d_qty_price": (1,
+        "bin-grid frame: the density denominator runs over the "
+        "(qty_bin x price_bin) cell table, bounded by the fixed grid"
+    ),
+    "partition_pruning_stats": (1,
+        "partition-listing frame: one row per date partition of the "
+        "layout under inspection"
+    ),
+    "psi_price_drift": (1,
+        "PSI bin table: the early/late share denominators run over "
+        "the fixed decile-bin frame"
+    ),
+    "rank_tests_panel": (1,
         "pooled and per-pair distinct-value counts tables — the "
         "shared rank construction never windows raw rows"
     ),
@@ -116,8 +141,6 @@ def _window_nodes(plan: str) -> list[tuple[bool, bool]]:
         idx = line.find("Window [")
         if idx < 0:
             continue
-        if "WindowGroupLimit" in line[:idx + 7]:
-            continue  # rank-pushdown helper; the Window node follows
         rest = line[idx + len("Window "):]
         groups: list[str] = []
         depth = 0
@@ -137,6 +160,10 @@ def _window_nodes(plan: str) -> list[tuple[bool, bool]]:
                 cur.append(ch)
         groups = groups[:3]
         if len(groups) <= 1:
+            # ``Window [funcs]`` — no partition, no order: the
+            # whole-input running frame still moves every row to one
+            # task, same class as the ordered form
+            out.append((False, False))
             continue
 
         def _ordered(g: str) -> bool:
@@ -181,21 +208,30 @@ def main() -> int:
             flagged.append((name, "BatchEvalPython (row-at-a-time UDF)"))
         n_unpart = sum(
             1
-            for has_part, has_order in _window_nodes(plan)
-            if has_order and not has_part
+            for has_part, _ in _window_nodes(plan)
+            if not has_part
         )
         if n_unpart:
-            reason = GLOBAL_WINDOW_WHITELIST.get(name)
-            if reason is None:
+            pin = GLOBAL_WINDOW_WHITELIST.get(name)
+            if pin is None:
                 flagged.append(
                     (
                         name,
-                        f"{n_unpart} unpartitioned ordered Window node(s) "
+                        f"{n_unpart} unpartitioned Window node(s) "
                         "with no whitelist adjudication",
                     )
                 )
+            elif pin[0] != n_unpart:
+                flagged.append(
+                    (
+                        name,
+                        f"{n_unpart} unpartitioned Window node(s) but "
+                        f"the whitelist adjudicates exactly {pin[0]} — "
+                        "re-adjudicate the new site(s)",
+                    )
+                )
             else:
-                global_windows.append((name, n_unpart, reason))
+                global_windows.append((name, n_unpart, pin[1]))
         kinds = sorted(
             {
                 k
@@ -225,10 +261,11 @@ def main() -> int:
         "Invariants: no `BatchEvalPython` (row-at-a-time Python UDF) "
         "in any data path; no `CartesianProduct` (every cross join "
         "must broadcast a parameter-sized side); no unpartitioned "
-        "ordered `Window` over an unadjudicated frame (every "
-        "global-window site must name the parameter-sized table it "
-        "runs over, or be rewritten with the two-level prefix scan "
-        "in `operators/rank.py`).",
+        "`Window` (ordered or not) over an unadjudicated frame "
+        "(every global-window site must name the parameter-sized "
+        "table it runs over with its exact site count pinned, or be "
+        "rewritten with the two-level prefix scan in "
+        "`operators/rank.py`).",
         "",
         f"**Violations: {len(flagged)}**"
         + ("" if not flagged else " — MUST FIX"),
@@ -245,7 +282,7 @@ def main() -> int:
         "",
         f"## Global-window adjudications ({len(global_windows)} queries)",
         "",
-        "Every unpartitioned ordered Window in the registry, with the "
+        "Every unpartitioned Window (ordered or not) in the registry, with the "
         "parameter-sized frame it actually sorts (none touches the "
         "corpus):",
         "",
