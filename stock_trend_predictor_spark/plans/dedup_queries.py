@@ -984,7 +984,11 @@ def _register_r5b():
             pair_parallel_self_join,
         )
 
-        e = (
+        # materialized once: the count, every Lloyd iteration (two
+        # passes each), and the probe assignment all consume e — left
+        # lazy, the scan+repartition+norm pipeline re-runs 8+ times
+        # (measured 6.8 s of pure re-derivation at sf0.1)
+        e = materialize_once(
             load_table(spark, sf_dir, "embeddings")
             # a single-file parquet corpus would pin every narrow
             # stage (assignment, norms) to ONE task — spread first
