@@ -121,6 +121,15 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("cn", l2norm(F.col("cv")))
     if centroids is None:
+        # the Lloyd build consumes c twice per iteration and the
+        # probe join once more — materialize the prepared view so the
+        # scan+cast+norm pipeline runs once, not 2*iters+1 times
+        # (with a PRE-BUILT quantizer c is read once; stay lazy)
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+
+        c = materialize_once(c)
         centroids = kmeans_centroids(c, k=n_clusters, iters=iters,
                                      id_col="neighbor_id", vec_col="cv")
     c = assign_clusters(c, centroids, "cv")

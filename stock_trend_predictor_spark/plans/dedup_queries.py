@@ -646,8 +646,14 @@ JOIN shingled b
             pair_parallel_self_join,
         )
 
-        e = (
+        # repartition + materialize (r5): a single-file embeddings
+        # parquet pinned the pair scoring to a handful of tasks, and
+        # the lazy scan+cast+norm pipeline re-ran for every Lloyd
+        # pass. Same-session A/B at sf0.1: 18.4-18.8 s -> 4.6-5.3 s
+        # warm, identical pair output.
+        e = materialize_once(
             load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
             .select("vec_id", as_double("embedding").alias("v"))
             .withColumn("nrm", l2norm(F.col("v")))
         )
