@@ -111,7 +111,12 @@ def main() -> None:
         app_name="stp-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # keep \r progress-bar frames out of the driver's stdout
+            # tail window (r5: they crowded the parseable JSON out)
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -292,7 +297,30 @@ def main() -> None:
         "lsh_probe_fraction": probe_fraction,
         "ivf_probe_fraction": ivf_probe_fraction,
     }
+    # Output framing (r5 verdict #6): the driver keeps only a ~2 KB
+    # TAIL of stdout and parses a JSON line out of it — r5's single
+    # giant line outgrew the window and the driver recorded
+    # "parsed": null. Emit the FULL detail line first (and mirror it
+    # to BENCH_DETAIL.json, which survives regardless), then a
+    # COMPACT line LAST — small enough to always sit complete inside
+    # the tail window whichever line the driver's parser picks.
     print(json.dumps(result))
+    try:
+        Path(_REPO, "BENCH_DETAIL.json").write_text(
+            json.dumps(result, indent=2) + "\n"
+        )
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "bench_runs": runs,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact), flush=True)
     try:
         Path(_REPO, "RECALL.json").write_text(
             json.dumps(

@@ -34,16 +34,80 @@ def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_clusters(
-    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+#: past this many centroids the k unrolled per-centroid distance
+#: expressions blow whole-stage-codegen method limits; the broadcast-
+#: join path (one HOF over a joined centroid matrix) takes over
+LITERAL_CENTROID_CAP = 64
+
+
+def _with_dists(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    use_join: bool | None = None,
 ) -> DataFrame:
-    """Nearest-centroid id per row. Centroids ship as literals inside
-    the plan (k×dim floats) — a narrow map, no join, no shuffle."""
-    dists = F.array(
-        *[_sq_dist_to(F.col(vec_col), c) for c in centroids]
+    """``corpus`` plus a ``_d`` column: squared L2 distance to every
+    centroid, index-aligned with ``centroids``.
+
+    Two physically different, numerically IDENTICAL strategies (law-
+    tested in tests/test_similarity.py):
+
+    - ``k <= LITERAL_CENTROID_CAP``: k unrolled fold expressions over
+      plan-literal centroids — zero join, stays in codegen;
+    - past the cap (the r5-verdict #4 lever): the k×dim matrix ships
+      as a ONE-ROW broadcast (BroadcastNestedLoopJoin of a single
+      row — data path, not plan literals) and the distance array is
+      a single ``transform`` HOF over it, so plan size and codegen
+      cost stay O(1) in k. Each element runs the same
+      (a-b)*(a-b) left-fold as the literal path, so results are
+      bit-identical. At k beyond ~10^4 the next documented lever is
+      a two-level (hierarchical) coarse quantizer.
+
+    ``use_join=None`` picks by the cap; tests pass True/False to pin
+    the equality law.
+    """
+    if use_join is None:
+        use_join = len(centroids) > LITERAL_CENTROID_CAP
+    if not use_join:
+        return corpus.withColumn(
+            "_d",
+            F.array(*[_sq_dist_to(F.col(vec_col), c) for c in centroids]),
+        )
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "_cents array<array<double>>",
+    )
+    dist = F.transform(
+        F.col("_cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col(vec_col), c, lambda a, b: a - b),
+                F.zip_with(F.col(vec_col), c, lambda a, b: a - b),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     return (
-        corpus.withColumn("_d", dists)
+        corpus.join(F.broadcast(cents_df))
+        .withColumn("_d", dist)
+        .drop("_cents")
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    use_join: bool | None = None,
+) -> DataFrame:
+    """Nearest-centroid id per row (ties → lowest cid). Centroids ship
+    as plan literals up to LITERAL_CENTROID_CAP, as a one-row
+    broadcast past it — a narrow map either way, no shuffle."""
+    return (
+        _with_dists(corpus, centroids, vec_col, use_join)
         .withColumn(
             "cid",
             (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
@@ -60,13 +124,31 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    sample_mod: int = 1,
 ) -> list[list[float]]:
     """Deterministic Lloyd's: seeds are the k lowest-id vectors; each
-    iteration re-assigns (broadcast literals) and re-averages
-    (posexplode + groupBy mean). Only k×dim floats cross the driver
-    boundary per iteration."""
+    iteration re-assigns (plan-literal centroids up to the codegen
+    cap, one-row broadcast join past it) and re-averages (posexplode
+    + groupBy mean). Only k×dim floats cross the driver boundary per
+    iteration.
+
+    ``sample_mod > 1`` trains on the deterministic hash-slice
+    ``xxhash64(id) % sample_mod == 0`` — the sample-trained half of
+    the r5-verdict #4 lever: a coarse quantizer only needs enough
+    points per cell to place centroids, so Lloyd's cost stays bounded
+    while the FULL corpus is assigned exactly once afterwards. The
+    slice is a pure function of ids (reproducible under any
+    partitioning), and seeds stay the k lowest ids OF THE SLICE."""
+    if sample_mod > 1:
+        corpus = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
     seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    assert len(centroids) == k, (
+        f"training sample has only {len(centroids)} rows < k={k}; "
+        "lower sample_mod"
+    )
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_clusters(corpus, centroids, vec_col)
@@ -137,9 +219,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     ).withColumn("qn", l2norm(F.col("qv")))
-    qd = q.withColumn(
-        "_d", F.array(*[_sq_dist_to(F.col("qv"), cc) for cc in centroids])
-    )
+    qd = _with_dists(q, centroids, "qv")
     # nprobe nearest centroid ids per query
     probe = qd.select(
         "query_id", "qv", "qn",
@@ -178,6 +258,7 @@ def assign_clusters_multiprobe(
     centroids: list[list[float]],
     nprobe: int = 2,
     vec_col: str = "v",
+    use_join: bool | None = None,
 ) -> DataFrame:
     """Each row exploded to its ``nprobe`` nearest centroids (column
     ``cid``). Multi-probe assignment is what makes coarse-quantizer
@@ -185,9 +266,9 @@ def assign_clusters_multiprobe(
     opposite sides of a Voronoi boundary still share their second-
     nearest cell with high probability, so within-cell enumeration
     recovers the pair. Cost is nprobe x rows — still narrow, no
-    shuffle; centroids ride along as plan literals."""
-    dists = F.array(*[_sq_dist_to(F.col(vec_col), c) for c in centroids])
-    d = corpus.withColumn("_d", dists)
+    shuffle; centroids ride along as plan literals up to the codegen
+    cap and as a one-row broadcast past it."""
+    d = _with_dists(corpus, centroids, vec_col, use_join)
     # rank centroid ids by distance (stable: ties break on cid) and
     # keep the first nprobe
     ranked = F.transform(

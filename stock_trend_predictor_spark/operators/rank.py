@@ -54,14 +54,26 @@ def quantile_bucket(
     df: DataFrame, col: str, n_buckets: int = 64
 ) -> Column:
     """Order-aligned bucket id for a numeric column via broadcast
-    exact-percentile cut points (a driver artifact of ``n_buckets - 1``
+    percentile cut points (a driver artifact of ``n_buckets - 1``
     doubles, like an IVF centroid table). Equal values always share a
-    bucket, so any tie-break ordering stays bucket-local."""
+    bucket, so any tie-break ordering stays bucket-local.
+
+    Cuts come from ``approx_percentile`` (a mergeable KLL-style
+    sketch): cut PLACEMENT only affects load balance, never the rank
+    (any monotone thresholds are order-aligned), so the exact
+    ``percentile`` — which buffers the whole column in one aggregation
+    buffer and cannot survive a 100 TB column — buys nothing here.
+
+    Precondition: no NaN in ``col``. NaN compares false against every
+    cut (bucket 0) while Spark's sort order places NaN LAST — a NaN
+    input would break order alignment silently. Current callers feed
+    decimal-derived doubles / hashes that cannot be NaN."""
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     [cuts] = (
         df.agg(
             F.expr(
-                f"percentile({col}, array({', '.join(map(repr, fracs))}))"
+                f"approx_percentile({col}, "
+                f"array({', '.join(map(repr, fracs))}), 10000)"
             ).alias("qs")
         ).collect()
     )
@@ -77,6 +89,7 @@ def prefix_scan_rank(
     sum_col: str | None = None,
     cumsum_name: str = "global_cumsum",
     partition_cols: Sequence[str] = (),
+    top_k: int | None = None,
 ) -> DataFrame:
     """``df`` plus an exact 1-based global ``row_number`` over
     ``order_cols`` — computed without any unpartitioned window over
@@ -95,6 +108,14 @@ def prefix_scan_rank(
     still parameter-sized as long as the group universe is — and the
     offsets window partitions by group, so no frame ever exceeds the
     bucket count.
+
+    With ``top_k``, rows whose (per-group) rank exceeds ``top_k`` are
+    dropped AND — the scale win — whole buckets whose carry-in offset
+    is already ``>= top_k`` are pruned BEFORE the within-bucket
+    window: the inner broadcast join keeps only the bucket(s)
+    containing each group's first ``top_k`` rows, so a per-group
+    top-k sorts ~1/n_buckets of the data instead of all of it (or,
+    vs the WindowGroupLimit plan, skips the full map-side sort).
     """
     parts = list(partition_cols)
     b = df.withColumn("__bucket", bucket)
@@ -119,12 +140,18 @@ def prefix_scan_rank(
             F.coalesce(F.sum("__s").over(w_prev), zero).alias("__soff")
         )
     off = counts.select(*off_cols)
+    if top_k is not None:
+        # bucket-level prune: a row can only have rank <= k if its
+        # bucket starts before the k-th row of its group
+        off = off.where(F.col("__off") < top_k)
     w_in = Window.partitionBy(*parts, "__bucket").orderBy(*order_cols)
     rn = F.row_number().over(w_in)
     out = (
         b.join(F.broadcast(off), [*parts, "__bucket"])
         .withColumn(rank_name, (F.col("__off") + rn).cast("bigint"))
     )
+    if top_k is not None:
+        out = out.where(F.col(rank_name) <= top_k)
     if sum_col is not None:
         run = F.sum(sum_col).over(
             w_in.rowsBetween(Window.unboundedPreceding, 0)

@@ -1005,15 +1005,20 @@ def _register_r5b():
         # cell count scales with the corpus (parameter-sized count
         # action): a FIXED nlist makes cells grow linearly and the
         # within-cell pair enumeration quadratically — measured: the
-        # 30x dup-saturated corpus never finishes at k=8. The cap at
-        # 64 keeps the literal-centroid assignment expression inside
-        # whole-stage-codegen limits; past that, the next lever is
-        # sample-trained centroids + a broadcast-join assignment
-        # (SCALE.md) — the standard IVF sizing rule either way
-        # (nlist ~ N / cell_budget).
+        # 30x dup-saturated corpus never finishes at k=8. nlist ~
+        # N/500 is now UNCAPPED (r5 verdict #4): past 64 centroids
+        # the assignment switches from plan-literal expressions to
+        # the one-row broadcast-join distance matrix
+        # (operators/ivf.py::_with_dists), and Lloyd trains on a
+        # deterministic hash-slice holding ~64 points per cell —
+        # placement only needs a sample; the full corpus is assigned
+        # exactly once afterwards.
         n = e.count()
-        k = max(8, min(64, n // 500))
-        cents = kmeans_centroids(e, k=k, iters=3, vec_col="v")
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        cents = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
         probed = assign_clusters_multiprobe(e, cents, nprobe=3)
         pairs = pair_parallel_self_join(
             probed, block="cid", id_col="vec_id"
@@ -1052,13 +1057,20 @@ def _register_r5b():
                 ),
             )
         )
-        sizes = labeled.groupBy("cluster").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cluster_size")
-        )
-        return labeled.join(F.broadcast(sizes), "cluster").select(
+        # cluster_size via a cluster-partitioned count window: on a
+        # low-duplication corpus #clusters ~ #vectors, so the former
+        # groupBy + F.broadcast(sizes) shipped an O(N) table to every
+        # executor (r5 verdict #5). The window shuffles once on the
+        # high-cardinality cluster key — no driver-sized artifact.
+        from pyspark.sql import Window
+
+        return labeled.select(
             "vec_id",
             "cluster",
-            "cluster_size",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster"))
+            .cast("bigint")
+            .alias("cluster_size"),
             (F.col("vec_id") == F.col("cluster")).alias("keep"),
         )
 

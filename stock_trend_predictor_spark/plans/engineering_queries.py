@@ -82,24 +82,39 @@ FROM buckets GROUP BY source
         f"first-fit loop is order-dependent AND non-distributed). "
         f"Reports input/output file counts, the largest output file "
         f"and the fill ratio vs target — the numbers an OPTIMIZE "
-        f"scheduler thresholds on. One window + two aggregates over "
-        f"(source, doc_id, n_chars) — manifest-sized input at any "
-        f"data scale.",
+        f"scheduler thresholds on. The per-source cumsum runs as the "
+        f"two-level prefix scan (operators/rank.py) over (source, "
+        f"doc_id-bucket) cells + two aggregates — even a "
+        f"manifest-sized input is O(#files) and must not sort one "
+        f"source's manifest in a single task.",
     )
     def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
+
         docs = load_table(spark, sf_dir, "documents").select(
             "source", "doc_id", "n_chars"
         )
-        w = (
-            Window.partitionBy("source")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        packed = docs.select(
+        # per-source cumsum via the two-level prefix scan: the file
+        # manifest is #files-bounded, but at 100 TB that is still
+        # O(10^8) rows — a source-partitioned window would run one
+        # source's whole manifest in ONE task (r5 verdict borderline
+        # audit); the prefix scan spreads it over doc_id buckets
+        packed = prefix_scan_rank(
+            docs,
+            quantile_bucket(docs.select("doc_id"), "doc_id"),
+            ["doc_id"],
+            rank_name="__rn",
+            sum_col="n_chars",
+            cumsum_name="__cum",
+            partition_cols=["source"],
+        ).select(
             "source",
             "n_chars",
             F.floor(
-                (F.sum("n_chars").over(w) - F.col("n_chars"))
+                (F.col("__cum") - F.col("n_chars"))
                 / F.lit(float(COMPACT_TARGET))
             ).alias("bucket"),
         )

@@ -353,29 +353,44 @@ FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
         f"{SAMPLE_PER_STRATUM} docs per (lang, source) stratum, "
         "chosen by md5-hash order (reproducible across runs, engines "
         "and partitionings — unlike TABLESAMPLE / rand(), which are "
-        "partition-order dependent). One window over a (lang, source) "
-        "sort; at 100 TB replace the full sort with a per-stratum "
-        "top-k aggregate (min_by over the hash) — same contract, no "
-        "global sort. The eval-set draw every dataset release needs.",
+        "partition-order dependent). Runs as the bucket-pruned "
+        "prefix scan (operators/rank.py, top_k) over 256 "
+        "hash-prefix buckets per stratum — no per-stratum corpus "
+        "sort ever lands in one task. The eval-set draw every "
+        "dataset release needs.",
     )
     def stratified_sample_per_stratum(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        w = Window.partitionBy("lang", "source").orderBy(
-            hash60(F.col("doc_id").cast("string")), "doc_id"
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
         )
-        ranked = docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.row_number().over(w).cast("bigint").alias("rn"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("lang", "source"))
-            .cast("bigint")
-            .alias("n_stratum"),
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source"
         )
-        return ranked.where(F.col("rn") <= SAMPLE_PER_STRATUM)
+        h = hash60(F.col("doc_id").cast("string"))
+        # top 8 bits of the uniform 60-bit hash: 256 buckets, exactly
+        # order-aligned with the hash sort key — no percentile pass.
+        # The (lang, source)-partitioned window this replaces put a
+        # whole stratum (~corpus/#strata) into one task; the prefix
+        # scan sorts only each stratum's first bucket(s) (top_k
+        # prune), and n_stratum comes from a strata-sized aggregate
+        # instead of a second corpus-wide count window.
+        ranked = prefix_scan_rank(
+            docs,
+            F.shiftright(h, 52).cast("int"),
+            [h, "doc_id"],
+            rank_name="rn",
+            partition_cols=["lang", "source"],
+            top_k=SAMPLE_PER_STRATUM,
+        )
+        sizes = docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_stratum")
+        )
+        return ranked.join(F.broadcast(sizes), ["lang", "source"]).select(
+            "doc_id", "lang", "source", "rn", "n_stratum"
+        )
 
     # ------------------------------------------------------------------
     @register(

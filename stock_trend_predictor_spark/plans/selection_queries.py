@@ -415,15 +415,19 @@ FROM ranked WHERE sample_rank <= 20
         "pipeline needs (same md5 trick as dataset_split_assignment: "
         "a uniform hash IS the sample's randomness, and any two runs "
         "— or engines — agree on the exact member set). Scale shape: "
-        "one window partitioned by source (rank<=k prunes via "
-        "WindowGroupLimit before the sort materializes), no global "
-        "window, no driver participation; swap k or the stratum "
-        "column freely.",
+        "the bucket-pruned prefix scan (operators/rank.py, top_k=20) "
+        "on 256 md5-prefix buckets — only each source's first "
+        "bucket(s) are ever sorted, ~n/256 rows per task, vs a "
+        "source-partitioned window sorting 1/#sources of the corpus "
+        "in ONE task (r5 verdict #3); swap k or the stratum column "
+        "freely.",
     )
     def stratified_hash_sample(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        from pyspark.sql import Window
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
         keyed = docs.select(
@@ -432,13 +436,20 @@ FROM ranked WHERE sample_rank <= 20
             "lang",
             F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
         )
-        rn = F.row_number().over(
-            Window.partitionBy("source").orderBy("sample_key", "doc_id")
+        # first two hex chars as an int: fixed-width lowercase hex is
+        # lexicographically ordered, so the prefix value is exactly
+        # order-aligned with the sample_key sort — no percentile pass
+        bucket = F.conv(F.substring("sample_key", 1, 2), 16, 10).cast(
+            "int"
         )
-        return (
-            keyed.withColumn("sample_rank", rn.cast("bigint"))
-            .where(F.col("sample_rank") <= 20)
-        )
+        return prefix_scan_rank(
+            keyed,
+            bucket,
+            ["sample_key", "doc_id"],
+            rank_name="sample_rank",
+            partition_cols=["source"],
+            top_k=20,
+        ).select("source", "doc_id", "lang", "sample_key", "sample_rank")
 
 
 _register_r5()
@@ -686,12 +697,15 @@ FROM c WHERE cum <= (SELECT budget FROM b)
                 " DIV (COUNT(DISTINCT source) * 2)"
             ),
         ).first()
-        # one deterministic state dir per run target, wiped on entry —
-        # a fresh mkdtemp per invocation would leak a parquet-filled
-        # dir every bench/sweep repetition
+        # one state dir per (run target, PROCESS), wiped on entry — a
+        # fresh mkdtemp per invocation would leak a parquet-filled dir
+        # every bench/sweep repetition, and a shared per-target dir
+        # let two concurrent sessions (bench + driver-sim on the same
+        # SF) wipe each other's state mid-fold (r5 ADVICE)
         state_dir = os.path.join(
             tempfile.gettempdir(),
-            f"budget-adm-{os.path.basename(os.path.normpath(sf_dir))}",
+            f"budget-adm-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
         )
         shutil.rmtree(state_dir, ignore_errors=True)
         splits = [

@@ -993,12 +993,15 @@ def _register_maintained_ivf():
             id_col="neighbor_id",
             vec_col="cv",
         )
-        # one deterministic state dir per run target, wiped on entry —
-        # a fresh mkdtemp per invocation would leak a parquet-filled
-        # dir every bench/sweep repetition
+        # one state dir per (run target, PROCESS), wiped on entry — a
+        # fresh mkdtemp per invocation would leak a parquet-filled dir
+        # every bench/sweep repetition, and a shared per-target dir
+        # let two concurrent sessions (bench + driver-sim on the same
+        # SF) wipe each other's state mid-fold (r5 ADVICE)
         state_dir = os.path.join(
             tempfile.gettempdir(),
-            f"ivf-maint-{os.path.basename(os.path.normpath(sf_dir))}",
+            f"ivf-maint-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
         )
         shutil.rmtree(state_dir, ignore_errors=True)
         update_ivf_state(spark, even, state_dir, init, batch_id=0)

@@ -461,13 +461,18 @@ FROM packed GROUP BY split
         "nests corpus_keep_decision's full oracle as a MATERIALIZED "
         "sub-CTE, so the composed result is value-hash-checked end "
         "to end. Shuffles: the sub-pipeline's own (doc_id/digest "
-        "keyed) + one per-split cumsum window + one final aggregate; "
+        "keyed) + the per-(split, doc_id-bucket) prefix-scan cumsum "
+        "(operators/rank.py — a split-partitioned window would put "
+        "~90% of the corpus in one task) + one final aggregate; "
         "text never moves past tokenization.",
     )
     def pretraining_block_manifest(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        from pyspark.sql import Window
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
 
         ckd = REGISTRY["corpus_keep_decision"].fn(spark, sf_dir)
         kept_ids = ckd.where(
@@ -485,16 +490,29 @@ FROM packed GROUP BY split
             .alias("split"),
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         )
-        w = (
-            Window.partitionBy("split")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
+        # per-split cumsum via the two-level prefix scan — a window
+        # partitioned only by split (3 values) would prefix-sum ~90%
+        # of the corpus (the train split) in ONE task (r5 verdict #1).
+        # Bucket cuts come from the RAW doc_id column (a pruned
+        # single-column scan), not the filtered pipeline output, so
+        # the expensive keep-decision never runs twice; alignment
+        # holds for any subset of an order-aligned bucketing.
+        cuts = quantile_bucket(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id",
         )
-        packed = kept.withColumn(
+        packed = prefix_scan_rank(
+            kept,
+            cuts,
+            ["doc_id"],
+            rank_name="__rn",
+            sum_col="n_tokens",
+            cumsum_name="__cum",
+            partition_cols=["split"],
+        ).withColumn(
             "block_id",
             F.floor(
-                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / F.lit(512.0)
+                (F.col("__cum") - F.col("n_tokens")) / F.lit(512.0)
             ).cast("bigint"),
         )
         return packed.groupBy("split").agg(

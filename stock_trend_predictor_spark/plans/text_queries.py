@@ -410,28 +410,34 @@ GROUP BY 1, 2
         "which depends on task order). A doc straddling a boundary "
         "belongs to the block its first token falls in, so blocks can "
         "overfill by at most one doc — the standard concat-then-chunk "
-        "LLM pretraining layout. One window per source; for a "
-        "low-cardinality source axis at 100 TB, the bucketed two-pass "
-        "cumsum (operators/windows.py::bucketed_lag's pattern) removes "
-        "the per-source sort bottleneck.",
+        "LLM pretraining layout. The per-source cumsum runs as the "
+        "two-level prefix scan (operators/rank.py) over (source, "
+        "doc_id-bucket) cells — a source-partitioned window would "
+        "sort 1/#sources of the corpus in ONE task (r5 verdict #2).",
     )
     def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql.window import Window
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
 
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id",
             "source",
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         )
-        w = (
-            Window.partitionBy("source")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        packed = docs.withColumn(
+        packed = prefix_scan_rank(
+            docs,
+            quantile_bucket(docs.select("doc_id"), "doc_id"),
+            ["doc_id"],
+            rank_name="__rn",
+            sum_col="n_tokens",
+            cumsum_name="__cum",
+            partition_cols=["source"],
+        ).withColumn(
             "block_id",
             F.floor(
-                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0
+                (F.col("__cum") - F.col("n_tokens")) / 512.0
             ).cast("bigint"),
         )
         return packed.groupBy("source", "block_id").agg(
@@ -470,10 +476,18 @@ SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
         "win proportionally more often. Fully parallel (priority is a "
         "per-row expression, selection a per-key top-k), reproducible "
         "under any repartitioning — rand()-based sampling is neither. "
-        "The mixture-sampling primitive for corpus blending.",
+        "The top-5 runs as the bucket-pruned prefix scan "
+        "(operators/rank.py, top_k=5): only the priority bucket(s) "
+        "holding each language's first 5 rows are ever sorted — a "
+        "lang-partitioned window would sort 1/#langs of the corpus "
+        "in ONE task (r5 verdict #4). The mixture-sampling primitive "
+        "for corpus blending.",
     )
     def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql.window import Window
+        from stock_trend_predictor_spark.operators.rank import (
+            prefix_scan_rank,
+            quantile_bucket,
+        )
 
         u = (
             hash60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
@@ -485,12 +499,15 @@ SELECT lang, sample_rank, doc_id, n_chars, priority FROM (
             "n_chars",
             stable_round(-F.log(u) / F.col("n_chars"), 6).alias("priority"),
         )
-        w = Window.partitionBy("lang").orderBy("priority", "doc_id")
         return (
-            keyed.withColumn(
-                "sample_rank", F.row_number().over(w).cast("bigint")
+            prefix_scan_rank(
+                keyed,
+                quantile_bucket(keyed, "priority"),
+                ["priority", "doc_id"],
+                rank_name="sample_rank",
+                partition_cols=["lang"],
+                top_k=5,
             )
-            .where(F.col("sample_rank") <= 5)
             .select("lang", "sample_rank", "doc_id", "n_chars", "priority")
         )
 

@@ -38,6 +38,19 @@ between periodic full retrains, served at a wider nprobe (measured
 LSH's 0.40), not a replacement for retraining. Mirrors the round-4
 LSH demotion: a measured ceiling, documented instead of papered over.
 
+FORMAL demotion (round 6, settling the r5 verdict #5 open item): the
+serve-time probe budget cannot buy the 0.9 ANN bar back — the full
+nprobe sweep at sf0.1 reads recall@10 0.762 / 0.812 / 0.850 / 0.887
+at nprobe 4 / 5 / 6 / 8; at nprobe=8 the probe fraction is 0.5 and
+the search has stopped being approximate, yet recall is still under
+the bar. The contract is therefore pinned (tests/test_similarity.py::
+test_ivf_maintained_recall_floor): the maintained index serves
+freshness between retrains at nprobe=4, and the PERIODIC FULL
+RETRAIN (operators/ivf.py batch build, recall 1.000) is the serving
+path. A production deployment alternates: retrain on schedule, fold
+the stream's sufficient stats in between, swap atomically at the
+next retrain.
+
 Laws (tests/test_streaming.py):
 
 - replay idempotence: re-delivering a committed batch id is a no-op;

@@ -10,6 +10,7 @@ from stock_trend_predictor_spark.ml.vectorized import (
     brute_force_topk_vectorized,
 )
 from stock_trend_predictor_spark.operators.similarity import (
+    as_double,
     brute_force_topk,
     lsh_topk,
 )
@@ -287,13 +288,20 @@ def test_phrase_search_matches_python(spark, sf_dir):
 
 
 def test_ivf_maintained_recall_floor(spark):
-    """The continuously-maintained index (streaming fold of two
-    batches under a FROZEN half-corpus trainer, NO batch rebuild)
-    must hold its measured bridge-recall contract: ~0.70 @ nprobe=4
-    at sf0.001 (0.66 sf0.01 / 0.76 sf0.1 — the half-corpus-trainer
-    ceiling on this near-random corpus; full retrain restores 1.0,
-    see streaming/ivf_maintenance.py). Floor at 0.5 = collapse
-    detector, not a luck pin."""
+    """The FORMAL freshness-bridge contract (r5 verdict #5,
+    mirroring the r4 LSH demotion): the continuously-maintained
+    index (streaming fold of two batches under a FROZEN half-corpus
+    trainer, NO batch rebuild) is NOT the serving path — the
+    periodic full retrain (`ann_ivf_cosine`, recall 1.000) is. The
+    demotion is a measured CEILING, not a tuning gap: widening the
+    serve-time probe budget at sf0.1 reads recall@10
+    0.762 / 0.812 / 0.850 / 0.887 at nprobe 4 / 5 / 6 / 8 — still
+    under the 0.9 ANN bar at probe fraction 0.5, where 'approximate'
+    has stopped meaning anything; and letting assignments EVOLVE
+    measures worse still (0.36-0.63, module docstring). This test
+    pins the documented bridge floor at the contract nprobe=4:
+    ~0.70 at sf0.001 (0.66 sf0.01 / 0.76 sf0.1), asserted at 0.6 to
+    sit below the measured values but far above collapse."""
     from stock_trend_predictor_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"
@@ -308,4 +316,76 @@ def test_ivf_maintained_recall_floor(spark):
         for r in REGISTRY["ann_ivf_maintained"].fn(spark, sf).collect()
     }
     recall = len(exact_pairs & got) / len(exact_pairs)
-    assert recall >= 0.5, f"maintained-IVF recall {recall} collapsed"
+    assert recall >= 0.6, (
+        f"maintained-IVF bridge recall {recall} fell below the "
+        "pinned floor (documented ~0.70 @ nprobe=4, sf0.001)"
+    )
+
+
+def test_join_assignment_equals_literal_assignment(spark):
+    """r5 verdict #4 law: the broadcast-join distance path (the
+    past-the-codegen-cap strategy) must produce BIT-IDENTICAL cell
+    assignments to the plan-literal path — same (a-b)*(a-b) left
+    fold element-wise, so not just close: equal. Pinned on both the
+    single-cell and the multiprobe form, with Lloyd-trained (not
+    axis-aligned) centroids so ties and near-boundaries are real."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        assign_clusters,
+        assign_clusters_multiprobe,
+        kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = kmeans_centroids(corpus, k=12, iters=2, vec_col="v")
+
+    lit = {
+        (r["vec_id"], r["cid"])
+        for r in assign_clusters(
+            corpus, cents, "v", use_join=False
+        ).collect()
+    }
+    joined = {
+        (r["vec_id"], r["cid"])
+        for r in assign_clusters(
+            corpus, cents, "v", use_join=True
+        ).collect()
+    }
+    assert lit == joined and lit
+
+    lit_mp = {
+        (r["vec_id"], r["cid"])
+        for r in assign_clusters_multiprobe(
+            corpus, cents, nprobe=3, vec_col="v", use_join=False
+        ).collect()
+    }
+    join_mp = {
+        (r["vec_id"], r["cid"])
+        for r in assign_clusters_multiprobe(
+            corpus, cents, nprobe=3, vec_col="v", use_join=True
+        ).collect()
+    }
+    assert lit_mp == join_mp and lit_mp
+
+
+def test_sample_trained_centroids_are_deterministic_and_valid(spark):
+    """sample_mod trains Lloyd on the xxhash64 id-slice: the result
+    must be reproducible run-to-run (pure function of ids) and every
+    centroid must keep the corpus dimensionality; with sample_mod=1
+    it must match the unsampled build exactly."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a = kmeans_centroids(corpus, k=8, iters=2, vec_col="v", sample_mod=2)
+    b = kmeans_centroids(corpus, k=8, iters=2, vec_col="v", sample_mod=2)
+    assert a == b and len(a) == 8 and all(len(c) == 64 for c in a)
+    full = kmeans_centroids(corpus, k=8, iters=2, vec_col="v")
+    full1 = kmeans_centroids(corpus, k=8, iters=2, vec_col="v", sample_mod=1)
+    assert full == full1
