@@ -172,11 +172,13 @@ def main() -> None:
         }
         recall[ann] = round(len(exact & pairs) / len(exact), 3)
 
-    # IVF semantic-dedup pair recall (the one registry entry with no
-    # engine-reproducible oracle — this published number is its real
-    # contract, per the round-2 review). Truth = exact all-pairs
-    # cosine >= 0.35 via a broadcast self-join (corpus is the small
-    # embeddings table; at real scale the truth set would be sampled).
+    # IVF semantic-dedup pair recall. Since round 6 the query also has
+    # a full value-hash oracle (the deterministic quantizer), but the
+    # recall number stays published: the oracle proves the ENGINE is
+    # right, recall measures whether the BLOCKING finds the pairs.
+    # Truth = exact all-pairs cosine >= 0.35 via a broadcast self-join
+    # (corpus is the small embeddings table; at real scale the truth
+    # set would be sampled).
     from pyspark.sql import functions as F
 
     from stock_trend_predictor_spark.functions.exact import stable_round

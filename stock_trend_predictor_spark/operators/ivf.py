@@ -152,22 +152,37 @@ def kmeans_centroids(
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_clusters(corpus, centroids, vec_col)
-        means = (
+        # CROSS-ENGINE-DETERMINISTIC update (round 6): the old
+        # F.avg(double) summed in shuffle-arrival order, so two runs —
+        # or two engines — could disagree in the last ulp and flip a
+        # Voronoi-boundary assignment, which is exactly why the two
+        # IVF-quantized registry queries had no DuckDB oracle. The
+        # per-(cell, dim) sufficient stats now accumulate as
+        # DECIMAL(38,9) — exact integer arithmetic, any order, any
+        # partitioning (the pq.py codebook trick) — and the mean is
+        # float(sum)/n in the driver. Scale 9 keeps the scaled sums
+        # under 2^53 for cells up to ~10^7 members (|x| < 1), where
+        # DuckDB's decimal->double cast is verified bit-equal to
+        # Python's float(Decimal), so an oracle can replay Lloyd's
+        # exactly. Only (cell, dim) stats cross the driver boundary —
+        # a model, not data.
+        stats = (
             assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
+                F.sum(F.col("x").cast("decimal(38,9)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
-        new = {r["cid"]: [float(x) for x in r["centroid"]] for r in means}
+        acc: dict[int, dict[int, float]] = {}
+        for r in stats:
+            acc.setdefault(r["cid"], {})[r["pos"]] = float(r["s"]) / r["n"]
         # empty clusters keep their previous centroid
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        centroids = [
+            [acc[i][p] for p in sorted(acc[i])] if i in acc else centroids[i]
+            for i in range(k)
+        ]
         assert all(len(c) == dim for c in centroids)
     return centroids
 

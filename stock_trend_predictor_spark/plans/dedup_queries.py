@@ -21,6 +21,141 @@ from stock_trend_predictor_spark.functions.text import (
 from stock_trend_predictor_spark.operators import dedup as D
 from stock_trend_predictor_spark.sources.tables import load_table, materialize_once
 
+# --- DuckDB replay of the IVF coarse quantizer (round 6) -------------
+#
+# kmeans_centroids became cross-engine DETERMINISTIC in round 6: cell
+# sums accumulate as DECIMAL(38,9) (exact, order-independent) and the
+# mean is float(sum)/n — so DuckDB can replay Lloyd's bit-for-bit and
+# the two IVF-quantized queries graduate from rows-only to full
+# value-hash oracles. Parity bridges, each verified empirically on
+# this corpus: float->double list cast; the left-fold dot ==
+# list_inner_product; double->decimal(38,9) rounding; decimal->double
+# + /n (exact while |scaled sum| < 2^53 — cells up to ~10^7 members
+# at |x| < 1); sqrt/division IEEE-identical. Valid while the Spark
+# side trains UNSAMPLED (k <= 64, true at every oracle SF: k =
+# max(8, n/500) stays 8 up to n = 32k) — the sampled path uses
+# xxhash64, which DuckDB cannot replay.
+
+#: squared L2 distance of vector e.v to centroid c.c, folded in index
+#: order — bit-identical to operators/ivf.py::_sq_dist_to
+_DIST_SQL = (
+    "list_inner_product("
+    "list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.c[i]), "
+    "list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.c[i]))"
+)
+
+#: exact cosine of probed rows a/b — same fold as operators/similarity
+_COS_SQL = (
+    "list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * "
+    "sqrt(list_inner_product(b.v, b.v)))"
+)
+
+
+def _lloyd_ctes_sql(k_sql: str, iters: int = 3) -> str:
+    """CTE chain replaying kmeans_centroids(iters) on `embeddings`:
+    seeds = k lowest vec_ids, assignment = argmin(dist, tie lowest
+    cid), update = decimal-exact per-(cell, dim) mean, empty cells
+    keep their previous centroid. Defines e(vec_id, v) and
+    c{iters}(cid, c). MATERIALIZED: a recursive CTE downstream would
+    otherwise re-run the whole Lloyd pipeline every iteration
+    (measured 25 s -> 3.7 s at sf0.1)."""
+    parts = [
+        f"""
+e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), params AS (
+    SELECT {k_sql} AS k FROM e
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           v AS c
+    FROM e
+    QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM params)
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""
+a{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM e CROSS JOIN c{it - 1} c
+    ) WHERE rn = 1
+), c{it} AS (
+    SELECT p.cid, COALESCE(m.c, p.c) AS c
+    FROM c{it - 1} p LEFT JOIN (
+        SELECT cid, list(mu ORDER BY dim) AS c FROM (
+            SELECT cid, dim,
+                   CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE)
+                       / count(*) AS mu
+            FROM (SELECT cid, unnest(v) AS x,
+                         unnest(range(1, len(v) + 1)) AS dim
+                  FROM a{it})
+            GROUP BY cid, dim
+        ) GROUP BY cid
+    ) m ON m.cid = p.cid
+)"""
+        )
+    return ",".join(parts)
+
+
+def _probed_cte_sql(iters: int = 3, nprobe: int = 3) -> str:
+    """assign_clusters_multiprobe replay: each vector exploded to its
+    nprobe nearest final centroids (ties -> lowest cid)."""
+    return f"""
+probed AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM e CROSS JOIN c{iters} c
+    ) WHERE rn <= {nprobe}
+)"""
+
+
+_IVF_DEDUP_ORACLE = f"""
+WITH {_lloyd_ctes_sql('8', 3)},{_probed_cte_sql(3, 3)}
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {stable_round_sql(_COS_SQL, 6)} AS cos_sim
+FROM probed a JOIN probed b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {stable_round_sql(_COS_SQL, 6)} >= 0.35
+"""
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE {_lloyd_ctes_sql('GREATEST(8, count(*) // 500)', 3)},\
+{_probed_cte_sql(3, 3)},
+edges AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM probed a JOIN probed b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.35
+), und AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+), reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+), labeled AS (
+    SELECT e.vec_id, COALESCE(comp.component, e.vec_id) AS cluster
+    FROM e LEFT JOIN comp ON comp.node = e.vec_id
+)
+SELECT vec_id, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size,
+       vec_id = cluster AS keep
+FROM labeled
+"""
+
 
 def _register():
     from stock_trend_predictor_spark.plans.registry import register
@@ -614,11 +749,13 @@ JOIN shingled b
 
     @register(
         "dedup_embedding_ivf",
-        # No oracle: the k-means centroids are floating-point averages
-        # whose last-ulp values depend on partition merge order, so
-        # boundary assignments are not engine-reproducible. The
-        # operator is recall-tested against the exact all-pairs truth
-        # in tests/test_summaries.py instead (driver: rows-only).
+        # Full value-hash oracle since round 6: the decimal-sufficient-
+        # stat Lloyd update made the quantizer cross-engine
+        # deterministic, so DuckDB replays the ENTIRE pipeline (seeds,
+        # 3 Lloyd iterations, multiprobe, within-cell pairs, rounded
+        # cosine) bit-for-bit. Recall vs the exact all-pairs truth
+        # stays tested in tests/test_summaries.py.
+        oracle=_IVF_DEDUP_ORACLE,
         doc="LABEL-FREE semantic near-dup detection — the 100 TB shape "
         "when no blocking key exists: a deterministic-seed k-means "
         "coarse quantizer (operators/ivf.py, only k x dim floats ever "
@@ -948,12 +1085,15 @@ def _register_r5b():
 
     @register(
         "semdedup_keep_decision",
-        # No oracle: built on the IVF cell assignment, whose k-means
-        # centroids are not engine-reproducible at the last ulp (same
-        # reason as dedup_embedding_ivf). Laws in tests/test_dedup.py:
-        # exactly one keeper per cluster and it is the min member,
-        # singletons kept, drop count == sum(cluster_size - 1), and
-        # every cluster id equals its min member.
+        # Full value-hash oracle since round 6 (r5 verdict #8): the
+        # deterministic quantizer lets DuckDB replay Lloyd + multiprobe
+        # exactly, and the post-quantizer stages (edge set, recursive-
+        # CTE connected components, keep election) were deterministic
+        # all along. Laws stay in tests/test_dedup.py: exactly one
+        # keeper per cluster and it is the min member, singletons
+        # kept, drop count == sum(cluster_size - 1), and every
+        # cluster id equals its min member.
+        oracle=_SEMDEDUP_ORACLE,
         doc="SemDeDup (Abbas et al. 2023) keep decision — semantic "
         "dedup at the corpus level, label-free: the IVF coarse "
         "quantizer blocks candidates (nprobe=3 cells, pair recall "
