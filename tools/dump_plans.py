@@ -84,7 +84,10 @@ QUERIES = [
     ("mann_whitney_u_pairwise", "one (pair, value) aggregate feeds the rank window; decimal rank sums; pair fan-out broadcast"),
     ("ann_lsh_cosine", "hashing is ONE Arrow matmul (ArrowEvalPython); only (id,id,sim) through the dedup exchange"),
     ("curriculum_quality_order", "one tokenize scan; ntile + per-decile windows; no join"),
-    ("pretraining_block_manifest", "keep-decision sub-pipeline reused; one per-split cumsum window; one final aggregate"),
+    ("pretraining_block_manifest", "keep-decision sub-pipeline reused; per-(split, doc_id-bucket) prefix-scan cumsum (no split-only window); one final aggregate"),
+    # round-6 additions: the tiny-cardinality-partition rewrites
+    ("stratified_hash_sample", "bucket-pruned prefix scan: offsets filtered to < top_k before the broadcast join; window partitioned by (source, md5-prefix), never source alone"),
+    ("weighted_doc_sample", "priority-bucketed prefix scan with top_k prune; no lang-only window over the corpus"),
 ]
 
 
