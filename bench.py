@@ -116,6 +116,12 @@ def main() -> None:
             # keep \r progress-bar frames out of the driver's stdout
             # tail window (r5: they crowded the parseable JSON out)
             "spark.ui.showConsoleProgress": "false",
+            # 49 queries x 5 runs + the recall section run in ONE
+            # local-mode JVM: broadcasts + localCheckpoint blocks
+            # accumulate across runs and the 1g default heap OOMed at
+            # task serialization mid-bench (r6). Same setting the
+            # scaleup harness already uses.
+            "spark.driver.memory": "16g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

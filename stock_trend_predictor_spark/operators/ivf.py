@@ -60,8 +60,9 @@ def _with_dists(
       a single ``transform`` HOF over it, so plan size and codegen
       cost stay O(1) in k. Each element runs the same
       (a-b)*(a-b) left-fold as the literal path, so results are
-      bit-identical. At k beyond ~10^4 the next documented lever is
-      a two-level (hierarchical) coarse quantizer.
+      bit-identical. At k beyond ~10^4 the N x k fold cost itself is
+      the wall — switch to :func:`assign_clusters_two_level`
+      (IMI-style hierarchical assignment, N x ~3*sqrt(k)).
 
     ``use_join=None`` picks by the cap; tests pass True/False to pin
     the equality law.
@@ -266,6 +267,111 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _group_centroids(
+    centroids: list[list[float]], g: int, iters: int = 3
+) -> tuple[list[list[float]], list[int]]:
+    """Cluster the CENTROIDS into g groups (driver-side numpy Lloyd's
+    over a parameter-sized k x dim matrix — a model of a model, never
+    data). Deterministic: seeds are the first g centroids, argmin
+    ties break to the lowest group index. Returns (group centers,
+    gid per centroid)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    centers = c[:g].copy()
+    gid = np.zeros(len(c), dtype=int)
+    for _ in range(iters):
+        d = ((c[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        gid = d.argmin(1)
+        for j in range(g):
+            members = c[gid == j]
+            if len(members):
+                centers[j] = members.mean(0)
+    return centers.tolist(), gid.tolist()
+
+
+def assign_clusters_two_level(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_groups: int | None = None,
+    gprobe: int = 2,
+) -> DataFrame:
+    """Hierarchical (IMI-style) cell assignment — the documented lever
+    PAST the flat join path: at nlist ~ N/500 a 10^9-vector corpus
+    needs k ~ 2*10^6 cells, and even the one-row-broadcast flat
+    assignment is N x k distance folds. Two levels cut that to
+    N x (g + gprobe * k/g) ~ N x 3*sqrt(k) at the default
+    g = sqrt(k): the k centroids are themselves clustered into g
+    groups (driver-side numpy over the parameter-sized centroid
+    matrix), each vector probes its gprobe nearest GROUP centers
+    (narrow map, group centers ride the plan), then scans only those
+    groups' member centroids through a broadcast (gid -> members)
+    array — one fold expression, no per-centroid codegen.
+
+    APPROXIMATE by construction: the true nearest centroid can sit in
+    a non-probed group (Voronoi boundary), so this is a blocking
+    assignment, not an exact argmin — gprobe is the accuracy dial,
+    and with n_groups=1 it degenerates to the EXACT flat assignment
+    (law-tested). Agreement with the exact assignment is measured and
+    floor-pinned in tests/test_similarity.py. Cost shape: stage 1 is
+    a narrow map; stage 2 is a broadcast join on gid + one argmin
+    fold + a (id, best)-sized groupBy — the only shuffle, gprobe
+    rows per vector of a 2-field struct."""
+    import math
+
+    k = len(centroids)
+    g = n_groups if n_groups is not None else max(1, int(math.sqrt(k)))
+    centers, gids = _group_centroids(centroids, g)
+    spark = corpus.sparkSession
+    members: list[list[tuple[int, list[float]]]] = [[] for _ in range(g)]
+    for c_idx, gj in enumerate(gids):
+        members[gj].append((c_idx, [float(x) for x in centroids[c_idx]]))
+    mdf = spark.createDataFrame(
+        [(j, members[j]) for j in range(g) if members[j]],
+        "_gid int, _members array<struct<cid: int, c: array<double>>>",
+    )
+    probed = assign_clusters_multiprobe(
+        corpus.select(id_col, vec_col),
+        centers,
+        nprobe=min(gprobe, g),
+        vec_col=vec_col,
+    ).withColumnRenamed("cid", "_gid")
+
+    def _sq(m):
+        diff = F.zip_with(F.col(vec_col), m["c"], lambda a, b: a - b)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin over the probed group's members: strict < keeps the
+    # FIRST minimal member, and members are in ascending cid order,
+    # so ties break to the lowest cid — the flat-assignment rule
+    best = F.aggregate(
+        F.col("_members"),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(2**31 - 1).alias("cid")
+        ),
+        lambda acc, m: F.when(
+            _sq(m) < acc["d"],
+            F.struct(_sq(m).alias("d"), m["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    per_probe = (
+        probed.join(F.broadcast(mdf), "_gid")
+        .select(id_col, best.alias("_best"))
+    )
+    # cross-probe reduce: lexicographic struct min == (min d, then
+    # min cid) — matches the flat tie rule
+    assigned = per_probe.groupBy(id_col).agg(
+        F.min("_best")["cid"].alias("cid")
+    )
+    return corpus.join(assigned, id_col)
 
 
 def assign_clusters_multiprobe(

@@ -10,11 +10,18 @@ loop), and `spark.readStream.format("tick_api")` is the polling form
 with replayable offsets — a crash replays [start, end) deterministically,
 which is exactly the ST2 offsets/replay contract.
 
-No network in this container, so the "API" is a deterministic
+No network in this container, so the DEFAULT "API" is a deterministic
 synthetic quote generator (md5-seeded, same idiom as the multimodal
-decode stubs): swap `_quote` for a real HTTP call and nothing else
-changes. Options: `symbols` (csv), `rows_per_symbol`, `start_epoch_s`,
-`interval_s`, `rows_per_batch` (streaming).
+decode stubs). The LIVE provider is wired too (round 6, r5 "what's
+missing" #2): `.option("provider", "yfinance")` makes each symbol
+partition issue the reference's exact poll —
+``yfinance.download(tickers=sym, period=..., interval="1m")``
+(data_collection/fetch_stock.py:21-29) — executor-side, import-gated
+on the yfinance package (absent here; the option raises a clear
+install pointer, asserted in tests/test_datasource.py). Options:
+`symbols` (csv), `rows_per_symbol`, `start_epoch_s`, `interval_s`,
+`rows_per_batch` (streaming), `provider` (synthetic|yfinance),
+`period`/`interval` (yfinance poll window).
 """
 
 from __future__ import annotations
@@ -54,6 +61,36 @@ def _quote(symbol: str, seq: int, start_s: int, interval_s: int):
     return (symbol, seq, ts, price, volume)
 
 
+def _yf_quotes(
+    symbol: str, limit: int, period: str, interval: str
+) -> Iterator[tuple]:
+    """One live yfinance poll for one symbol partition — the
+    reference's fetch contract (fetch_stock.py:21-29: download with
+    interval='1m', close price + volume per bar), re-shaped to the
+    tick_api schema. Executor-side import so the dependency is only
+    needed where the partition actually runs."""
+    try:
+        import yfinance as yf
+    except ImportError as e:  # pragma: no cover - env-gated live path
+        raise ImportError(
+            "tick_api provider=yfinance requires the yfinance package "
+            "(the reference's poll client, "
+            "data_collection/fetch_stock.py:21-29); install it on a "
+            "networked cluster or use the default synthetic provider"
+        ) from e
+    bars = yf.download(
+        tickers=symbol, period=period, interval=interval, progress=False
+    )
+    for seq, (idx, row) in enumerate(bars.tail(limit).iterrows()):
+        yield (
+            symbol,
+            seq,
+            idx.to_pydatetime(),
+            float(row["Close"]),
+            int(row["Volume"]),
+        )
+
+
 class _SymbolPartition(InputPartition):
     def __init__(self, symbol: str):
         self.symbol = symbol
@@ -65,12 +102,20 @@ class TickApiBatchReader(DataSourceReader):
         self.rows = int(options.get("rows_per_symbol", 100))
         self.start_s = int(options.get("start_epoch_s", 1_704_067_200))
         self.interval_s = int(options.get("interval_s", 60))
+        self.provider = options.get("provider", "synthetic")
+        self.period = options.get("period", "1d")
+        self.interval = options.get("interval", "1m")
 
     def partitions(self) -> Sequence[InputPartition]:
         # one "API call" per symbol, scheduled across executors
         return [_SymbolPartition(s) for s in self.symbols]
 
     def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
+        if self.provider == "yfinance":
+            yield from _yf_quotes(
+                partition.symbol, self.rows, self.period, self.interval
+            )
+            return
         for seq in range(self.rows):
             yield _quote(partition.symbol, seq, self.start_s, self.interval_s)
 

@@ -182,3 +182,33 @@ def test_tick_api_stream_writer_per_epoch_manifests(spark, tmp_path):
     # offsets contiguous from 0 => each epoch published disjoint seqs
     seqs = sorted(r["seq"] for r in rows)
     assert seqs == list(range(len(seqs)))
+
+
+def test_yfinance_provider_is_import_gated(spark):
+    """provider=yfinance wires the reference's live poll
+    (fetch_stock.py:21-29). Without the package (this container) the
+    task must fail with the install pointer, not fall back to
+    synthetic rows silently. Skips if yfinance is installed."""
+    import pytest as _pytest
+
+    try:
+        import yfinance  # noqa: F401
+
+        _pytest.skip("yfinance present; live path available")
+    except ImportError:
+        pass
+
+    from stock_trend_predictor_spark.sources.tick_api import (
+        register_tick_api,
+    )
+
+    register_tick_api(spark)
+    df = (
+        spark.read.format("tick_api")
+        .option("symbols", "AAPL")
+        .option("rows_per_symbol", 5)
+        .option("provider", "yfinance")
+        .load()
+    )
+    with _pytest.raises(Exception, match="yfinance"):
+        df.collect()

@@ -389,3 +389,44 @@ def test_sample_trained_centroids_are_deterministic_and_valid(spark):
     full = kmeans_centroids(corpus, k=8, iters=2, vec_col="v")
     full1 = kmeans_centroids(corpus, k=8, iters=2, vec_col="v", sample_mod=1)
     assert full == full1
+
+
+def test_two_level_assignment_laws(spark):
+    """Hierarchical (IMI-style) assignment laws: (1) with a single
+    group it IS the flat assignment (exact, bit-for-bit); (2) at the
+    default sqrt(k) grouping with gprobe=2 it agrees with the exact
+    flat argmin on >= 90% of vectors (measured 0.98+ on this corpus;
+    floor sits well below to detect collapse, not luck); (3) exactly
+    one cell per vector, all cells in range."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        assign_clusters,
+        assign_clusters_two_level,
+        kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    corpus = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = kmeans_centroids(corpus, k=16, iters=2, vec_col="v")
+    flat = {
+        r["vec_id"]: r["cid"]
+        for r in assign_clusters(corpus, cents, "v").collect()
+    }
+
+    one_group = {
+        r["vec_id"]: r["cid"]
+        for r in assign_clusters_two_level(
+            corpus, cents, n_groups=1, gprobe=1
+        ).collect()
+    }
+    assert one_group == flat
+
+    hier = {
+        r["vec_id"]: r["cid"]
+        for r in assign_clusters_two_level(corpus, cents).collect()
+    }
+    assert set(hier) == set(flat)  # one assignment per vector
+    assert all(0 <= c < len(cents) for c in hier.values())
+    agree = sum(hier[v] == flat[v] for v in flat) / len(flat)
+    assert agree >= 0.9, f"two-level agreement {agree} collapsed"
