@@ -330,14 +330,19 @@ def assign_clusters_two_level(
     members: list[list[tuple[int, list[float]]]] = [[] for _ in range(g)]
     for c_idx, gj in enumerate(gids):
         members[gj].append((c_idx, [float(x) for x in centroids[c_idx]]))
+    # probe only NON-EMPTY groups: numpy Lloyd can leave a group with
+    # zero member centroids, and a vector whose every probe landed on
+    # empty groups would vanish through the inner join below — probing
+    # a dense re-indexed center list makes every probe productive
+    dense = [j for j in range(g) if members[j]]
     mdf = spark.createDataFrame(
-        [(j, members[j]) for j in range(g) if members[j]],
+        [(new_j, members[j]) for new_j, j in enumerate(dense)],
         "_gid int, _members array<struct<cid: int, c: array<double>>>",
     )
     probed = assign_clusters_multiprobe(
         corpus.select(id_col, vec_col),
-        centers,
-        nprobe=min(gprobe, g),
+        [centers[j] for j in dense],
+        nprobe=min(gprobe, len(dense)),
         vec_col=vec_col,
     ).withColumnRenamed("cid", "_gid")
 

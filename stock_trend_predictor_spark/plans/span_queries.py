@@ -482,13 +482,28 @@ FROM packed GROUP BY split
             kept_ids, "doc_id", "left_semi"
         )
         bucket = hash60(F.col("doc_id").cast("string")) % 100
-        kept = docs.select(
-            "doc_id",
-            F.when(bucket < 90, "train")
-            .when(bucket < 95, "val")
-            .otherwise("test")
-            .alias("split"),
-            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # materialized once: prefix_scan_rank consumes its input TWICE
+        # (bucket counts + the offsets join) — left lazy, the whole
+        # corpus_keep_decision sub-pipeline above re-runs per
+        # consumer. Local sf0.1 A/B is a wash (~4.4 vs ~4.6 s median
+        # warm — the sub-pipeline shares scans well), but at scale a
+        # guaranteed-single execution of a multi-join curation pass
+        # is the only safe shape.
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+
+        kept = materialize_once(
+            docs.select(
+                "doc_id",
+                F.when(bucket < 90, "train")
+                .when(bucket < 95, "val")
+                .otherwise("test")
+                .alias("split"),
+                F.size(F.split("text", " "))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
         )
         # per-split cumsum via the two-level prefix scan — a window
         # partitioned only by split (3 values) would prefix-sum ~90%

@@ -430,3 +430,29 @@ def test_two_level_assignment_laws(spark):
     assert all(0 <= c < len(cents) for c in hier.values())
     agree = sum(hier[v] == flat[v] for v in flat) / len(flat)
     assert agree >= 0.9, f"two-level agreement {agree} collapsed"
+
+
+def test_two_level_assignment_never_drops_vectors(spark):
+    """Coverage contract under adversarial grouping: duplicated
+    centroids with n_groups=k force empty centroid-groups after the
+    driver-side Lloyd — probing is restricted to the dense non-empty
+    group list, so every vector must still receive exactly one cell
+    even at gprobe=1."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        assign_clusters_two_level,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = corpus.select("vec_id", as_double("embedding").alias("v"))
+    base = [r["v"] for r in corpus.orderBy("vec_id").limit(3).collect()]
+    cents = [list(map(float, base[0]))] * 3 + [
+        list(map(float, base[1])),
+        list(map(float, base[2])),
+    ]
+    out = assign_clusters_two_level(
+        corpus, cents, n_groups=len(cents), gprobe=1
+    ).collect()
+    n = corpus.count()
+    assert len(out) == n
+    assert {r["vec_id"] for r in out} == set(range(n))
+    assert all(0 <= r["cid"] < len(cents) for r in out)
