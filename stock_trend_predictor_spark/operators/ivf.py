@@ -3,19 +3,25 @@ quantizer scale path next to the hyperplane-LSH variant in
 operators/similarity.py.
 
 Build: a few Lloyd iterations of k-means over the corpus, expressed as
-DataFrame ops — assignment is a broadcast of k centroid literals
-(distance folds in codegen), the update step is a posexplode →
-groupBy(cluster, dim) mean → array rebuild. Per iteration the only
-driver traffic is the k×dim centroid matrix itself (a model, not
-data) — the corpus never leaves the executors.
+DataFrame ops — assignment is plan-literal centroids up to the codegen
+cap and a one-row broadcast matrix past it; the update step
+accumulates per-(cell, dim) DECIMAL(38,9) sufficient sums (exact,
+order-independent — round 6) with the mean taken in the driver, so
+the trained quantizer is bit-reproducible across runs AND engines.
+Per iteration the only driver traffic is the k×dim stats (a model,
+not data) — the corpus never leaves the executors.
 
 Search: a query probes its nprobe nearest centroids and exact-scores
 only those clusters' members. Probe cost ≈ nprobe/k of the corpus —
 the IVF trade dial. At 100 TB the assignment column would be written
 back partitioned by cluster id so a probe prunes whole files.
 
-Approximate by construction → no SQL oracle; recall is measured
-against brute_force_topk in tests/test_similarity.py.
+Search results stay approximate by construction (recall measured
+against brute_force_topk in tests/test_similarity.py), but the
+quantizer's determinism means pipelines BUILT on the cell assignment
+(dedup_embedding_ivf, semdedup_keep_decision) carry full DuckDB
+value-hash oracles that replay Lloyd's exactly — see
+plans/dedup_queries.py.
 """
 
 from __future__ import annotations
@@ -317,10 +323,18 @@ def assign_clusters_two_level(
     assignment, not an exact argmin — gprobe is the accuracy dial,
     and with n_groups=1 it degenerates to the EXACT flat assignment
     (law-tested). Agreement with the exact assignment is measured and
-    floor-pinned in tests/test_similarity.py. Cost shape: stage 1 is
-    a narrow map; stage 2 is a broadcast join on gid + one argmin
-    fold + a (id, best)-sized groupBy — the only shuffle, gprobe
-    rows per vector of a 2-field struct."""
+    floor-pinned in tests/test_similarity.py. Measured on the 30x
+    NEAR-RANDOM corpus (60k vectors, k=512 — the worst case for
+    coarse pruning, every centroid nearly equidistant): gprobe 2/4/8
+    agrees 0.71/0.88/0.98 with the exact argmin at 7.0/11.0/18.6 s vs
+    the flat join's 19.5 s — so at this k the default buys 2.8x for
+    blocking-grade assignment, and the crossover widens as ~k/(3sqrt
+    k) with k (SCALE.md r6). Clustered real embeddings sit far above
+    this agreement floor because group structure then FOLLOWS data
+    structure. Cost shape: stage 1 is a narrow map; stage 2 is a
+    broadcast join on gid + one argmin fold + a (id, best)-sized
+    groupBy — the only shuffle, gprobe rows per vector of a 2-field
+    struct."""
     import math
 
     k = len(centroids)
