@@ -5,9 +5,8 @@ The reference consumes a real change stream —
 ``collection.watch(pipeline, full_document='updateLookup')`` over
 ``stock_db.stock_data`` and routes each event's fullDocument to a
 history or realtime collection
-(/root/reference/streaming_processing/mongo_stream_etl.py:14-38;
-/root/reference/ml_model/predict_from_vm4.py:44-45 uses the same
-watch). This repo's engine-side semantics (P6 skip-no-document, P7
+(streaming_processing/mongo_stream_etl.py:14-38;
+ml_model/predict_from_vm4.py:44-45 uses the same watch). This repo's engine-side semantics (P6 skip-no-document, P7
 symbol/source defaults, P8 time→ts rename, S6 routing) live in
 ``streaming/ingest.py::parse_cdc_envelope`` and
 ``streaming/routing.py`` and are fully tested against a modeled
