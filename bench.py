@@ -96,6 +96,8 @@ HEADLINE = [
     "train_test_leakage_report",  # cross-split gram contamination
     "semdedup_keep_decision",    # IVF blocks + cosine graph + CC keep
     "chunk_bm25_search",         # passage BM25 + max-passage collapse
+    # round-6 addition (everything above stays frozen).
+    "neardup_keep_decision",     # LSH pairs -> verify -> CC -> keep-min
 ]
 
 

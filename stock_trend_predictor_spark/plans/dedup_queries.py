@@ -505,6 +505,121 @@ WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
             .select("doc_a", "doc_b", stable_round(jac, 6).alias("jaccard"))
         )
 
+    _JACCARD_RAW_SQL = (
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.hs, b.hs)))"
+    )
+
+    @register(
+        "neardup_keep_decision",
+        oracle=f"""
+WITH RECURSIVE shingled AS MATERIALIZED (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
+), sigs AS (
+    SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
+), banded AS MATERIALIZED (
+    SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
+), bands AS (
+    {band_union_sql}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+), edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    JOIN shingled a ON a.doc_id = doc_a
+    JOIN shingled b ON b.doc_id = doc_b
+    WHERE {_JACCARD_RAW_SQL} >= 0.5
+), und AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+), reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+), labeled AS (
+    SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+)
+SELECT doc_id, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size,
+       doc_id = cluster AS keep
+FROM labeled
+""",
+        doc="The END-TO-END text near-dup curation verdict — "
+        "SemDeDup's text-side twin (r6): MinHash-LSH candidates "
+        "(dedup_minhash_lsh's exact pipeline) verified at shingle "
+        "Jaccard >= 0.5 become the near-dup graph, transitive "
+        "closure via min-label propagation "
+        "(operators/components.py) groups co-duplicated documents "
+        "even when the transitive pair was never scored, and each "
+        "cluster keeps ONE representative (the min doc_id). Output: "
+        "every document with its cluster, cluster size, and keep "
+        "flag — the row-level drop list a corpus owner executes, vs "
+        "the pairs report. cluster_size via a cluster-partitioned "
+        "window (high-cardinality key, no O(N) broadcast — the r5 "
+        "semdedup lesson). Fully oracle-checked: md5-based shingles/"
+        "signatures + recursive-CTE closure replay the whole "
+        "pipeline in DuckDB.",
+    )
+    def neardup_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from stock_trend_predictor_spark.operators.components import (
+            connected_components,
+        )
+
+        docs = materialize_once(
+            D.with_shingle_hashes(
+                load_table(spark, sf_dir, "documents").repartition(
+                    spark.sparkContext.defaultParallelism, "doc_id"
+                )
+            ).select("doc_id", "hs")
+        )
+        cand = D.lsh_candidate_pairs(docs)
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+        )
+        jac = D.jaccard_of_hash_arrays("hs_a", "hs_b")
+        edges = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(jac >= 0.5)
+            .select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
+        comps = connected_components(edges, "src", "dst")
+        labeled = (
+            docs.select("doc_id")
+            .join(
+                comps.select(F.col("node").alias("doc_id"), "component"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            )
+        )
+        return labeled.select(
+            "doc_id",
+            "cluster",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster"))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster")).alias("keep"),
+        )
+
     @register(
         "dedup_simhash",
         oracle=f"""

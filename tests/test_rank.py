@@ -206,3 +206,52 @@ def test_chunk_manifest_covers_every_token(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_top_k_prune_matches_unpruned_rank(frame):
+    """top_k must be a pure FILTER on the unpruned result: the
+    bucket-level offset prune (drop whole buckets whose carry-in is
+    already >= k before the window) and the final rank filter may
+    never change a surviving row's rank — per group, for every bucket
+    source, including ties broken by id."""
+    full = prefix_scan_rank(
+        frame,
+        quantile_bucket(frame, "weight", 16),
+        ["weight", "id"],
+        rank_name="rk",
+        partition_cols=["grp"],
+    )
+    want = {
+        (r["grp"], r["id"], r["rk"])
+        for r in full.collect()
+        if r["rk"] <= 7
+    }
+    pruned = prefix_scan_rank(
+        frame,
+        quantile_bucket(frame, "weight", 16),
+        ["weight", "id"],
+        rank_name="rk",
+        partition_cols=["grp"],
+        top_k=7,
+    )
+    got = {(r["grp"], r["id"], r["rk"]) for r in pruned.collect()}
+    assert got == want and got
+    # and the global (unpartitioned) form
+    g_want = {
+        (r["id"], r["rk"])
+        for r in prefix_scan_rank(
+            frame, F.col("score"), ["score", "id"], rank_name="rk"
+        ).collect()
+        if r["rk"] <= 25
+    }
+    g_got = {
+        (r["id"], r["rk"])
+        for r in prefix_scan_rank(
+            frame,
+            F.col("score"),
+            ["score", "id"],
+            rank_name="rk",
+            top_k=25,
+        ).collect()
+    }
+    assert g_got == g_want and len(g_got) == 25
