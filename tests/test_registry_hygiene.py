@@ -117,3 +117,33 @@ def test_cited_files_exist():
             if not ok:
                 bad.append((str(src.relative_to(pkg)), cite))
     assert not bad, f"citations of nonexistent files: {bad}"
+
+
+def test_bench_compact_line_fits_the_drivers_tail_window():
+    """r5 verdict #6 regression guard: the driver keeps only a ~1.9 KB
+    tail of bench stdout and parses a JSON line out of it. The
+    COMPACT line bench.py prints LAST must stay comfortably inside
+    that window even with every per-query value at its widest
+    rendering — adding headline queries without checking this is how
+    the r5 artifact lost its parse."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "unit": "sec",
+        # bench.py rounds compact per-query values to 2dp; 999.99 is
+        # the widest any sane per-query median renders
+        "queries": {name: 999.99 for name in HEADLINE},
+        "bench_runs": 5,
+        "sf": 0.1,
+    }
+    assert len(json.dumps(compact)) < 1800, (
+        f"compact bench line {len(json.dumps(compact))}B nears the "
+        "driver's tail window — move per-query detail to "
+        "BENCH_DETAIL.json before adding more headline queries"
+    )

@@ -456,3 +456,29 @@ def test_two_level_assignment_never_drops_vectors(spark):
     assert len(out) == n
     assert {r["vec_id"] for r in out} == set(range(n))
     assert all(0 <= r["cid"] < len(cents) for r in out)
+
+
+def test_kmeans_centroids_are_partitioning_invariant(spark):
+    """THE property the r6 decimal-sufficient-stat update buys:
+    identical centroids — bit-for-bit, not approximately — under any
+    physical layout of the corpus. Double summation in shuffle
+    order (the old F.avg update) breaks this in the last ulp, which
+    is exactly what kept the IVF-quantized queries un-oracle-able."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    layouts = [
+        corpus.repartition(1),
+        corpus.repartition(13),
+        corpus.repartition(32, "vec_id"),
+        corpus.coalesce(2),
+    ]
+    builds = [
+        kmeans_centroids(c, k=8, iters=3, vec_col="v") for c in layouts
+    ]
+    for other in builds[1:]:
+        assert other == builds[0]
