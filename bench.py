@@ -96,8 +96,10 @@ HEADLINE = [
     "train_test_leakage_report",  # cross-split gram contamination
     "semdedup_keep_decision",    # IVF blocks + cosine graph + CC keep
     "chunk_bm25_search",         # passage BM25 + max-passage collapse
-    # round-6 addition (everything above stays frozen).
+    # round-6 additions (everything above stays frozen).
     "neardup_keep_decision",     # LSH pairs -> verify -> CC -> keep-min
+    "neardup_incremental_pairs",  # stateful LSH fold (3 state commits)
+    "dsir_importance_weights",   # hashed-ngram importance model + score
 ]
 
 

@@ -1331,3 +1331,106 @@ def _register_r5b():
 
 
 _register_r5b()
+
+
+def _register_r6():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    # The same shared md5-permutation SQL blocks as dedup_minhash_lsh
+    # (rebuilt here; _register's locals are gone by now).
+    sig_list = ", ".join(D.minhash_signature_sql("hs"))
+    band_keys_sql = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            f"CAST(sig[{m * D.BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(D.BAND_ROWS)
+        )
+        + f") AS bkey{m}"
+        for m in range(D.N_BANDS)
+    )
+    band_union_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {m} AS band_id, bkey{m} AS bkey FROM banded"
+        for m in range(D.N_BANDS)
+    )
+    jaccard_raw = (
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.hs, b.hs)))"
+    )
+
+    @register(
+        "neardup_incremental_pairs",
+        oracle=f"""
+WITH shingled AS MATERIALIZED (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
+), sigs AS (
+    SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
+), banded AS MATERIALIZED (
+    SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
+), bands AS (
+    {band_union_sql}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT CAST(greatest(doc_a % 3, doc_b % 3) AS INTEGER) AS found_in_batch,
+       doc_a, doc_b,
+       {stable_round_sql(jaccard_raw, 6)} AS jaccard
+FROM cand
+JOIN shingled a ON a.doc_id = doc_a
+JOIN shingled b ON b.doc_id = doc_b
+WHERE {jaccard_raw} >= 0.5
+""",
+        doc="The CONTINUOUSLY MAINTAINED near-dup pass, oracle-checked "
+        "end-to-end: the documents table arrives in three batches "
+        "(arrival batch = doc_id % 3, so pair members arrive out of "
+        "id order and the discovery law is genuinely exercised) "
+        "folded through streaming/neardup_maintenance.py's LSH band "
+        "index on the versioned state store. Per batch only the NEW "
+        "docs' bands probe the accumulated index, so a pair is "
+        "discovered exactly once — when its later-arriving member "
+        "lands — giving the closed-form emission law "
+        "found_in_batch = max(doc_a % 3, doc_b % 3), which is what "
+        "lets a genuine stateful fold carry a full one-shot DuckDB "
+        "oracle (the union of emitted pairs must equal "
+        "dedup_minhash_lsh's pair set with that stamp). History text "
+        "is never re-scanned: the probe joins N_BANDS keys per new "
+        "doc against the band index (bucketed by (band_id, bkey) at "
+        "corpus scale). Replayed batch ids are skipped before any "
+        "write (operators/statestore.py). Laws in "
+        "tests/test_neardup_stream.py.",
+    )
+    def neardup_incremental_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+            read_neardup_pairs,
+            update_neardup_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # one state dir per (run target, PROCESS), wiped on entry —
+        # same concurrency discipline as budget_admission_state
+        # (r5 ADVICE: shared dirs let concurrent sessions corrupt
+        # each other's fold)
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"neardup-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            batch = D.with_shingle_hashes(
+                docs.where(F.col("doc_id") % 3 == i)
+            ).select("doc_id", "hs")
+            update_neardup_state(spark, batch, state_dir, batch_id=i)
+        return read_neardup_pairs(spark, state_dir)
+
+
+_register_r6()

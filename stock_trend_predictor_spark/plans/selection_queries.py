@@ -724,3 +724,151 @@ FROM c WHERE cum <= (SELECT budget FROM b)
 
 
 _register_r5c()
+
+
+def _register_r6():
+    from stock_trend_predictor_spark.functions.exact import (
+        stable_round,
+        stable_round_sql,
+    )
+    from stock_trend_predictor_spark.functions.text import hash60, hash60_sql
+    from stock_trend_predictor_spark.plans.registry import register
+    from stock_trend_predictor_spark.sources.tables import materialize_once
+
+    B = 2048  # hashed-feature buckets (the DSIR paper uses 10k for
+    # web-scale corpora; 2048 keeps every parameter table
+    # comfortably broadcastable and is plenty for this vocab)
+
+    @register(
+        "dsir_importance_weights",
+        oracle=f"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(ts,
+               list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]))) AS f
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts
+          FROM documents)
+), b AS MATERIALIZED (
+    SELECT doc_id, lang, {hash60_sql('f')} % {B} AS bucket FROM feats
+), rb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r
+    FROM b GROUP BY bucket
+), tb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+    FROM b WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+    SELECT (SELECT sum(cnt_r) FROM rb) AS tr,
+           (SELECT sum(cnt_t) FROM tb) AS tt
+), lr AS (
+    SELECT bucket,
+           ln((coalesce(cnt_t, 0) + 1) / (tt + {B}.0))
+         - ln((cnt_r + 1) / (tr + {B}.0)) AS lr
+    FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(SUM(CAST(lr AS DECIMAL(27,6))) AS DOUBLE) AS s
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       {stable_round_sql('s', 6)} AS log_weight,
+       {stable_round_sql('s', 6)} > 0 AS kept
+FROM per_doc
+""",
+        doc="DSIR-style data selection with importance resampling "
+        "(arXiv:2302.03169): hashed n-gram features (unigrams + "
+        f"adjacent bigrams, md5-hash into {B} buckets), a Laplace-"
+        "smoothed bag-of-buckets model of the TARGET distribution "
+        "(here: the lang='en' slice) and of the RAW corpus, and a "
+        "per-document importance weight = sum over feature instances "
+        "of ln p_target(bucket) - ln p_raw(bucket); kept = weight > "
+        "0 (more target-like than raw-like). The scale shape is the "
+        "whole point of the bucketed design: the corpus explodes "
+        "once into (doc_id, bucket) pairs (tokens + bigrams, ~2x "
+        "token count), BOTH distribution models aggregate to "
+        f"<= {B}-row parameter tables (map-side combinable), the "
+        "log-ratio table broadcasts back, and the per-doc weight is "
+        "one doc_id-keyed aggregation — no window, no self-join, "
+        "text never moves past tokenization. Per-doc double sums go "
+        "through the decimal trick (functions/exact.py) so the "
+        "result is partition-order-independent and value-hash-equal "
+        "to the DuckDB oracle.",
+    )
+    def dsir_importance_weights(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.split("text", " ").alias("ts")
+        )
+        # tokenize once: the if-guard blocks CollapseProject from
+        # inlining split() into the lambda (the token_bigram_condprob
+        # fix); bigram list is empty for 1-token docs
+        feats = docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "if(size(ts) < 0, null, concat(ts, "
+                    "if(size(ts) < 2, array(), "
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(try_element_at(ts, i), ' ', "
+                    "try_element_at(ts, i + 1))))))"
+                )
+            ).alias("f"),
+        )
+        exploded = materialize_once(
+            feats.select(
+                "doc_id",
+                "lang",
+                F.pmod(hash60("f"), F.lit(B)).alias("bucket"),
+            )
+        )
+        rb = exploded.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt_r")
+        )
+        tb = (
+            exploded.where(F.col("lang") == "en")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t"))
+        )
+        tot = rb.agg(F.sum("cnt_r").alias("tr")).crossJoin(
+            tb.agg(F.sum("cnt_t").alias("tt"))
+        )
+        lr_tab = (
+            rb.join(tb, "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bucket",
+                (
+                    F.log(
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                        / (F.col("tt") + F.lit(float(B)))
+                    )
+                    - F.log(
+                        (F.col("cnt_r") + 1)
+                        / (F.col("tr") + F.lit(float(B)))
+                    )
+                ).alias("lr"),
+            )
+        )
+        per_doc = (
+            exploded.join(F.broadcast(lr_tab), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+                F.sum(F.col("lr").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("__s"),
+            )
+        )
+        lw = stable_round(F.col("__s"), 6)
+        return per_doc.select(
+            "doc_id",
+            "n_feats",
+            lw.alias("log_weight"),
+            (lw > 0).alias("kept"),
+        )
+
+
+_register_r6()

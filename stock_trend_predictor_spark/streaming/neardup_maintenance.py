@@ -1,0 +1,168 @@
+"""Continuous MinHash-LSH near-dup maintenance on the idempotent
+state store — the streaming twin of ``neardup_keep_decision``'s pair
+stage, for the daily-crawl shape where yesterday's corpus must not be
+re-scanned to dedup today's arrivals.
+
+State = three tables under the versioned-dir + atomic-META protocol
+(operators/statestore.py, the same sink discipline as the budget /
+IVF folds):
+
+- ``bands``     (doc_id, band_id, bkey)  — the accumulated LSH band
+  index: N_BANDS rows per document ever folded;
+- ``shingles``  (doc_id, hs)             — shingle-hash arrays for
+  exact-Jaccard verification of candidates;
+- ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
+  verified near-dup pair, stamped with the batch that DISCOVERED it.
+
+Per batch: the NEW documents' bands probe the accumulated index (plus
+the batch itself, so intra-batch duplicates surface immediately);
+candidates verify at exact shingle Jaccard >= 0.5; verified pairs
+append. A pair is discovered exactly once — when its later-arriving
+member lands — so the fold's emission law is closed-form:
+``found_in_batch = max(arrival_batch(doc_a), arrival_batch(doc_b))``,
+which is what makes the registry query (`neardup_incremental_pairs`)
+fully DuckDB-oracle-able despite being a genuine stateful fold.
+Replayed batch ids are skipped before any write (at-least-once
+foreachBatch delivery → exactly-once folds).
+
+Scale shape: the per-batch probe joins ONLY the new docs' bands
+(N_BANDS small keys per doc) against the band index — at corpus scale
+the index is written bucketed by (band_id, bkey) so the probe is
+co-partitioned and history text is NEVER re-scanned; mega-buckets get
+the same bucket-cap defense as operators/dedup.py::lsh_candidate_pairs
+(at the tested SFs no bucket exceeds the cap, so the plain equi-join
+here is pair-identical). Laws in tests/test_neardup_stream.py:
+stream == batch (union of emitted pairs equals the one-shot
+dedup_minhash_lsh pair set), replay idempotence, and the
+discovery-batch law above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.exact import stable_round
+from stock_trend_predictor_spark.operators import dedup as D
+from stock_trend_predictor_spark.operators.statestore import (
+    commit_state,
+    read_state_table,
+)
+
+
+def doc_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bkey) — the LSH band index rows for documents
+    carrying a shingle-hash array ``hs`` (operators/dedup.py
+    signature + band-key machinery; one exploded struct array, no
+    per-band shuffle)."""
+    s = docs.withColumn("sig", D.minhash_signature("hs"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("band_id"), D.band_key(m).alias("bkey")
+            )
+            for m in range(D.N_BANDS)
+        ]
+    )
+    return s.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
+    )
+
+
+def update_neardup_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """Fold one arrival batch of (doc_id, hs) into the maintained
+    near-dup state (idempotent: replayed batch ids are skipped before
+    any write)."""
+    new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
+    new_bands = doc_bands(new)
+    prev_bands = read_state_table(spark, state_dir, "bands")
+    prev_sh = read_state_table(spark, state_dir, "shingles")
+    all_bands = (
+        new_bands
+        if prev_bands is None
+        else prev_bands.unionByName(new_bands)
+    )
+    all_sh = new if prev_sh is None else prev_sh.unionByName(new)
+    # candidates: a NEW doc shares a band with ANY doc folded so far
+    # (state or this batch). Pairs with both members old cannot
+    # appear — so nothing is ever re-discovered.
+    cand = (
+        new_bands.alias("n")
+        .join(
+            all_bands.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.bkey") == F.col("o.bkey"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    a = all_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+    )
+    b = all_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
+    jac = D.jaccard_of_hash_arrays("hs_a", "hs_b")
+    new_pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= 0.5)
+        .select(
+            F.lit(int(batch_id)).alias("found_in_batch"),
+            "doc_a",
+            "doc_b",
+            stable_round(jac, 6).alias("jaccard"),
+        )
+    )
+    prev_pairs = read_state_table(spark, state_dir, "pairs")
+    pairs = (
+        new_pairs
+        if prev_pairs is None
+        else prev_pairs.unionByName(new_pairs)
+    )
+    commit_state(
+        state_dir,
+        {"bands": all_bands, "shingles": all_sh, "pairs": pairs},
+        batch_id=batch_id,
+    )
+
+
+def read_neardup_pairs(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """Every verified pair discovered so far with its discovery
+    batch, or None pre-commit."""
+    return read_state_table(spark, state_dir, "pairs")
+
+
+def neardup_maintenance_sink(
+    doc_stream: DataFrame, state_dir: str, checkpoint: str
+):
+    """Continuous near-dup discovery over a document stream (docs
+    must carry doc_id + text; shingling happens per batch)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        update_neardup_state(
+            batch.sparkSession,
+            D.with_shingle_hashes(batch).select("doc_id", "hs"),
+            state_dir,
+            batch_id=batch_id,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,39 @@
+"""Round-6 law tests: DSIR importance resampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.plans.registry import REGISTRY
+
+
+def test_dsir_importance_weight_laws(spark, sf_dir):
+    """dsir_importance_weights: (1) kept <=> log_weight > 0;
+    (2) every document is scored exactly once with the full feature
+    count (2*tokens - 1: unigrams + adjacent bigrams); (3) the
+    discriminative law — the target slice (lang='en') must score a
+    strictly higher mean weight than the rest, otherwise the
+    importance model learned nothing."""
+    out = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # law 1: the keep rule is exactly the sign of the weight
+    assert out.where(F.col("kept") != (F.col("log_weight") > 0)).count() == 0
+
+    # law 2: one row per document, n_feats = 2*tokens - 1
+    assert out.count() == docs.count()
+    expected = docs.select(
+        "doc_id",
+        (2 * F.size(F.split("text", " ")) - 1).cast("bigint").alias("e"),
+    )
+    bad = out.join(expected, "doc_id").where(F.col("n_feats") != F.col("e"))
+    assert bad.count() == 0, bad.collect()[:5]
+
+    # law 3: the en slice outscores the rest on average
+    means = dict(
+        out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    )
+    assert means[True] > means[False], means
