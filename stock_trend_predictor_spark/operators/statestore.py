@@ -50,11 +50,19 @@ def commit_state(
     state_dir: str,
     tables: dict[str, DataFrame],
     batch_id: int | None = None,
+    files_per_table: int = 1,
 ) -> bool:
     """Write every table to a fresh version dir and atomically point
     META at it. Returns False (no write at all) when ``batch_id`` was
     already applied — the replay-skip that makes an additive update
-    effectively exactly-once."""
+    effectively exactly-once.
+
+    ``files_per_table`` controls write parallelism: 1 (default) is
+    right for parameter-sized state (sketch cells, totals, frontier
+    tables) where a single file keeps reads cheap; corpus-growing
+    state (band indexes, shingle stores) should pass more — a
+    coalesce(1) serializes the whole snapshot write through one task,
+    which the 30x neardup fold measured as a real wall-clock cost."""
     os.makedirs(state_dir, exist_ok=True)
     meta = read_meta(state_dir)
     if (
@@ -67,7 +75,7 @@ def commit_state(
     version = 0 if meta is None else meta["version"] + 1
     vdir = f"v-{version:010d}"
     for name, df in tables.items():
-        df.coalesce(1).write.mode("overwrite").parquet(
+        df.coalesce(files_per_table).write.mode("overwrite").parquet(
             os.path.join(state_dir, vdir, name)
         )
     tmp = os.path.join(state_dir, "META.json.tmp")
