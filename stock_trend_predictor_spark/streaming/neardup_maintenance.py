@@ -3,9 +3,9 @@ state store — the streaming twin of ``neardup_keep_decision``'s pair
 stage, for the daily-crawl shape where yesterday's corpus must not be
 re-scanned to dedup today's arrivals.
 
-State = three tables under the versioned-dir + atomic-META protocol
-(operators/statestore.py, the same sink discipline as the budget /
-IVF folds):
+State = three APPEND tables under the segment + atomic-META protocol
+(operators/statestore.py ``appends=``; same commit discipline as the
+budget / IVF folds, but delta segments instead of snapshots):
 
 - ``bands``     (doc_id, band_id, bkey)  — the accumulated LSH band
   index: N_BANDS rows per document ever folded;
@@ -25,14 +25,15 @@ fully DuckDB-oracle-able despite being a genuine stateful fold.
 Replayed batch ids are skipped before any write (at-least-once
 foreachBatch delivery → exactly-once folds).
 
-The PROBE plan per batch is batch-sized; the STATE COMMIT, however,
-rewrites the accumulated bands/shingles/pairs tables each version
-(the versioned-dir protocol snapshots whole tables — same shape as
-streaming/budget.py), so per-commit IO grows with corpus size. For a
-long-running crawl the documented lever is the same as budget.py's:
-appendable per-batch segments under the atomic META pointer — bands
-and shingles are append-only by construction (a doc's rows never
-change after arrival), so segmenting them loses nothing.
+Both the PROBE plan and the STATE COMMIT are batch-sized: all three
+tables are append-only by construction (a doc's band/shingle rows
+never change after arrival; a pair is discovered exactly once), so
+each commit writes only the batch's delta segments under the atomic
+META pointer (``commit_state(appends=...)``) and per-commit IO never
+grows with the corpus. The 30x protocol drove this design: the
+original full-snapshot commit measured 120.7 s at 30x, parallel
+snapshot files 91.1 s, append segments remove the rewrite entirely
+(SCALE.md round-6 section 2).
 
 Scale shape: the per-batch probe joins ONLY the new docs' bands
 (N_BANDS small keys per doc) against the band index — at corpus scale
@@ -138,20 +139,21 @@ def update_neardup_state(
             stable_round(jac, 6).alias("jaccard"),
         )
     )
-    prev_pairs = read_state_table(spark, state_dir, "pairs")
-    pairs = (
-        new_pairs
-        if prev_pairs is None
-        else prev_pairs.unionByName(new_pairs)
-    )
-    # corpus-growing state: parallel snapshot files (a coalesce(1)
-    # write serializes the whole accumulated index through one task —
-    # measured at 30x as a real wall cost)
+    # all three tables are append-only by construction (a doc's band
+    # and shingle rows never change after arrival; a pair is
+    # discovered exactly once), so each commit writes only THIS
+    # batch's delta segments — per-commit IO is batch-sized, not
+    # corpus-sized (the full-snapshot rewrite measured ~25% of the
+    # 30x wall even with parallel writes; appends remove it).
+    # files_per_table caps write parallelism per segment (coalesce
+    # never raises the partition count, so tiny batches still land
+    # as single files).
     commit_state(
         state_dir,
-        {"bands": all_bands, "shingles": all_sh, "pairs": pairs},
+        {},
         batch_id=batch_id,
         files_per_table=8,
+        appends={"bands": new_bands, "shingles": new, "pairs": new_pairs},
     )
 
 

@@ -81,6 +81,47 @@ def test_neardup_fold_laws(spark, sf_dir, tmp_path):
     assert before == after
 
 
+def test_statestore_append_segments(spark, tmp_path):
+    """The append-table protocol (commit_state appends=): committed
+    reads are the exact union of committed segments; a replayed batch
+    id writes nothing; an orphan segment (crash after segment write,
+    before the META swap) stays invisible; snapshot and append tables
+    coexist in one commit."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+        read_state_table,
+    )
+
+    sdir = str(tmp_path / "st")
+    b0 = spark.createDataFrame([(1,), (2,)], "x long")
+    b1 = spark.createDataFrame([(3,)], "x long")
+
+    def rows():
+        return sorted(
+            r.x for r in read_state_table(spark, sdir, "t").collect()
+        )
+
+    assert commit_state(sdir, {}, batch_id=0, appends={"t": b0})
+    assert rows() == [1, 2]
+    # replay: no write at all, even with different content offered
+    assert not commit_state(sdir, {}, batch_id=0, appends={"t": b1})
+    assert rows() == [1, 2]
+    assert commit_state(sdir, {}, batch_id=1, appends={"t": b1})
+    assert rows() == [1, 2, 3]
+
+    # crash window: a segment on disk that no META references
+    orphan = os.path.join(sdir, "seg-t", "b-0000000099")
+    spark.createDataFrame([(999,)], "x long").write.parquet(orphan)
+    assert rows() == [1, 2, 3]
+
+    # snapshot + append in one commit; appends are multiset unions
+    snap = spark.createDataFrame([(7,)], "y long")
+    assert commit_state(sdir, {"s": snap}, batch_id=2, appends={"t": b0})
+    assert [r.y for r in read_state_table(spark, sdir, "s").collect()] == [7]
+    assert rows() == [1, 1, 2, 2, 3]
+    assert read_state_table(spark, sdir, "missing") is None
+
+
 def test_neardup_sink_end_to_end(spark, sf_dir, tmp_path):
     """A real availableNow file stream through neardup_maintenance_sink
     emits the same pair set as the one-shot pass (law 4)."""
