@@ -31,12 +31,10 @@ Laws (tests/test_streaming.py):
 Per batch the ADMISSION plan is one window over the batch's own rows
 partitioned by source (micro-batch-bounded frame — never the corpus)
 plus one broadcast join against the parameter-sized totals table. The
-STATE COMMIT, however, rewrites the full keepers history each version
-(the versioned-dir protocol snapshots whole tables — same shape as
-the MinHash/span admission sinks), so per-commit IO grows with total
-admitted docs; for a long-running ingest the documented lever is
-appendable per-batch keeper segments under the same atomic META
-pointer, with `totals` staying the O(sources) fast path.
+STATE COMMIT is batch-sized too: keepers is an append table
+(``commit_state(appends=...)`` delta segments — a doc is admitted
+exactly once, so the history never rewrites), with ``totals`` staying
+the O(sources) snapshot fast path.
 
 Reference parity: the reference ingests unboundedly
 (data_collection/kafka_producer.py:12-21 polls forever, no budget
@@ -158,16 +156,14 @@ def update_budget_state(
     (idempotent: replayed batch ids are skipped before any write)."""
     prior = read_state_table(spark, state_dir, "totals")
     admitted, totals = admit_batch(batch, prior, budget=budget)
-    prev_keep = read_state_table(spark, state_dir, "keepers")
-    keepers = (
-        admitted
-        if prev_keep is None
-        else prev_keep.unionByName(admitted)
-    )
+    # keepers is append-only (a doc is admitted exactly once), so the
+    # commit writes only this batch's admissions as a delta segment;
+    # totals stays the O(sources) snapshot fast path
     commit_state(
         state_dir,
-        {"totals": totals, "keepers": keepers},
+        {"totals": totals},
         batch_id=batch_id,
+        appends={"keepers": admitted},
     )
 
 
