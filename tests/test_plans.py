@@ -352,3 +352,16 @@ def test_novelty_preaggregates_before_gram_shuffle(spark):
     plan = _plan(spark, "ngram_novelty_decay")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_dsir_broadcast_models_no_window(spark):
+    """dsir_importance_weights: both bucket models and the log-ratio
+    table are <=2048-row parameter tables and must BROADCAST back to
+    the exploded corpus; the per-doc weight is a doc_id-keyed
+    aggregation — any SortMergeJoin (corpus-vs-dictionary shuffle) or
+    Window (there is no windowed step) is a scale regression."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan  # exploded ⋈ log-ratio table
+    assert "BroadcastNestedLoopJoin" in plan  # ⨯ scalar totals row
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
