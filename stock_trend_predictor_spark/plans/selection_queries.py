@@ -731,9 +731,8 @@ def _register_r6():
         stable_round,
         stable_round_sql,
     )
-    from stock_trend_predictor_spark.functions.text import hash60, hash60_sql
+    from stock_trend_predictor_spark.functions.text import hash60_sql
     from stock_trend_predictor_spark.plans.registry import register
-    from stock_trend_predictor_spark.sources.tables import materialize_once
 
     B = 2048  # hashed-feature buckets (the DSIR paper uses 10k for
     # web-scale corpora; 2048 keeps every parameter table
@@ -798,69 +797,14 @@ FROM per_doc
     def dsir_importance_weights(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", F.split("text", " ").alias("ts")
+        from stock_trend_predictor_spark.operators.dsir import (
+            dsir_log_weights,
         )
-        # tokenize once: the if-guard blocks CollapseProject from
-        # inlining split() into the lambda (the token_bigram_condprob
-        # fix); bigram list is empty for 1-token docs
-        feats = docs.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "if(size(ts) < 0, null, concat(ts, "
-                    "if(size(ts) < 2, array(), "
-                    "transform(sequence(1, size(ts) - 1), "
-                    "i -> concat(try_element_at(ts, i), ' ', "
-                    "try_element_at(ts, i + 1))))))"
-                )
-            ).alias("f"),
-        )
-        exploded = materialize_once(
-            feats.select(
-                "doc_id",
-                "lang",
-                F.pmod(hash60("f"), F.lit(B)).alias("bucket"),
-            )
-        )
-        rb = exploded.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt_r")
-        )
-        tb = (
-            exploded.where(F.col("lang") == "en")
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t"))
-        )
-        tot = rb.agg(F.sum("cnt_r").alias("tr")).crossJoin(
-            tb.agg(F.sum("cnt_t").alias("tt"))
-        )
-        lr_tab = (
-            rb.join(tb, "bucket", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "bucket",
-                (
-                    F.log(
-                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
-                        / (F.col("tt") + F.lit(float(B)))
-                    )
-                    - F.log(
-                        (F.col("cnt_r") + 1)
-                        / (F.col("tr") + F.lit(float(B)))
-                    )
-                ).alias("lr"),
-            )
-        )
-        per_doc = (
-            exploded.join(F.broadcast(lr_tab), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-                F.sum(F.col("lr").cast("decimal(27,6)"))
-                .cast("double")
-                .alias("__s"),
-            )
+
+        per_doc = dsir_log_weights(
+            load_table(spark, sf_dir, "documents"),
+            target=F.col("lang") == "en",
+            n_buckets=B,
         )
         lw = stable_round(F.col("__s"), 6)
         return per_doc.select(
