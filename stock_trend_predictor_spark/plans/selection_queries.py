@@ -816,3 +816,110 @@ FROM per_doc
 
 
 _register_r6()
+
+def _register_r6b():
+    from stock_trend_predictor_spark.functions.exact import (
+        stable_round,
+        stable_round_sql,
+    )
+    from stock_trend_predictor_spark.functions.text import (
+        hash28,
+        hash28_sql,
+        hash60_sql,
+    )
+    from stock_trend_predictor_spark.plans.registry import register
+
+    B = 2048
+    K = 100
+    #: 2^28 + 2 — every hash28 value and the denominator are exact in
+    #: a double, so u = (h+1)/DEN is one deterministic IEEE division
+    DEN = float(2**28 + 2)
+
+    @register(
+        "dsir_gumbel_topk_sample",
+        oracle=f"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(ts,
+               list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]))) AS f
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts
+          FROM documents)
+), b AS MATERIALIZED (
+    SELECT doc_id, lang, {hash60_sql('f')} % {B} AS bucket FROM feats
+), rb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r
+    FROM b GROUP BY bucket
+), tb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+    FROM b WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+    SELECT (SELECT sum(cnt_r) FROM rb) AS tr,
+           (SELECT sum(cnt_t) FROM tb) AS tt
+), lr AS (
+    SELECT bucket,
+           ln((coalesce(cnt_t, 0) + 1) / (tt + {B}.0))
+         - ln((cnt_r + 1) / (tr + {B}.0)) AS lr
+    FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(lr AS DECIMAL(27,6))) AS DOUBLE) AS s
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+), keyed AS (
+    SELECT doc_id, s,
+           s + (-ln(-ln(({hash28_sql('CAST(doc_id AS VARCHAR)')} + 1)
+                        / {DEN!r}))) AS gk
+    FROM per_doc
+)
+SELECT doc_id,
+       {stable_round_sql('s', 6)} AS log_weight,
+       {stable_round_sql('gk', 6)} AS gumbel_key
+FROM keyed
+ORDER BY gk DESC, doc_id
+LIMIT {K}
+""",
+        doc="The RESAMPLING half of DSIR: sample K documents without "
+        "replacement with probability proportional to exp(importance "
+        "weight), via Gumbel-top-k (arXiv:1903.06059 — perturb each "
+        "weight with an independent Gumbel and take the top K). The "
+        "Gumbel is hash-derived (u = (hash28(doc_id)+1)/(2^28+2), "
+        "g = -ln(-ln(u))) so the sample is deterministic and "
+        "cross-engine exact: every u is an exact-integer division, "
+        "and selection compares UNROUNDED keys identical in both "
+        "engines. Scale shape: the weight pass is dsir_log_weights' "
+        "(broadcast models, one doc-keyed agg); the top-K is a "
+        "TakeOrderedAndProject heap — per-partition heaps + driver "
+        "merge of K rows, never a full sort (plan-locked in "
+        "tests/test_plans.py).",
+    )
+    def dsir_gumbel_topk_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.dsir import (
+            dsir_log_weights,
+        )
+
+        per_doc = dsir_log_weights(
+            load_table(spark, sf_dir, "documents"),
+            target=F.col("lang") == "en",
+            n_buckets=B,
+        )
+        u = (hash28(F.col("doc_id").cast("string")) + 1) / F.lit(DEN)
+        keyed = per_doc.select(
+            "doc_id",
+            F.col("__s").alias("s"),
+            (F.col("__s") + (-F.log(-F.log(u)))).alias("gk"),
+        )
+        return (
+            keyed.orderBy(F.col("gk").desc(), "doc_id")
+            .limit(K)
+            .select(
+                "doc_id",
+                stable_round(F.col("s"), 6).alias("log_weight"),
+                stable_round(F.col("gk"), 6).alias("gumbel_key"),
+            )
+        )
+
+
+_register_r6b()

@@ -365,3 +365,12 @@ def test_dsir_broadcast_models_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan  # ⨯ scalar totals row
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_dsir_gumbel_topk_is_heap_not_sort(spark):
+    """dsir_gumbel_topk_sample's selection must be a
+    TakeOrderedAndProject (per-partition heaps + driver merge of K
+    rows) — a full global Sort for a K-row result is the classic
+    scale regression."""
+    plan = _plan(spark, "dsir_gumbel_topk_sample")
+    assert "TakeOrderedAndProject" in plan

@@ -37,3 +37,21 @@ def test_dsir_importance_weight_laws(spark, sf_dir):
         .collect()
     )
     assert means[True] > means[False], means
+
+
+def test_dsir_gumbel_sample_laws(spark, sf_dir):
+    """dsir_gumbel_topk_sample: exactly K rows; the sample is biased
+    toward the target slice (its en-fraction exceeds the corpus's —
+    the whole point of importance resampling); keys are consistent
+    with the weight pass (gumbel_key - log_weight is a bounded Gumbel
+    perturbation, here |g| < 20 for 28-bit uniforms)."""
+    out = REGISTRY["dsir_gumbel_topk_sample"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 100
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en_corpus = sum(1 for v in langs.values() if v == "en") / len(langs)
+    en_sample = sum(1 for r in rows if langs[r.doc_id] == "en") / len(rows)
+    assert en_sample > en_corpus, (en_sample, en_corpus)
+    for r in rows:
+        assert abs(r.gumbel_key - r.log_weight) < 20, r
