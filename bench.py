@@ -99,6 +99,7 @@ HEADLINE = [
     # round-6 additions (everything above stays frozen).
     "neardup_keep_decision",     # LSH pairs -> verify -> CC -> keep-min
     "neardup_incremental_pairs",  # stateful LSH fold (3 state commits)
+    "neardup_incremental_clusters",  # fold + touched-component CC merge
     "dsir_importance_weights",   # hashed-ngram importance model + score
 ]
 

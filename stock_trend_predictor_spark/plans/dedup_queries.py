@@ -1434,3 +1434,109 @@ WHERE {jaccard_raw} >= 0.5
 
 
 _register_r6()
+
+
+def _register_r6b():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    sig_list = ", ".join(D.minhash_signature_sql("hs"))
+    band_keys_sql = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(
+            f"CAST(sig[{m * D.BAND_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(D.BAND_ROWS)
+        )
+        + f") AS bkey{m}"
+        for m in range(D.N_BANDS)
+    )
+    band_union_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {m} AS band_id, bkey{m} AS bkey FROM banded"
+        for m in range(D.N_BANDS)
+    )
+    jaccard_raw = (
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.hs, b.hs)))"
+    )
+
+    @register(
+        "neardup_incremental_clusters",
+        oracle=f"""
+WITH RECURSIVE shingled AS MATERIALIZED (
+    SELECT doc_id, {D.shingle_hashes_sql('text')} AS hs FROM documents
+), sigs AS (
+    SELECT doc_id, hs, [{sig_list}] AS sig FROM shingled
+), banded AS MATERIALIZED (
+    SELECT doc_id, hs, sig, {band_keys_sql} FROM sigs
+), bands AS (
+    {band_union_sql}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+), edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    JOIN shingled a ON a.doc_id = doc_a
+    JOIN shingled b ON b.doc_id = doc_b
+    WHERE {jaccard_raw} >= 0.5
+), und AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+), reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+""",
+        doc="The INCREMENTALLY MAINTAINED duplicate-cluster assignment "
+        "— the stateful twin of neardup_keep_decision's closure "
+        "stage: documents arrive in three batches (doc_id % 3), each "
+        "batch's verified pairs merge cluster labels via "
+        "min-label propagation run ONLY over the components the new "
+        "pairs touch (star edges member->representative + the new "
+        "pair edges reconstruct exactly the merged components' "
+        "union), so per-batch closure work scales with the touched "
+        "subgraph, never the corpus graph. The maintained labels "
+        "must equal the one-shot connected components over ALL "
+        "verified pairs — which is precisely the recursive-CTE "
+        "oracle (singletons label themselves). State rides "
+        "streaming/neardup_maintenance.py's segment fold; replayed "
+        "batch ids are skipped before any compute. Laws in "
+        "tests/test_neardup_stream.py.",
+    )
+    def neardup_incremental_clusters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+            read_neardup_clusters,
+            update_neardup_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"neardup-cc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            batch = D.with_shingle_hashes(
+                docs.where(F.col("doc_id") % 3 == i)
+            ).select("doc_id", "hs")
+            update_neardup_state(spark, batch, state_dir, batch_id=i)
+        return read_neardup_clusters(spark, state_dir)
+
+
+_register_r6b()
+

@@ -5,14 +5,19 @@ re-scanned to dedup today's arrivals.
 
 State = three APPEND tables under the segment + atomic-META protocol
 (operators/statestore.py ``appends=``; same commit discipline as the
-budget / IVF folds, but delta segments instead of snapshots):
+budget / IVF folds, but delta segments instead of snapshots) plus one
+snapshot:
 
 - ``bands``     (doc_id, band_id, bkey)  — the accumulated LSH band
   index: N_BANDS rows per document ever folded;
 - ``shingles``  (doc_id, hs)             — shingle-hash arrays for
   exact-Jaccard verification of candidates;
 - ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
-  verified near-dup pair, stamped with the batch that DISCOVERED it.
+  verified near-dup pair, stamped with the batch that DISCOVERED it;
+- ``labels``    (doc_id, cluster) — SNAPSHOT: the incrementally
+  maintained connected-component label (min doc_id per component of
+  the verified-pair graph; singletons label themselves). Per batch
+  only the components touched by new pairs re-resolve.
 
 Per batch: the NEW documents' bands probe the accumulated index (plus
 the batch itself, so intra-batch duplicates surface immediately);
@@ -60,6 +65,7 @@ from stock_trend_predictor_spark.functions.exact import stable_round
 from stock_trend_predictor_spark.operators import dedup as D
 from stock_trend_predictor_spark.operators.statestore import (
     commit_state,
+    read_meta,
     read_state_table,
 )
 
@@ -91,7 +97,15 @@ def update_neardup_state(
 ) -> None:
     """Fold one arrival batch of (doc_id, hs) into the maintained
     near-dup state (idempotent: replayed batch ids are skipped before
-    any write)."""
+    any write — and, since this fold eagerly materializes
+    intermediates, before any COMPUTE too)."""
+    meta = read_meta(state_dir)
+    if (
+        meta is not None
+        and meta.get("last_batch_id") is not None
+        and batch_id <= meta["last_batch_id"]
+    ):
+        return  # replay: commit_state would skip anyway; skip the work
     new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
     new_bands = doc_bands(new)
     prev_bands = read_state_table(spark, state_dir, "bands")
@@ -139,18 +153,69 @@ def update_neardup_state(
             stable_round(jac, 6).alias("jaccard"),
         )
     )
-    # all three tables are append-only by construction (a doc's band
-    # and shingle rows never change after arrival; a pair is
+    # new_pairs feeds BOTH the pairs segment and the cluster merge —
+    # eager-checkpoint once so the probe+verify join never reruns
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+
+    # ---- incrementally maintained cluster labels ------------------
+    # labels(doc_id, cluster) with cluster = min doc_id of the doc's
+    # connected component over ALL verified pairs so far — maintained
+    # without ever re-running CC on the full graph: only the
+    # components TOUCHED by this batch's pairs re-resolve. Old labels
+    # are min-ids of their components, so star edges (member ->
+    # cluster rep) + the new pair edges reconstruct exactly the
+    # merged components' union, and min-label propagation over that
+    # subgraph yields the global min — inductively identical to the
+    # one-shot CC (law-tested).
+    from stock_trend_predictor_spark.operators.components import (
+        connected_components,
+    )
+
+    prev_labels = read_state_table(spark, state_dir, "labels")
+    fresh = new.select("doc_id", F.col("doc_id").alias("cluster"))
+    base = (
+        fresh if prev_labels is None else prev_labels.unionByName(fresh)
+    )
+    np_ = new_pairs.select("doc_a", "doc_b")
+    touched_docs = (
+        np_.select(F.col("doc_a").alias("doc_id"))
+        .union(np_.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        base.join(touched_docs, "doc_id").select("cluster").distinct()
+    )
+    members = base.join(touched, "cluster")
+    sub_edges = members.select(
+        F.col("doc_id").alias("src"), F.col("cluster").alias("dst")
+    ).union(
+        np_.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    merged = connected_components(sub_edges, "src", "dst").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    labels = (
+        base.join(touched, "cluster", "left_anti")
+        .unionByName(members.select("doc_id").join(merged, "doc_id"))
+        .select("doc_id", "cluster")
+    )
+
+    # bands/shingles/pairs are append-only by construction (a doc's
+    # band and shingle rows never change after arrival; a pair is
     # discovered exactly once), so each commit writes only THIS
     # batch's delta segments — per-commit IO is batch-sized, not
     # corpus-sized (the full-snapshot rewrite measured ~25% of the
     # 30x wall even with parallel writes; appends remove it).
-    # files_per_table caps write parallelism per segment (coalesce
-    # never raises the partition count, so tiny batches still land
-    # as single files).
+    # labels MUTATE on merge, so they stay a snapshot — at 16 bytes a
+    # row the rewrite is ~50x lighter than the shingle store it
+    # replaced; the at-scale lever is label-revision segments + a
+    # latest-wins read, not needed before mega-corpus batch counts.
+    # files_per_table caps write parallelism (coalesce never raises
+    # the partition count, so tiny batches still land as single
+    # files).
     commit_state(
         state_dir,
-        {},
+        {"labels": labels},
         batch_id=batch_id,
         files_per_table=8,
         appends={"bands": new_bands, "shingles": new, "pairs": new_pairs},
@@ -163,6 +228,15 @@ def read_neardup_pairs(
     """Every verified pair discovered so far with its discovery
     batch, or None pre-commit."""
     return read_state_table(spark, state_dir, "pairs")
+
+
+def read_neardup_clusters(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """(doc_id, cluster) for every document folded so far — cluster =
+    min doc_id of its verified-pair connected component (singletons
+    label themselves), maintained incrementally. None pre-commit."""
+    return read_state_table(spark, state_dir, "labels")
 
 
 def neardup_maintenance_sink(

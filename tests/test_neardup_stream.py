@@ -155,3 +155,70 @@ def test_neardup_sink_end_to_end(spark, sf_dir, tmp_path):
     oneshot = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
     assert got.exceptAll(oneshot).count() == 0
     assert oneshot.exceptAll(got).count() == 0
+
+
+def test_neardup_incremental_clusters_law(spark, sf_dir, tmp_path):
+    """The maintained labels equal the ONE-SHOT connected components
+    over all verified pairs (singletons label themselves) — the
+    induction the incremental merge claims; plus: replay leaves
+    labels untouched, and at least one maintained cluster spans
+    arrival batches (so the cross-batch merge path really ran)."""
+    from stock_trend_predictor_spark.operators.components import (
+        connected_components,
+    )
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        read_neardup_clusters,
+        read_neardup_pairs,
+    )
+
+    sdir = str(tmp_path / "state")
+    _fold_mod3(spark, sf_dir, sdir)
+    labels = read_neardup_clusters(spark, sdir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert labels.count() == docs.count()
+
+    pairs = read_neardup_pairs(spark, sdir)
+    comps = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        "src",
+        "dst",
+    )
+    oneshot = (
+        docs.select("doc_id")
+        .join(
+            comps.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+        )
+    )
+    assert labels.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(labels).count() == 0
+
+    # a real cross-batch cluster exists (merge path exercised)
+    spanning = (
+        labels.where(F.col("doc_id") != F.col("cluster"))
+        .where(F.col("doc_id") % 3 != F.col("cluster") % 3)
+        .count()
+    )
+    assert spanning > 0
+
+    # replay of the last batch: labels bit-unchanged
+    from stock_trend_predictor_spark.operators import dedup as D2
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        update_neardup_state,
+    )
+
+    before = sorted(map(tuple, labels.collect()))
+    replay = D2.with_shingle_hashes(
+        docs.select("doc_id", "text").where(F.col("doc_id") % 3 == 2)
+    ).select("doc_id", "hs")
+    update_neardup_state(spark, replay, sdir, batch_id=2)
+    after = sorted(
+        map(tuple, read_neardup_clusters(spark, sdir).collect())
+    )
+    assert before == after
