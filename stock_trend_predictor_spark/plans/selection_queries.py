@@ -923,3 +923,73 @@ LIMIT {K}
 
 
 _register_r6b()
+
+
+def _register_r6c():
+    from stock_trend_predictor_spark.functions.exact import stable_round
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "dsir_incremental_weights",
+        # the fold is bit-equal to the one-shot by the decimal bridge
+        # (n x decimal(lr) == decimal(lr) summed n times), so it
+        # shares dsir_importance_weights' full DuckDB oracle verbatim
+        oracle=REGISTRY["dsir_importance_weights"].oracle,
+        doc="The CONTINUOUSLY MAINTAINED DSIR model "
+        "(streaming/dsir_maintenance.py): documents arrive in three "
+        "batches (doc_id % 3); each batch folds its hashed-feature "
+        "bucket counts ADDITIVELY into the target/raw models "
+        "(<= 2048-row snapshots — the additive-sketch state class) "
+        "and appends its per-doc feature profiles as delta segments "
+        "(a doc's features never change; history text is never "
+        "re-featurized). Read-time scoring joins the profiles "
+        "against the broadcast log-ratio table of the CURRENT model. "
+        "The per-bucket contribution multiplies the decimal-cast "
+        "log-ratio by the integer count — exactly equal to the "
+        "one-shot per-instance decimal sum — so this genuine "
+        "stateful fold shares dsir_importance_weights' full oracle "
+        "verbatim. Replayed batch ids skip before any compute; laws "
+        "in tests/test_round6.py.",
+    )
+    def dsir_incremental_weights(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+            read_dsir_weights,
+            update_dsir_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"dsir-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            update_dsir_state(
+                spark,
+                docs.where(F.col("doc_id") % 3 == i),
+                state_dir,
+                batch_id=i,
+            )
+        per_doc = read_dsir_weights(spark, state_dir)
+        lw = stable_round(F.col("__s"), 6)
+        return per_doc.select(
+            "doc_id",
+            "n_feats",
+            lw.alias("log_weight"),
+            (lw > 0).alias("kept"),
+        )
+
+
+_register_r6c()

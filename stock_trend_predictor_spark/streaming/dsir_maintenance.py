@@ -1,0 +1,191 @@
+"""Continuously maintained DSIR importance model — the streaming twin
+of ``operators/dsir.py`` for the crawl-ingest shape where the target
+and raw n-gram distributions must stay current as documents arrive,
+without ever re-featurizing history.
+
+State under the statestore protocol (operators/statestore.py):
+
+- ``raw_counts`` / ``target_counts`` (bucket, cnt) — SNAPSHOTS: the
+  Laplace-model sufficient statistics, <= n_buckets rows each
+  (parameter-sized — the additive-sketch class, same as cms_sink);
+- ``doc_buckets`` (doc_id, bucket, n) — APPEND segments: each doc's
+  hashed-feature profile, written once on arrival (a doc's features
+  never change), so scoring never re-reads text.
+
+Per batch: featurize the new docs once (hashed unigrams + bigrams),
+fold the bucket counts additively into both models, append the doc
+profiles. ``read_dsir_weights`` then scores EVERY doc seen so far
+against the CURRENT model: weight(doc) = sum_b n_b * lr(b), with the
+per-bucket log-ratio cast to decimal BEFORE the multiply — decimal
+n x lr equals lr summed n times exactly, so the fold's weights are
+BIT-equal to the one-shot ``dsir_log_weights`` over the same corpus
+(that is the registry oracle: ``dsir_incremental_weights`` shares
+``dsir_importance_weights``'s full DuckDB oracle). Replayed batch ids
+are skipped before any write or compute.
+
+Scale shape: per-batch work is batch-sized (featurize + two <= B-row
+count merges + one segment append); read-time scoring joins the
+doc-profile segments against a broadcast <= B-row log-ratio table and
+aggregates per doc — no window, no self-join, history text never
+re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_trend_predictor_spark.functions.text import hash60
+from stock_trend_predictor_spark.operators.statestore import (
+    commit_state,
+    read_meta,
+    read_state_table,
+)
+
+N_BUCKETS = 2048
+
+
+def doc_bucket_profile(
+    docs: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, bucket, n) — each document's hashed unigram+bigram
+    feature counts (operators/dsir.py's featurization, pre-aggregated
+    per doc so the stored profile is dense-bucket-bounded)."""
+    toks = docs.select(id_col, F.split(text_col, " ").alias("ts"))
+    feats = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "if(size(ts) < 0, null, concat(ts, "
+                "if(size(ts) < 2, array(), "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> concat(try_element_at(ts, i), ' ', "
+                "try_element_at(ts, i + 1))))))"
+            )
+        ).alias("f"),
+    )
+    return (
+        feats.select(
+            id_col, F.pmod(hash60("f"), F.lit(n_buckets)).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _merge_counts(
+    prev: DataFrame | None, delta: DataFrame
+) -> DataFrame:
+    if prev is None:
+        return delta
+    return (
+        prev.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def update_dsir_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    target: Column | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Fold one arrival batch of documents (doc_id, text + the columns
+    ``target`` reads) into the maintained DSIR model. ``target``
+    defaults to ``lang = 'en'``."""
+    meta = read_meta(state_dir)
+    if (
+        meta is not None
+        and meta.get("last_batch_id") is not None
+        and batch_id <= meta["last_batch_id"]
+    ):
+        return
+    if target is None:
+        target = F.col("lang") == "en"
+    flagged = batch.withColumn("__is_target", target).localCheckpoint(
+        eager=True
+    )
+    profile = doc_bucket_profile(flagged, n_buckets).localCheckpoint(
+        eager=True
+    )
+    is_t = flagged.select("doc_id", "__is_target")
+    prof_t = profile.join(is_t, "doc_id")
+    raw_delta = profile.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    tgt_delta = (
+        prof_t.where(F.col("__is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    raw = _merge_counts(
+        read_state_table(spark, state_dir, "raw_counts"), raw_delta
+    )
+    tgt = _merge_counts(
+        read_state_table(spark, state_dir, "target_counts"), tgt_delta
+    )
+    commit_state(
+        state_dir,
+        {"raw_counts": raw, "target_counts": tgt},
+        batch_id=batch_id,
+        appends={"doc_buckets": profile.select("doc_id", "bucket", "n")},
+    )
+
+
+def read_dsir_weights(
+    spark: SparkSession, state_dir: str, n_buckets: int = N_BUCKETS
+) -> DataFrame | None:
+    """(doc_id, n_feats, __s) for every document folded so far, scored
+    against the CURRENT maintained model — the same contract as
+    operators/dsir.py::dsir_log_weights (callers round/alias ``__s``).
+    None pre-commit."""
+    rb = read_state_table(spark, state_dir, "raw_counts")
+    tb = read_state_table(spark, state_dir, "target_counts")
+    prof = read_state_table(spark, state_dir, "doc_buckets")
+    if rb is None or prof is None:
+        return None
+    tot = rb.agg(F.sum("cnt").alias("tr")).crossJoin(
+        (tb if tb is not None else rb.limit(0)).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("tt")
+        )
+    )
+    smooth = F.lit(float(n_buckets))
+    lr_tab = (
+        rb.withColumnRenamed("cnt", "cnt_r")
+        .join(
+            (tb.withColumnRenamed("cnt", "cnt_t"))
+            if tb is not None
+            else rb.select("bucket", F.lit(None).alias("cnt_t")).limit(0),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                    / (F.col("tt") + smooth)
+                )
+                - F.log((F.col("cnt_r") + 1) / (F.col("tr") + smooth))
+            ).alias("lr"),
+        )
+    )
+    # decimal lr x integer n == lr summed n times exactly — the bridge
+    # that makes the fold bit-equal to the per-instance one-shot sum
+    return (
+        prof.join(F.broadcast(lr_tab), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(27,6)") * F.col("n"))
+            .cast("double")
+            .alias("__s"),
+        )
+    )

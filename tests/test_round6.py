@@ -55,3 +55,55 @@ def test_dsir_gumbel_sample_laws(spark, sf_dir):
     assert en_sample > en_corpus, (en_sample, en_corpus)
     for r in rows:
         assert abs(r.gumbel_key - r.log_weight) < 20, r
+
+
+def test_dsir_incremental_fold_laws(spark, sf_dir, tmp_path):
+    """The maintained DSIR model: fold == one-shot bit-exactly (the
+    decimal n x lr bridge), replay idempotence, and the model state
+    stays parameter-sized (<= n_buckets rows per count table)."""
+    from stock_trend_predictor_spark.functions.exact import stable_round
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_state_table,
+    )
+    from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+        N_BUCKETS,
+        read_dsir_weights,
+        update_dsir_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    sdir = str(tmp_path / "state")
+    for i in range(3):
+        update_dsir_state(
+            spark, docs.where(F.col("doc_id") % 3 == i), sdir, batch_id=i
+        )
+
+    folded = read_dsir_weights(spark, sdir).select(
+        "doc_id", "n_feats", stable_round(F.col("__s"), 6).alias("w")
+    )
+    oneshot = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).select(
+        "doc_id", "n_feats", F.col("log_weight").alias("w")
+    )
+    assert folded.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(folded).count() == 0
+
+    for t in ("raw_counts", "target_counts"):
+        assert read_state_table(spark, sdir, t).count() <= N_BUCKETS
+
+    before = sorted(map(tuple, folded.collect()))
+    update_dsir_state(
+        spark, docs.where(F.col("doc_id") % 3 == 1), sdir, batch_id=1
+    )
+    after = sorted(
+        map(
+            tuple,
+            read_dsir_weights(spark, sdir)
+            .select(
+                "doc_id", "n_feats", stable_round(F.col("__s"), 6).alias("w")
+            )
+            .collect(),
+        )
+    )
+    assert before == after
