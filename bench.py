@@ -337,7 +337,9 @@ def main() -> None:
         "bench_runs": runs,
         "sf": sf,
     }
-    print(json.dumps(compact), flush=True)
+    # compact separators: no space after ':'/',' — ~2 B per query of
+    # tail-window headroom, and any JSON parser reads it the same
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     try:
         Path(_REPO, "RECALL.json").write_text(
             json.dumps(

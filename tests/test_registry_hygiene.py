@@ -142,8 +142,9 @@ def test_bench_compact_line_fits_the_drivers_tail_window():
         "bench_runs": 5,
         "sf": 0.1,
     }
-    assert len(json.dumps(compact)) < 1800, (
-        f"compact bench line {len(json.dumps(compact))}B nears the "
-        "driver's tail window — move per-query detail to "
-        "BENCH_DETAIL.json before adding more headline queries"
+    rendered = json.dumps(compact, separators=(",", ":"))  # bench.py's framing
+    assert len(rendered) < 1800, (
+        f"compact bench line {len(rendered)}B nears the driver's "
+        "tail window — move per-query detail to BENCH_DETAIL.json "
+        "before adding more headline queries"
     )
