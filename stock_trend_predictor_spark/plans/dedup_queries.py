@@ -1429,7 +1429,13 @@ WHERE {jaccard_raw} >= 0.5
             batch = D.with_shingle_hashes(
                 docs.where(F.col("doc_id") % 3 == i)
             ).select("doc_id", "hs")
-            update_neardup_state(spark, batch, state_dir, batch_id=i)
+            update_neardup_state(
+                spark,
+                batch,
+                state_dir,
+                batch_id=i,
+                maintain_clusters=False,
+            )
         return read_neardup_pairs(spark, state_dir)
 
 

@@ -89,16 +89,76 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     )
 
 
+def _merge_labels(
+    spark: SparkSession,
+    state_dir: str,
+    new: DataFrame,
+    new_pairs: DataFrame,
+) -> DataFrame:
+    """labels(doc_id, cluster) after folding this batch — cluster =
+    min doc_id of the doc's connected component over ALL verified
+    pairs so far, maintained WITHOUT re-running CC on the full graph.
+
+    Because every existing label is already the min-id of its
+    component, contracting each component to its representative
+    preserves the merged partition: map the new pairs' endpoints to
+    their current reps, run min-label CC over that REP graph (at most
+    2 rows per new pair — never corpus-sized, whatever the component
+    sizes), and relabel members through one broadcast join. The new
+    component min equals min over merged reps equals min over all
+    member ids — inductively identical to the one-shot CC
+    (law-tested in tests/test_neardup_stream.py)."""
+    from stock_trend_predictor_spark.operators.components import (
+        connected_components,
+    )
+
+    prev_labels = read_state_table(spark, state_dir, "labels")
+    fresh = new.select("doc_id", F.col("doc_id").alias("cluster"))
+    base = (
+        fresh if prev_labels is None else prev_labels.unionByName(fresh)
+    )
+    np_ = new_pairs.select("doc_a", "doc_b")
+    lab_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("rep_a")
+    )
+    lab_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster").alias("rep_b")
+    )
+    rep_edges = (
+        np_.join(lab_a, "doc_a")
+        .join(lab_b, "doc_b")
+        .where(F.col("rep_a") != F.col("rep_b"))
+        .select(
+            F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if rep_edges.isEmpty():  # no cross-component pair: labels as-is
+        return base.select("doc_id", "cluster")
+    merged = connected_components(rep_edges, "src", "dst").select(
+        F.col("node").alias("cluster"),
+        F.col("component").alias("new_cluster"),
+    )
+    return base.join(F.broadcast(merged), "cluster", "left").select(
+        "doc_id",
+        F.coalesce("new_cluster", "cluster").alias("cluster"),
+    )
+
+
 def update_neardup_state(
     spark: SparkSession,
     batch: DataFrame,
     state_dir: str,
     batch_id: int,
+    maintain_clusters: bool = True,
 ) -> None:
     """Fold one arrival batch of (doc_id, hs) into the maintained
     near-dup state (idempotent: replayed batch ids are skipped before
     any write — and, since this fold eagerly materializes
-    intermediates, before any COMPUTE too)."""
+    intermediates, before any COMPUTE too). ``maintain_clusters=False``
+    skips the labels snapshot for pairs-only consumers; a state dir
+    must be used consistently with one setting."""
     meta = read_meta(state_dir)
     if (
         meta is not None
@@ -157,48 +217,11 @@ def update_neardup_state(
     # eager-checkpoint once so the probe+verify join never reruns
     new_pairs = new_pairs.localCheckpoint(eager=True)
 
-    # ---- incrementally maintained cluster labels ------------------
-    # labels(doc_id, cluster) with cluster = min doc_id of the doc's
-    # connected component over ALL verified pairs so far — maintained
-    # without ever re-running CC on the full graph: only the
-    # components TOUCHED by this batch's pairs re-resolve. Old labels
-    # are min-ids of their components, so star edges (member ->
-    # cluster rep) + the new pair edges reconstruct exactly the
-    # merged components' union, and min-label propagation over that
-    # subgraph yields the global min — inductively identical to the
-    # one-shot CC (law-tested).
-    from stock_trend_predictor_spark.operators.components import (
-        connected_components,
-    )
-
-    prev_labels = read_state_table(spark, state_dir, "labels")
-    fresh = new.select("doc_id", F.col("doc_id").alias("cluster"))
-    base = (
-        fresh if prev_labels is None else prev_labels.unionByName(fresh)
-    )
-    np_ = new_pairs.select("doc_a", "doc_b")
-    touched_docs = (
-        np_.select(F.col("doc_a").alias("doc_id"))
-        .union(np_.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    touched = (
-        base.join(touched_docs, "doc_id").select("cluster").distinct()
-    )
-    members = base.join(touched, "cluster")
-    sub_edges = members.select(
-        F.col("doc_id").alias("src"), F.col("cluster").alias("dst")
-    ).union(
-        np_.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    merged = connected_components(sub_edges, "src", "dst").select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
-    )
-    labels = (
-        base.join(touched, "cluster", "left_anti")
-        .unionByName(members.select("doc_id").join(merged, "doc_id"))
-        .select("doc_id", "cluster")
-    )
+    tables: dict[str, DataFrame] = {}
+    if maintain_clusters:
+        tables["labels"] = _merge_labels(
+            spark, state_dir, new, new_pairs
+        )
 
     # bands/shingles/pairs are append-only by construction (a doc's
     # band and shingle rows never change after arrival; a pair is
@@ -215,7 +238,7 @@ def update_neardup_state(
     # files).
     commit_state(
         state_dir,
-        {"labels": labels},
+        tables,
         batch_id=batch_id,
         files_per_table=8,
         appends={"bands": new_bands, "shingles": new, "pairs": new_pairs},
