@@ -107,3 +107,30 @@ def test_dsir_incremental_fold_laws(spark, sf_dir, tmp_path):
         )
     )
     assert before == after
+
+
+def test_dsir_fold_before_any_target_doc(spark, tmp_path):
+    """The maintained model must score sanely BEFORE any target-slice
+    document has arrived: tt = 0, every bucket's target term is the
+    pure Laplace floor ln(1/B), and weights are finite (the crawl
+    shape where the first batches are all raw)."""
+    import math
+
+    from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+        read_dsir_weights,
+        update_dsir_state,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "de", "a b c"), (2, "fr", "b c d")],
+        "doc_id long, lang string, text string",
+    )
+    sdir = str(tmp_path / "state")
+    update_dsir_state(spark, batch, sdir, batch_id=0)
+    w = read_dsir_weights(spark, sdir)
+    rows = {r.doc_id: r for r in w.collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_feats == 5  # 3 unigrams + 2 bigrams
+        assert math.isfinite(r["__s"])
+        assert r["__s"] < 0  # nothing is target-like yet
