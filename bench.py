@@ -104,10 +104,72 @@ HEADLINE = [
 ]
 
 
+def _drift_canary(sf_dir: str) -> dict | None:
+    """Run the FIXED 3-query canary from the PINNED git tree
+    (tools/bench_canary.py) in a subprocess and return
+    measured/baseline — a pure box-speed ratio for normalizing this
+    round's numbers against the recorded-baseline box state (r6
+    verdict #8: the r6 verbatim-tree A/B isolated a 1.22x
+    day-over-day drift on unchanged code; this makes that A/B
+    permanent). Never fails the bench: any problem returns an
+    ``error`` dict instead."""
+    import subprocess
+    import tempfile
+
+    try:
+        baseline = json.loads(
+            Path(_REPO, "CANARY_BASELINE.json").read_text()
+        )
+        commit = baseline["commit"]
+        tree = Path(tempfile.gettempdir(), f"stp-canary-{commit[:12]}")
+        if not (tree / "stock_trend_predictor_spark").is_dir():
+            tree.mkdir(parents=True, exist_ok=True)
+            archive = subprocess.run(
+                ["git", "-C", _REPO, "archive", commit],
+                capture_output=True,
+                check=True,
+            )
+            subprocess.run(
+                ["tar", "-x", "-C", str(tree)],
+                input=archive.stdout,
+                check=True,
+            )
+        out = subprocess.run(
+            [
+                sys.executable,
+                str(Path(_REPO, "tools", "bench_canary.py")),
+                str(tree),
+                sf_dir,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            check=True,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        got = json.loads(line)
+        return {
+            "ratio": round(
+                got["canary_total_sec"] / baseline["canary_total_sec"], 3
+            ),
+            "measured_sec": got["canary_total_sec"],
+            "baseline_sec": baseline["canary_total_sec"],
+            "commit": commit[:12],
+        }
+    except Exception as e:  # noqa: BLE001 - canary must never kill bench
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+
+    # canary FIRST (own subprocess/JVM): the ratio reflects the same
+    # box state the headline numbers are about to be measured in
+    drift = _drift_canary(sf_dir)
 
     from stock_trend_predictor_spark import get_spark
     from stock_trend_predictor_spark.plans import REGISTRY
@@ -309,6 +371,7 @@ def main() -> None:
         "recall_at_10": recall,
         "lsh_probe_fraction": probe_fraction,
         "ivf_probe_fraction": ivf_probe_fraction,
+        "drift_canary": drift,
     }
     # Output framing (r5 verdict #6): the driver keeps only a ~2 KB
     # TAIL of stdout and parses a JSON line out of it — r5's single
@@ -336,6 +399,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "bench_runs": runs,
         "sf": sf,
+        # box-speed normalizer (one float; detail in the full line)
+        "drift": (drift or {}).get("ratio"),
     }
     # compact separators: no space after ':'/',' — ~2 B per query of
     # tail-window headroom, and any JSON parser reads it the same

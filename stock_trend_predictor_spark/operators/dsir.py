@@ -83,8 +83,15 @@ def dsir_log_weights(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t"))
     )
+    # tt coalesces to 0 so a corpus with ZERO target docs yields the
+    # same finite negative weights as the maintained fold
+    # (streaming/dsir_maintenance.py::read_dsir_weights pins this
+    # edge) — without it sum(cnt_t) is NULL and every weight nulls
+    # out, breaking the fold==one-shot bit-equality law.
     tot = rb.agg(F.sum("cnt_r").alias("tr")).crossJoin(
-        tb.agg(F.sum("cnt_t").alias("tt"))
+        tb.agg(
+            F.coalesce(F.sum("cnt_t"), F.lit(0).cast("bigint")).alias("tt")
+        )
     )
     smooth = F.lit(float(n_buckets))
     lr_tab = (

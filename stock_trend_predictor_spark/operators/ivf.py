@@ -429,3 +429,84 @@ def assign_clusters_multiprobe(
         .withColumn("cid", F.explode("_probes"))
         .drop("_probes")
     )
+
+
+def assign_clusters_two_level_multiprobe(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_groups: int | None = None,
+    gprobe: int = 2,
+) -> DataFrame:
+    """Each row exploded to its ``nprobe`` best centroids AMONG the
+    ``gprobe`` probed groups — the two-level (IMI-style) twin of
+    :func:`assign_clusters_multiprobe`, for BLOCKING past the flat
+    crossover: a pair problem at nlist ~ N/500 needs multiprobe cell
+    sets, and the flat ranked-slice is an N x k distance fold that the
+    group hierarchy cuts to ~N x (g + gprobe * k/g).
+
+    APPROXIMATE like :func:`assign_clusters_two_level`: a true
+    top-nprobe centroid in a non-probed group is missed (blocking
+    recall dial = gprobe). With ``n_groups=1`` every member centroid
+    is scanned and the output is IDENTICAL to the flat multiprobe
+    (law-tested in tests/test_round7.py). Tie rule matches the flat
+    path: candidates sort by (distance, cid).
+
+    Cost shape: stage 1 narrow map over group centers; stage 2 one
+    broadcast join on gid + a per-probe candidate transform + one
+    (id)-keyed groupBy that flattens gprobe candidate arrays and
+    slices the best nprobe — the only shuffle carries gprobe x
+    ~(k/g) 12-byte structs per vector."""
+    import math
+
+    k = len(centroids)
+    g = n_groups if n_groups is not None else max(1, int(math.sqrt(k)))
+    centers, gids = _group_centroids(centroids, g)
+    spark = corpus.sparkSession
+    members: list[list[tuple[int, list[float]]]] = [[] for _ in range(g)]
+    for c_idx, gj in enumerate(gids):
+        members[gj].append((c_idx, [float(x) for x in centroids[c_idx]]))
+    dense = [j for j in range(g) if members[j]]
+    mdf = spark.createDataFrame(
+        [(new_j, members[j]) for new_j, j in enumerate(dense)],
+        "_gid int, _members array<struct<cid: int, c: array<double>>>",
+    )
+    probed = assign_clusters_multiprobe(
+        corpus.select(id_col, vec_col),
+        [centers[j] for j in dense],
+        nprobe=min(gprobe, len(dense)),
+        vec_col=vec_col,
+    ).withColumnRenamed("cid", "_gid")
+
+    def _sq(m):
+        diff = F.zip_with(F.col(vec_col), m["c"], lambda a, b: a - b)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cand = F.transform(
+        F.col("_members"),
+        lambda m: F.struct(_sq(m).alias("dist"), m["cid"].alias("cid")),
+    )
+    per_probe = probed.join(F.broadcast(mdf), "_gid").select(
+        id_col, cand.alias("_cand")
+    )
+    # cross-probe merge: flatten the probed groups' candidate arrays,
+    # lexicographic struct sort == (dist, then cid) — the flat tie
+    # rule — and keep the first nprobe (a cid lives in exactly one
+    # group, so no duplicates to collapse)
+    topn = per_probe.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_cand"))),
+            1,
+            nprobe,
+        ).alias("_top")
+    )
+    exploded = topn.select(
+        id_col, F.explode("_top").alias("_t")
+    ).select(id_col, F.col("_t.cid").alias("cid"))
+    return corpus.join(exploded, id_col)

@@ -27,6 +27,28 @@ Two table classes, two write disciplines:
   old segment set) and the retried batch overwrites it in place;
   reads union exactly the committed list, never a directory glob.
 
+Append tables can additionally be **hash-bucketed on disk**
+(``append_partition_by=``): each segment is written
+directory-partitioned on the named columns (``bucket=K/`` subdirs),
+and :func:`read_state_table` accepts ``partition_filter`` so a probe
+that only needs a key subset reads ONLY those bucket directories —
+Spark's partition pruning discards the rest at planning time, so
+probe READ IO scales with the requesting batch's bucket set, not the
+accumulated corpus. Scale the bucket count with the corpus (the same
+nlist ~ N/500 discipline as operators/ivf.py: pick P so a bucket
+holds a bounded row count) and re-bucket at compaction time when the
+corpus outgrows it. A table must be consistently partitioned (same
+columns) across a state dir's lifetime.
+
+Long-lived folds accumulate one delta segment per batch;
+:func:`compact_append_table` is the OPTIMIZE step — it rewrites the
+committed segment list into one segment and atomically swaps the META
+list, preserving (or re-writing) the bucket layout. Reads are
+byte-identical before and after, and a crash between the compacted
+write and the META swap is invisible (the orphan dir is never
+referenced; a later compaction at a higher version overwrites its own
+fresh path).
+
 Single-writer by construction (one streaming query owns a state dir).
 On a shared object store without atomic rename the same protocol rides
 a conditional-put of META or a log-structured manifest (see
@@ -41,6 +63,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_meta(state_dir: str) -> dict | None:
@@ -52,22 +75,66 @@ def read_meta(state_dir: str) -> dict | None:
 
 
 def read_state_table(
-    spark: SparkSession, state_dir: str, name: str
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    partition_filter: dict[str, list] | None = None,
 ) -> DataFrame | None:
     """The committed version's table ``name`` (snapshot or the union
     of an append table's committed segments), or None before the
-    first commit (or if that version has no such table)."""
+    first commit (or if that version has no such table).
+
+    ``partition_filter`` maps partition-column names to value lists;
+    for a bucketed append table the resulting ``isin`` predicates
+    prune to those bucket directories at planning time (batch-sized
+    probe READ). Passing it for a non-partitioned table is still
+    correct — it degrades to a plain post-scan filter."""
     meta = read_meta(state_dir)
     if meta is None:
         return None
     segs = meta.get("segments", {}).get(name)
     if segs:
-        return spark.read.parquet(
-            *[os.path.join(state_dir, s) for s in segs]
-        )
+        parts = [
+            spark.read.parquet(os.path.join(state_dir, s)) for s in segs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return _apply_partition_filter(df, partition_filter)
     if name not in meta["tables"]:
         return None
-    return spark.read.parquet(os.path.join(state_dir, meta["dir"], name))
+    df = spark.read.parquet(os.path.join(state_dir, meta["dir"], name))
+    return _apply_partition_filter(df, partition_filter)
+
+
+def _apply_partition_filter(
+    df: DataFrame, partition_filter: dict[str, list] | None
+) -> DataFrame:
+    for col, vals in (partition_filter or {}).items():
+        vals = list(vals)
+        # empty value set -> empty result (isin with no operands is
+        # not a well-defined predicate across engines)
+        df = df.where(
+            F.col(col).isin(vals) if vals else F.lit(False)
+        )
+    return df
+
+
+def _write_segment(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None,
+    files_per_table: int,
+) -> None:
+    if partition_cols:
+        # hash-repartition on the bucket columns first so each bucket
+        # value lands in exactly one task -> one file per bucket dir
+        # (partitionBy alone writes one file per (task, value) pair)
+        df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_cols).parquet(path)
+    else:
+        df.coalesce(files_per_table).write.mode("overwrite").parquet(path)
 
 
 def commit_state(
@@ -76,6 +143,7 @@ def commit_state(
     batch_id: int | None = None,
     files_per_table: int = 1,
     appends: dict[str, DataFrame] | None = None,
+    append_partition_by: dict[str, list[str]] | None = None,
 ) -> bool:
     """Write every snapshot table to a fresh version dir, every append
     table's delta to a new segment, and atomically point META at the
@@ -92,7 +160,12 @@ def commit_state(
     ``appends`` maps table names to THIS BATCH'S new rows only; the
     committed table is the union of all committed segments (see
     module docstring). A name must be consistently snapshot or append
-    across a state dir's lifetime."""
+    across a state dir's lifetime.
+
+    ``append_partition_by`` maps an append-table name to the columns
+    its segments are directory-partitioned on (hash-bucket layout for
+    pruned probe reads — module docstring). Must be passed
+    identically on every commit that appends to that table."""
     os.makedirs(state_dir, exist_ok=True)
     meta = read_meta(state_dir)
     if (
@@ -109,16 +182,27 @@ def commit_state(
             os.path.join(state_dir, vdir, name)
         )
     segments = dict(meta.get("segments", {})) if meta else {}
+    partitioned = dict(meta.get("partitioned", {})) if meta else {}
     for name, df in (appends or {}).items():
         # segment path keyed by version so a crash-then-retry (same
         # logical batch, new version number) never collides with a
         # committed segment; the orphan from the crashed attempt is
         # simply never referenced
         seg = os.path.join(f"seg-{name}", f"b-{version:010d}")
-        df.coalesce(files_per_table).write.mode("overwrite").parquet(
-            os.path.join(state_dir, seg)
+        pcols = (append_partition_by or {}).get(name)
+        prev_pcols = partitioned.get(name)
+        assert prev_pcols is None or pcols == prev_pcols, (
+            f"append table {name!r} committed with partition layout "
+            f"{prev_pcols} but this commit passed {pcols}; a table's "
+            "bucket layout is fixed for the state dir's lifetime "
+            "(re-bucket via compact_append_table)"
+        )
+        _write_segment(
+            df, os.path.join(state_dir, seg), pcols, files_per_table
         )
         segments[name] = [*segments.get(name, []), seg]
+        if pcols:
+            partitioned[name] = pcols
     tmp = os.path.join(state_dir, "META.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -127,6 +211,7 @@ def commit_state(
                 "dir": vdir,
                 "tables": sorted(tables),
                 "segments": segments,
+                "partitioned": partitioned,
                 "last_batch_id": batch_id,
             },
             fh,
@@ -135,4 +220,61 @@ def commit_state(
     for name in os.listdir(state_dir):  # GC superseded versions
         if name.startswith("v-") and name != vdir:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    return True
+
+
+def compact_append_table(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    files_per_table: int = 8,
+    repartition_by: list[str] | None = None,
+) -> bool:
+    """OPTIMIZE an append table: rewrite its committed delta segments
+    into ONE compacted segment and atomically swap META's segment
+    list. Returns False if the table has <= 1 committed segment
+    (nothing to do). Reads are identical before/after (same row
+    multiset — law-tested); the bucket layout is preserved, or
+    re-written when ``repartition_by`` overrides it (the re-bucket
+    lever for a corpus that outgrew its bucket count — pass the same
+    columns with the data already carrying the new bucket values, or
+    new columns entirely).
+
+    Crash safety: the compacted segment lands under ``seg-{name}/
+    c-{version}`` BEFORE the META swap; a crash in between leaves
+    META referencing the old segment list, so the half-written (or
+    fully-written-but-unreferenced) compact dir is invisible. GC of
+    superseded segment dirs happens only after the swap."""
+    meta = read_meta(state_dir)
+    if meta is None:
+        return False
+    segs = meta.get("segments", {}).get(name)
+    if not segs or len(segs) <= 1:
+        return False
+    df = read_state_table(spark, state_dir, name)
+    version = meta["version"] + 1
+    pcols = (
+        repartition_by
+        if repartition_by is not None
+        else meta.get("partitioned", {}).get(name)
+    )
+    new_seg = os.path.join(f"seg-{name}", f"c-{version:010d}")
+    _write_segment(
+        df, os.path.join(state_dir, new_seg), pcols, files_per_table
+    )
+    segments = dict(meta.get("segments", {}))
+    old_segs = segments[name]
+    segments[name] = [new_seg]
+    partitioned = dict(meta.get("partitioned", {}))
+    if pcols:
+        partitioned[name] = pcols
+    else:
+        partitioned.pop(name, None)
+    tmp = os.path.join(state_dir, "META.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({**meta, "version": version,
+                   "segments": segments, "partitioned": partitioned}, fh)
+    os.replace(tmp, os.path.join(state_dir, "META.json"))  # atomic swap
+    for s in old_segs:  # GC only after the swap is durable
+        shutil.rmtree(os.path.join(state_dir, s), ignore_errors=True)
     return True

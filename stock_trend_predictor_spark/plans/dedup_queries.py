@@ -65,7 +65,10 @@ def _lloyd_ctes_sql(k_sql: str, iters: int = 3) -> str:
 e AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), params AS (
-    SELECT {k_sql} AS k FROM e
+    -- single-row by construction: a literal k_sql would otherwise
+    -- yield one row per embedding and the downstream scalar
+    -- subqueries would lean on DuckDB tolerating multi-row scalars
+    SELECT {k_sql} AS k FROM e LIMIT 1
 ), c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            v AS c
@@ -1234,6 +1237,7 @@ def _register_r5b():
         )
         from stock_trend_predictor_spark.operators.ivf import (
             assign_clusters_multiprobe,
+            assign_clusters_two_level_multiprobe,
             kmeans_centroids,
         )
         from stock_trend_predictor_spark.operators.similarity import (
@@ -1271,10 +1275,49 @@ def _register_r5b():
         n = e.count()
         k = max(8, n // 500)
         sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        # ORACLE REGIME GATE (r6 advice): _SEMDEDUP_ORACLE replays
+        # Lloyd UNSAMPLED, so the value-hash compare is only valid
+        # while sample_mod == 1 (n <= ~32.5k embeddings at nlist =
+        # N/500). Harnesses that compare against the oracle set
+        # SPARK_GRAFT_ORACLE_RUN (tools/driver_sim.py) — past the
+        # regime they now fail loud here instead of silently
+        # hash-mismatching; production (no env) samples freely.
+        import os as _os
+
+        assert not (
+            sample_mod > 1 and _os.environ.get("SPARK_GRAFT_ORACLE_RUN")
+        ), (
+            f"semdedup oracle invalid in the sampled-Lloyd regime "
+            f"(n={n}, k={k}, sample_mod={sample_mod}); the DuckDB "
+            f"oracle trains unsampled — compare at a smaller SF"
+        )
         cents = kmeans_centroids(
             e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
         )
-        probed = assign_clusters_multiprobe(e, cents, nprobe=3)
+        # BLOCKING assignment: flat ranked-slice multiprobe up to the
+        # measured crossover, two-level (IMI-style) multiprobe past it
+        # (r6 verdict #7). The flat fold is N x k distance evals; the
+        # hierarchy cuts that to ~N x 3*sqrt(k), measured worthwhile
+        # from k ~ 512 on the 30x near-random corpus (SCALE.md r6-7;
+        # env-overridable for A/B measurement). Blocking-grade cell
+        # agreement (0.71+ @ gprobe=2, floor-pinned in
+        # tests/test_similarity.py) is the stated useful regime for
+        # candidate generation; the keeper laws are structural and
+        # hold under either assignment (tests/test_round7.py). The
+        # two-level regime starts at n ~ 256k docs — far past the
+        # oracle gate above, so oracle-checked runs always take the
+        # flat (oracle-exact) path.
+        import os as _os2
+
+        tl_min_k = int(
+            _os2.environ.get("SEMDEDUP_TWO_LEVEL_MIN_K", "512")
+        )
+        if k >= tl_min_k:
+            probed = assign_clusters_two_level_multiprobe(
+                e, cents, nprobe=3
+            )
+        else:
+            probed = assign_clusters_multiprobe(e, cents, nprobe=3)
         pairs = pair_parallel_self_join(
             probed, block="cid", id_col="vec_id"
         )

@@ -65,10 +65,11 @@ def _yf_quotes(
     symbol: str, limit: int, period: str, interval: str
 ) -> Iterator[tuple]:
     """One live yfinance poll for one symbol partition — the
-    reference's fetch contract (fetch_stock.py:21-29: download with
-    interval='1m', close price + volume per bar), re-shaped to the
-    tick_api schema. Executor-side import so the dependency is only
-    needed where the partition actually runs."""
+    reference's fetch contract (fetch_stock.py:20-28:
+    ``yf.Ticker(symbol).history(period='1d', interval='1m')``, close
+    price + volume per bar), re-shaped to the tick_api schema.
+    Executor-side import so the dependency is only needed where the
+    partition actually runs."""
     try:
         import yfinance as yf
     except ImportError as e:  # pragma: no cover - env-gated live path
@@ -78,9 +79,12 @@ def _yf_quotes(
             "data_collection/fetch_stock.py:21-29); install it on a "
             "networked cluster or use the default synthetic provider"
         ) from e
-    bars = yf.download(
-        tickers=symbol, period=period, interval=interval, progress=False
-    )
+    # per-symbol Ticker().history() — the reference's exact call shape
+    # (fetch_stock.py uses Ticker.history, not download); it also
+    # returns FLAT columns where recent yfinance versions hand
+    # download() a MultiIndex even for one ticker, which would make
+    # row["Close"] a Series and float() of it deprecated.
+    bars = yf.Ticker(symbol).history(period=period, interval=interval)
     for seq, (idx, row) in enumerate(bars.tail(limit).iterrows()):
         yield (
             symbol,

@@ -98,7 +98,19 @@ def update_dsir_state(
 ) -> None:
     """Fold one arrival batch of documents (doc_id, text + the columns
     ``target`` reads) into the maintained DSIR model. ``target``
-    defaults to ``lang = 'en'``."""
+    defaults to ``lang = 'en'``.
+
+    PRECONDITION — each doc_id arrives in exactly ONE batch. The fold
+    is idempotent at batch-id granularity (replays skip), but a doc
+    re-arriving in a LATER batch (re-crawl) would append a second
+    doc_buckets profile and double-count in both hashed models.
+    Upstream owns that contract: dedupe re-crawls before the sink
+    (``streaming/ingest.py``'s dropDuplicates stage, or an exact-dedup
+    pass keyed on doc_id/content digest). An anti-join against the
+    accumulated doc_buckets here would re-read corpus-sized state per
+    batch — exactly the O(corpus) per-commit IO this design exists to
+    avoid — so the invariant is an input contract, not an inline
+    check."""
     meta = read_meta(state_dir)
     if (
         meta is not None

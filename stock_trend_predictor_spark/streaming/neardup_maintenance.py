@@ -5,19 +5,28 @@ re-scanned to dedup today's arrivals.
 
 State = three APPEND tables under the segment + atomic-META protocol
 (operators/statestore.py ``appends=``; same commit discipline as the
-budget / IVF folds, but delta segments instead of snapshots) plus one
-snapshot:
+budget / IVF folds, but delta segments instead of snapshots) plus a
+one-row config snapshot:
 
-- ``bands``     (doc_id, band_id, bkey)  — the accumulated LSH band
-  index: N_BANDS rows per document ever folded;
-- ``shingles``  (doc_id, hs)             — shingle-hash arrays for
-  exact-Jaccard verification of candidates;
+- ``bands``     (doc_id, band_id, bkey, bucket) — the accumulated LSH
+  band index, HASH-BUCKETED ON DISK: every segment is directory-
+  partitioned on ``bucket = pmod(xxhash64(band_id, bkey), P)``;
+- ``shingles``  (doc_id, hs, bucket)            — shingle-hash arrays
+  for exact-Jaccard verification, bucketed on
+  ``pmod(xxhash64(doc_id), P)`` for by-doc point lookups;
 - ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
   verified near-dup pair, stamped with the batch that DISCOVERED it;
-- ``labels``    (doc_id, cluster) — SNAPSHOT: the incrementally
-  maintained connected-component label (min doc_id per component of
-  the verified-pair graph; singletons label themselves). Per batch
-  only the components touched by new pairs re-resolve.
+- ``labels``    (doc_id, cluster, rev) — APPEND-ONLY REVISIONS of the
+  incrementally maintained connected-component label (min doc_id per
+  component of the verified-pair graph; singletons label themselves).
+  Each batch appends one revision row per TOUCHED doc only (fresh
+  arrivals + members of components the new pairs merge); the
+  committed assignment is the latest-wins read (max-rev row per doc,
+  ``rev`` = batch id, unique per doc per batch by construction).
+  Compact periodically via statestore.compact_append_table.
+- ``config``    (n_band_buckets) — one-row snapshot pinning P for the
+  fold's lifetime (a mid-fold P change would silently mis-prune old
+  segments, so the first commit's value always wins).
 
 Per batch: the NEW documents' bands probe the accumulated index (plus
 the batch itself, so intra-batch duplicates surface immediately);
@@ -30,35 +39,49 @@ fully DuckDB-oracle-able despite being a genuine stateful fold.
 Replayed batch ids are skipped before any write (at-least-once
 foreachBatch delivery → exactly-once folds).
 
-Both the PROBE plan and the STATE COMMIT are batch-sized: all three
-tables are append-only by construction (a doc's band/shingle rows
-never change after arrival; a pair is discovered exactly once), so
-each commit writes only the batch's delta segments under the atomic
-META pointer (``commit_state(appends=...)``) and per-commit IO never
-grows with the corpus. The 30x protocol drove this design: the
-original full-snapshot commit measured 120.7 s at 30x, parallel
-snapshot files 91.1 s, append segments remove the rewrite entirely
-(SCALE.md round-6 section 2).
+Per-commit IO is batch-sized on BOTH sides now:
 
-Scale shape: the per-batch probe joins ONLY the new docs' bands
-(N_BANDS small keys per doc) against the band index — at corpus scale
-the index is written bucketed by (band_id, bkey) so the probe is
-co-partitioned and history text is NEVER re-scanned. The probe here is
-a plain equi-join (correct and skew-bounded while no band bucket is
-mega-sized — true at every tested SF, including the dup-saturated 30x
-corpus); if a production corpus develops mega-buckets, the stated
-lever is the same triangle-cell routing lsh_candidate_pairs applies to
-its self-join, adapted to the new-vs-index probe (split the bucket's
-index side into cells, replicate the batch side per cell). Laws in
-tests/test_neardup_stream.py:
-stream == batch (union of emitted pairs equals the one-shot
-dedup_minhash_lsh pair set), replay idempotence, and the
-discovery-batch law above.
+- WRITE: all four data tables are append-only (a doc's band/shingle
+  rows never change after arrival; a pair is discovered exactly once;
+  a label change is a new revision row) — each commit writes only the
+  batch's delta segments under the atomic META pointer. The 30x
+  protocol drove this: full-snapshot commits measured 120.7 s at 30x,
+  parallel snapshot files 91.1 s, append segments remove the rewrite
+  (SCALE.md round-6 section 2); round 7 extended the same discipline
+  to ``labels`` (previously an O(corpus) per-batch snapshot rewrite).
+- PROBE READ: the band-index read is pruned to the BATCH'S bucket
+  set (``read_state_table(partition_filter=...)`` → Spark partition
+  pruning discards the other bucket directories at planning time),
+  and the shingle verify read is pruned to the CANDIDATES' doc-bucket
+  set. With P scaled to the corpus (same nlist ~ N/500 discipline as
+  operators/ivf.py: P ~ corpus_bands / target_rows_per_bucket,
+  re-bucketed at compaction), a bucket directory holds a bounded row
+  count, so probe READ IO ~ (batch's bucket count) x (bounded bucket
+  size) — batch-proportional, not O(corpus). The latest-wins label
+  read for the cluster merge remains one columnar scan of a
+  ~24-byte/row table (the lightest table by ~50x; an at-scale lever
+  would be rep-forest labels, not needed here).
+
+Mega-bucket guard: a skewed band bucket (one bkey shared by a huge
+index population) would make the plain probe equi-join build one huge
+hash bucket. ``bucket_cap`` routes the probe through a deterministic
+salted join — the new-vs-index adaptation of lsh_candidate_pairs'
+triangle-cell split: per (band_id, bkey) with index population n > cap
+the index side splits into ceil(n/cap) hash cells and the batch side
+replicates per cell; the emitted pair set is IDENTICAL to the plain
+join (law-tested against a synthetic mega-bucket in
+tests/test_neardup_stream.py).
+
+Laws in tests/test_neardup_stream.py: stream == batch (union of
+emitted pairs equals the one-shot dedup_minhash_lsh pair set), replay
+idempotence, the discovery-batch law above, latest-wins labels ==
+one-shot connected components after every batch, capped-probe pair
+identity, and compaction read-identity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_trend_predictor_spark.functions.exact import stable_round
@@ -68,6 +91,13 @@ from stock_trend_predictor_spark.operators.statestore import (
     read_meta,
     read_state_table,
 )
+
+#: default on-disk hash-bucket count for the band index and shingle
+#: store. Scale with the corpus: P ~ total band rows / 100k keeps a
+#: bucket directory at a bounded, partition-friendly size; re-bucket
+#: via statestore.compact_append_table(repartition_by=...) when a
+#: fold outgrows its P. Pinned per-fold by the config snapshot.
+N_BAND_BUCKETS = 64
 
 
 def doc_bands(docs: DataFrame) -> DataFrame:
@@ -89,30 +119,106 @@ def doc_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def _merge_labels(
+def _band_bucket(p: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("band_id"), F.col("bkey")), F.lit(p))
+
+
+def _doc_bucket(p: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p))
+
+
+def _fold_bucket_count(
+    spark: SparkSession, state_dir: str, requested: int
+) -> int:
+    """The fold's pinned P: the first commit's value wins for the
+    state dir's lifetime (old segments are bucketed under it; a
+    different P would silently mis-prune them)."""
+    cfg = read_state_table(spark, state_dir, "config")
+    if cfg is None:
+        return int(requested)
+    return int(cfg.collect()[0]["n_band_buckets"])
+
+
+def _probe_candidates(
+    new_bands: DataFrame, all_bands: DataFrame, bucket_cap: int | None
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing a band key,
+    one side always from ``new_bands``. ``bucket_cap`` caps the hash
+    build side per (band_id, bkey): index populations above it split
+    into deterministic cells (xxhash64(doc_id) % n_cells) and the
+    batch side replicates per cell — pair-set identical to the plain
+    equi-join, but no single join bucket exceeds ~cap rows."""
+    if bucket_cap is None:
+        joined = new_bands.alias("n").join(
+            all_bands.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.bkey") == F.col("o.bkey"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+    else:
+        cells = (
+            all_bands.groupBy("band_id", "bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "band_id",
+                "bkey",
+                F.ceil(F.col("_n") / F.lit(int(bucket_cap)))
+                .cast("int")
+                .alias("_cells"),
+            )
+        )
+        idx = all_bands.join(cells, ["band_id", "bkey"]).withColumn(
+            "_cell",
+            F.pmod(F.xxhash64("doc_id"), F.col("_cells")).cast("int"),
+        )
+        probe = (
+            new_bands.join(cells, ["band_id", "bkey"])
+            .withColumn(
+                "_cell",
+                F.explode(F.sequence(F.lit(0), F.col("_cells") - 1)),
+            )
+        )
+        joined = probe.alias("n").join(
+            idx.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.bkey") == F.col("o.bkey"))
+            & (F.col("n._cell") == F.col("o._cell"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+    return joined.select(
+        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+    ).distinct()
+
+
+def _merge_label_delta(
     spark: SparkSession,
     state_dir: str,
     new: DataFrame,
     new_pairs: DataFrame,
+    batch_id: int,
 ) -> DataFrame:
-    """labels(doc_id, cluster) after folding this batch — cluster =
-    min doc_id of the doc's connected component over ALL verified
-    pairs so far, maintained WITHOUT re-running CC on the full graph.
+    """The labels REVISION DELTA for this batch: one (doc_id, cluster,
+    rev=batch_id) row per touched doc — fresh arrivals plus members
+    of components the new pairs merge — such that the latest-wins
+    read equals one-shot min-label connected components over ALL
+    verified pairs so far.
 
-    Because every existing label is already the min-id of its
+    Because every committed label is already the min-id of its
     component, contracting each component to its representative
     preserves the merged partition: map the new pairs' endpoints to
     their current reps, run min-label CC over that REP graph (at most
     2 rows per new pair — never corpus-sized, whatever the component
-    sizes), and relabel members through one broadcast join. The new
-    component min equals min over merged reps equals min over all
-    member ids — inductively identical to the one-shot CC
-    (law-tested in tests/test_neardup_stream.py)."""
+    sizes), and revise exactly the docs whose rep lost (plus the
+    fresh docs). The new component min equals min over merged reps
+    equals min over all member ids — inductively identical to the
+    one-shot CC (law-tested in tests/test_neardup_stream.py)."""
     from stock_trend_predictor_spark.operators.components import (
         connected_components,
     )
 
-    prev_labels = read_state_table(spark, state_dir, "labels")
+    rev = F.lit(int(batch_id)).alias("rev")
+    prev_labels = read_neardup_clusters(spark, state_dir)
     fresh = new.select("doc_id", F.col("doc_id").alias("cluster"))
     base = (
         fresh if prev_labels is None else prev_labels.unionByName(fresh)
@@ -134,16 +240,27 @@ def _merge_labels(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if rep_edges.isEmpty():  # no cross-component pair: labels as-is
-        return base.select("doc_id", "cluster")
+    if rep_edges.isEmpty():  # no cross-component pair: fresh rows only
+        return fresh.select("doc_id", "cluster", rev)
     merged = connected_components(rep_edges, "src", "dst").select(
         F.col("node").alias("cluster"),
         F.col("component").alias("new_cluster"),
     )
-    return base.join(F.broadcast(merged), "cluster", "left").select(
+    # only LOSING reps force member revisions; winners keep their rows
+    losing = merged.where(F.col("new_cluster") != F.col("cluster"))
+    fresh_rows = fresh.join(F.broadcast(merged), "cluster", "left").select(
         "doc_id",
         F.coalesce("new_cluster", "cluster").alias("cluster"),
+        rev,
     )
+    if prev_labels is None:
+        return fresh_rows
+    touched = prev_labels.join(F.broadcast(losing), "cluster").select(
+        "doc_id", F.col("new_cluster").alias("cluster"), rev
+    )
+    # a doc is fresh XOR previously labeled, so the union stays one
+    # row per doc per rev — the uniqueness latest-wins relies on
+    return fresh_rows.unionByName(touched)
 
 
 def update_neardup_state(
@@ -152,13 +269,27 @@ def update_neardup_state(
     state_dir: str,
     batch_id: int,
     maintain_clusters: bool = True,
+    n_band_buckets: int = N_BAND_BUCKETS,
+    bucket_cap: int | None = 100_000,
 ) -> None:
     """Fold one arrival batch of (doc_id, hs) into the maintained
     near-dup state (idempotent: replayed batch ids are skipped before
     any write — and, since this fold eagerly materializes
     intermediates, before any COMPUTE too). ``maintain_clusters=False``
-    skips the labels snapshot for pairs-only consumers; a state dir
-    must be used consistently with one setting."""
+    skips the labels table for pairs-only consumers; a state dir must
+    be used consistently with one setting. ``n_band_buckets`` only
+    takes effect on the fold's FIRST commit (the config snapshot pins
+    it afterwards); ``bucket_cap`` is the mega-bucket probe guard
+    (module docstring), None for the plain join.
+
+    PRECONDITION — each doc_id arrives in exactly ONE batch. A doc
+    re-arriving later (re-crawl) would append duplicate band/shingle
+    rows and emit duplicate verified-pair rows, and the closed-form
+    discovery-batch law (module docstring) assumes a unique
+    arrival_batch per doc. Upstream dedupes re-crawls (doc_id /
+    content-digest exact dedup before the sink); an inline anti-join
+    against the accumulated shingle store would cost an O(corpus)
+    state read per batch, defeating the append-only IO discipline."""
     meta = read_meta(state_dir)
     if (
         meta is not None
@@ -166,35 +297,53 @@ def update_neardup_state(
         and batch_id <= meta["last_batch_id"]
     ):
         return  # replay: commit_state would skip anyway; skip the work
+    p = _fold_bucket_count(spark, state_dir, n_band_buckets)
     new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
-    new_bands = doc_bands(new)
-    prev_bands = read_state_table(spark, state_dir, "bands")
-    prev_sh = read_state_table(spark, state_dir, "shingles")
+    new_bands = doc_bands(new).withColumn("bucket", _band_bucket(p))
+    new_sh = new.withColumn("bucket", _doc_bucket(p))
+    # PRUNED probe read: only the bucket directories this batch's band
+    # keys hash into (<= p values, driver-side set is tiny)
+    batch_buckets = [
+        r["bucket"]
+        for r in new_bands.select("bucket").distinct().collect()
+    ]
+    prev_bands = read_state_table(
+        spark,
+        state_dir,
+        "bands",
+        partition_filter={"bucket": batch_buckets},
+    )
     all_bands = (
         new_bands
         if prev_bands is None
         else prev_bands.unionByName(new_bands)
     )
-    all_sh = new if prev_sh is None else prev_sh.unionByName(new)
     # candidates: a NEW doc shares a band with ANY doc folded so far
     # (state or this batch). Pairs with both members old cannot
-    # appear — so nothing is ever re-discovered.
-    cand = (
-        new_bands.alias("n")
-        .join(
-            all_bands.alias("o"),
-            (F.col("n.band_id") == F.col("o.band_id"))
-            & (F.col("n.bkey") == F.col("o.bkey"))
-            & (F.col("n.doc_id") != F.col("o.doc_id")),
-        )
-        .select(
-            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
-            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
-                "doc_b"
-            ),
-        )
-        .distinct()
+    # appear — so nothing is ever re-discovered. Eager: the verify
+    # join and the doc-bucket pruning below both consume it.
+    cand = _probe_candidates(
+        new_bands.drop("bucket"), all_bands.drop("bucket"), bucket_cap
+    ).localCheckpoint(eager=True)
+    # PRUNED verify read: only the candidates' doc buckets
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
+    cand_buckets = [
+        r["b"]
+        for r in cand_docs.select(_doc_bucket(p).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    prev_sh = read_state_table(
+        spark,
+        state_dir,
+        "shingles",
+        partition_filter={"bucket": cand_buckets},
+    )
+    all_sh = (
+        new_sh if prev_sh is None else prev_sh.unionByName(new_sh)
+    ).drop("bucket")
     a = all_sh.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
@@ -217,31 +366,34 @@ def update_neardup_state(
     # eager-checkpoint once so the probe+verify join never reruns
     new_pairs = new_pairs.localCheckpoint(eager=True)
 
-    tables: dict[str, DataFrame] = {}
+    appends: dict[str, DataFrame] = {
+        "bands": new_bands,
+        "shingles": new_sh,
+        "pairs": new_pairs,
+    }
     if maintain_clusters:
-        tables["labels"] = _merge_labels(
-            spark, state_dir, new, new_pairs
+        appends["labels"] = _merge_label_delta(
+            spark, state_dir, new, new_pairs, batch_id
         )
 
-    # bands/shingles/pairs are append-only by construction (a doc's
-    # band and shingle rows never change after arrival; a pair is
-    # discovered exactly once), so each commit writes only THIS
-    # batch's delta segments — per-commit IO is batch-sized, not
-    # corpus-sized (the full-snapshot rewrite measured ~25% of the
-    # 30x wall even with parallel writes; appends remove it).
-    # labels MUTATE on merge, so they stay a snapshot — at 16 bytes a
-    # row the rewrite is ~50x lighter than the shingle store it
-    # replaced; the at-scale lever is label-revision segments + a
-    # latest-wins read, not needed before mega-corpus batch counts.
-    # files_per_table caps write parallelism (coalesce never raises
-    # the partition count, so tiny batches still land as single
-    # files).
+    # ALL data tables are append-only by construction (module
+    # docstring: bands/shingles/pairs never change after discovery;
+    # labels are latest-wins revisions) — each commit writes only
+    # THIS batch's delta segments, so per-commit write IO is
+    # batch-sized, not corpus-sized. bands/shingles segments are
+    # directory-partitioned on their hash bucket for the pruned
+    # probe reads above. files_per_table caps write parallelism for
+    # the unpartitioned tables (coalesce never raises the partition
+    # count, so tiny batches still land as single files).
     commit_state(
         state_dir,
-        tables,
+        {"config": spark.createDataFrame(
+            [(int(p),)], "n_band_buckets int"
+        )},
         batch_id=batch_id,
         files_per_table=8,
-        appends={"bands": new_bands, "shingles": new, "pairs": new_pairs},
+        appends=appends,
+        append_partition_by={"bands": ["bucket"], "shingles": ["bucket"]},
     )
 
 
@@ -258,8 +410,15 @@ def read_neardup_clusters(
 ) -> DataFrame | None:
     """(doc_id, cluster) for every document folded so far — cluster =
     min doc_id of its verified-pair connected component (singletons
-    label themselves), maintained incrementally. None pre-commit."""
-    return read_state_table(spark, state_dir, "labels")
+    label themselves), maintained incrementally as latest-wins
+    revision rows (max-rev per doc; rev unique per doc per batch).
+    None pre-commit."""
+    revs = read_state_table(spark, state_dir, "labels")
+    if revs is None:
+        return None
+    return revs.groupBy("doc_id").agg(
+        F.max_by("cluster", "rev").alias("cluster")
+    )
 
 
 def neardup_maintenance_sink(

@@ -134,3 +134,47 @@ def test_dsir_fold_before_any_target_doc(spark, tmp_path):
         assert r.n_feats == 5  # 3 unigrams + 2 bigrams
         assert math.isfinite(r["__s"])
         assert r["__s"] < 0  # nothing is target-like yet
+
+
+def test_dsir_oneshot_matches_fold_on_zero_target_corpus(
+    spark, tmp_path
+):
+    """r6-advice edge: the ONE-SHOT dsir_log_weights must pin the same
+    finite negative weights as the fold when the corpus has ZERO
+    target docs (tt coalesces to 0; without it every weight nulls
+    out). Bit-equality fold == one-shot on this edge."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.dsir import (
+        dsir_log_weights,
+    )
+    from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+        N_BUCKETS,
+        read_dsir_weights,
+        update_dsir_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "de", "a b c"), (2, "fr", "b c d"), (3, "de", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    one = dsir_log_weights(
+        docs, F.col("lang") == "en", n_buckets=N_BUCKETS
+    )
+    one_rows = {r.doc_id: r for r in one.collect()}
+    assert set(one_rows) == {1, 2, 3}
+    for r in one_rows.values():
+        assert r["__s"] is not None and math.isfinite(r["__s"])
+        assert r["__s"] < 0
+
+    sdir = str(tmp_path / "state")
+    update_dsir_state(spark, docs, sdir, batch_id=0)
+    fold_rows = {
+        r.doc_id: r
+        for r in read_dsir_weights(spark, sdir).collect()
+    }
+    for d in one_rows:
+        assert fold_rows[d].n_feats == one_rows[d].n_feats
+        assert fold_rows[d]["__s"] == one_rows[d]["__s"]  # bit-equal
