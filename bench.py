@@ -101,6 +101,8 @@ HEADLINE = [
     "neardup_incremental_pairs",  # stateful LSH fold (3 state commits)
     "neardup_incremental_clusters",  # fold + touched-component CC merge
     "dsir_importance_weights",   # hashed-ngram importance model + score
+    # round-7 additions (everything above stays frozen).
+    "decontaminate_embedding_sim",  # broadcast eval x train argmax cosine
 ]
 
 

@@ -28,7 +28,7 @@ Two table classes, two write disciplines:
   reads union exactly the committed list, never a directory glob.
 
 Append tables can additionally be **hash-bucketed on disk**
-(``append_partition_by=``): each segment is written
+(``append_partition_by=``): a segment written with it is
 directory-partitioned on the named columns (``bucket=K/`` subdirs),
 and :func:`read_state_table` accepts ``partition_filter`` so a probe
 that only needs a key subset reads ONLY those bucket directories —
@@ -37,14 +37,26 @@ probe READ IO scales with the requesting batch's bucket set, not the
 accumulated corpus. Scale the bucket count with the corpus (the same
 nlist ~ N/500 discipline as operators/ivf.py: pick P so a bucket
 holds a bounded row count) and re-bucket at compaction time when the
-corpus outgrows it. A table must be consistently partitioned (same
-columns) across a state dir's lifetime.
+corpus outgrows it.
+
+Segments of one table may MIX layouts — the LSM-style write path:
+per-batch deltas land UNPARTITIONED (a directory-partitioned write of
+a tiny delta pays repartition + per-dir committer overhead for
+nothing), while compaction rewrites the accumulated list into a
+bucketed segment. ``partition_filter`` stays correct across the mix:
+on a bucketed segment the predicate prunes directories at planning
+time; on a plain delta the bucket is an ordinary column and the same
+predicate is a row filter over a batch-sized file. Steady state under
+periodic compaction = one big PRUNED segment + a few small scanned
+deltas — batch-proportional probe IO either way. (Reads auto-discover
+each segment's layout; META's ``partitioned`` entry only remembers
+the latest layout as the compaction default.)
 
 Long-lived folds accumulate one delta segment per batch;
 :func:`compact_append_table` is the OPTIMIZE step — it rewrites the
 committed segment list into one segment and atomically swaps the META
 list, preserving (or re-writing) the bucket layout. Reads are
-byte-identical before and after, and a crash between the compacted
+row-identical before and after, and a crash between the compacted
 write and the META swap is invisible (the orphan dir is never
 referenced; a later compaction at a higher version overwrites its own
 fresh path).
@@ -129,10 +141,15 @@ def _write_segment(
     if partition_cols:
         # hash-repartition on the bucket columns first so each bucket
         # value lands in exactly one task -> one file per bucket dir
-        # (partitionBy alone writes one file per (task, value) pair)
-        df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
-            "overwrite"
-        ).partitionBy(*partition_cols).parquet(path)
+        # (partitionBy alone writes one file per (task, value) pair).
+        # Width capped at files_per_table: a full shuffle.partitions
+        # repartition measured 4x slower for batch-sized deltas, and
+        # each of the few tasks just writes several bucket dirs.
+        df.repartition(
+            files_per_table, *[F.col(c) for c in partition_cols]
+        ).write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            path
+        )
     else:
         df.coalesce(files_per_table).write.mode("overwrite").parquet(path)
 
@@ -144,6 +161,7 @@ def commit_state(
     files_per_table: int = 1,
     appends: dict[str, DataFrame] | None = None,
     append_partition_by: dict[str, list[str]] | None = None,
+    app_meta: dict | None = None,
 ) -> bool:
     """Write every snapshot table to a fresh version dir, every append
     table's delta to a new segment, and atomically point META at the
@@ -163,9 +181,19 @@ def commit_state(
     across a state dir's lifetime.
 
     ``append_partition_by`` maps an append-table name to the columns
-    its segments are directory-partitioned on (hash-bucket layout for
-    pruned probe reads — module docstring). Must be passed
-    identically on every commit that appends to that table."""
+    THIS COMMIT'S segment is directory-partitioned on (hash-bucket
+    layout for pruned probe reads — module docstring). Segments of a
+    table may mix layouts (plain hot deltas + bucketed compacted
+    history); the bucket columns must exist as ordinary columns in
+    every plain segment so ``partition_filter`` stays meaningful
+    across the mix.
+
+    ``app_meta`` is a small JSON-able dict of APPLICATION config
+    (bucket counts, thresholds) persisted inside META itself — read
+    it back via read_meta()["app"] with zero Spark jobs. The FIRST
+    committed value wins (later commits cannot silently change a
+    layout-determining parameter); a 1-row parquet "config table"
+    measured ~5 s per commit in driver round-trips, this is free."""
     os.makedirs(state_dir, exist_ok=True)
     meta = read_meta(state_dir)
     if (
@@ -190,19 +218,15 @@ def commit_state(
         # simply never referenced
         seg = os.path.join(f"seg-{name}", f"b-{version:010d}")
         pcols = (append_partition_by or {}).get(name)
-        prev_pcols = partitioned.get(name)
-        assert prev_pcols is None or pcols == prev_pcols, (
-            f"append table {name!r} committed with partition layout "
-            f"{prev_pcols} but this commit passed {pcols}; a table's "
-            "bucket layout is fixed for the state dir's lifetime "
-            "(re-bucket via compact_append_table)"
-        )
         _write_segment(
             df, os.path.join(state_dir, seg), pcols, files_per_table
         )
         segments[name] = [*segments.get(name, []), seg]
         if pcols:
             partitioned[name] = pcols
+    app = dict(meta.get("app", {})) if meta else {}
+    for k, v in (app_meta or {}).items():
+        app.setdefault(k, v)  # first commit wins
     tmp = os.path.join(state_dir, "META.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -212,6 +236,7 @@ def commit_state(
                 "tables": sorted(tables),
                 "segments": segments,
                 "partitioned": partitioned,
+                "app": app,
                 "last_batch_id": batch_id,
             },
             fh,
@@ -232,13 +257,15 @@ def compact_append_table(
 ) -> bool:
     """OPTIMIZE an append table: rewrite its committed delta segments
     into ONE compacted segment and atomically swap META's segment
-    list. Returns False if the table has <= 1 committed segment
-    (nothing to do). Reads are identical before/after (same row
-    multiset — law-tested); the bucket layout is preserved, or
-    re-written when ``repartition_by`` overrides it (the re-bucket
-    lever for a corpus that outgrew its bucket count — pass the same
-    columns with the data already carrying the new bucket values, or
-    new columns entirely).
+    list. Returns False if there is nothing to do — no committed
+    segments, or a single segment with no re-layout requested
+    (``repartition_by`` forces a single-segment rewrite too: that is
+    the plain-delta -> bucketed-layout conversion). Reads are
+    identical before/after (same row multiset — law-tested); the
+    bucket layout is preserved, or re-written when ``repartition_by``
+    overrides it (the re-bucket lever for a corpus that outgrew its
+    bucket count — pass the same columns with the data already
+    carrying the new bucket values, or new columns entirely).
 
     Crash safety: the compacted segment lands under ``seg-{name}/
     c-{version}`` BEFORE the META swap; a crash in between leaves
@@ -249,7 +276,7 @@ def compact_append_table(
     if meta is None:
         return False
     segs = meta.get("segments", {}).get(name)
-    if not segs or len(segs) <= 1:
+    if not segs or (len(segs) <= 1 and repartition_by is None):
         return False
     df = read_state_table(spark, state_dir, name)
     version = meta["version"] + 1

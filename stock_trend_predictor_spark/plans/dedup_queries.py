@@ -1275,44 +1275,48 @@ def _register_r5b():
         n = e.count()
         k = max(8, n // 500)
         sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
-        # ORACLE REGIME GATE (r6 advice): _SEMDEDUP_ORACLE replays
-        # Lloyd UNSAMPLED, so the value-hash compare is only valid
-        # while sample_mod == 1 (n <= ~32.5k embeddings at nlist =
-        # N/500). Harnesses that compare against the oracle set
-        # SPARK_GRAFT_ORACLE_RUN (tools/driver_sim.py) — past the
-        # regime they now fail loud here instead of silently
-        # hash-mismatching; production (no env) samples freely.
-        import os as _os
-
-        assert not (
-            sample_mod > 1 and _os.environ.get("SPARK_GRAFT_ORACLE_RUN")
-        ), (
-            f"semdedup oracle invalid in the sampled-Lloyd regime "
-            f"(n={n}, k={k}, sample_mod={sample_mod}); the DuckDB "
-            f"oracle trains unsampled — compare at a smaller SF"
-        )
         cents = kmeans_centroids(
             e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
         )
         # BLOCKING assignment: flat ranked-slice multiprobe up to the
         # measured crossover, two-level (IMI-style) multiprobe past it
         # (r6 verdict #7). The flat fold is N x k distance evals; the
-        # hierarchy cuts that to ~N x 3*sqrt(k), measured worthwhile
-        # from k ~ 512 on the 30x near-random corpus (SCALE.md r6-7;
-        # env-overridable for A/B measurement). Blocking-grade cell
+        # hierarchy cuts that to ~N x 3*sqrt(k). Same-session 30x A/B
+        # (SCALE.md r7): at k=120 two-level reads 79.1 s vs the flat
+        # 133.2 s (1.68x); at k=8 it LOSES (13.7 vs 9.2 — sqrt(8)
+        # groups prune nothing), so the threshold sits at 64 — which
+        # is also exactly the sampled-Lloyd / oracle-regime boundary
+        # (n ~ 32k docs), so every oracle-checked run takes the flat
+        # (oracle-exact) path by construction. Blocking-grade cell
         # agreement (0.71+ @ gprobe=2, floor-pinned in
         # tests/test_similarity.py) is the stated useful regime for
         # candidate generation; the keeper laws are structural and
-        # hold under either assignment (tests/test_round7.py). The
-        # two-level regime starts at n ~ 256k docs — far past the
-        # oracle gate above, so oracle-checked runs always take the
-        # flat (oracle-exact) path.
-        import os as _os2
+        # hold under either assignment (tests/test_round7.py).
+        # Env-overridable for A/B measurement.
+        import os as _os
 
         tl_min_k = int(
-            _os2.environ.get("SEMDEDUP_TWO_LEVEL_MIN_K", "512")
+            _os.environ.get("SEMDEDUP_TWO_LEVEL_MIN_K", "64")
         )
-        if k >= tl_min_k:
+        two_level = k >= tl_min_k
+        # ORACLE REGIME GATE (r6 advice): _SEMDEDUP_ORACLE replays
+        # Lloyd UNSAMPLED with FLAT multiprobe blocking, so the
+        # value-hash compare is only valid while sample_mod == 1 AND
+        # the flat path is taken (both hold up to n ~ 32k embeddings
+        # at nlist = N/500). Harnesses that compare against the
+        # oracle set SPARK_GRAFT_ORACLE_RUN (tools/driver_sim.py) —
+        # past the regime they fail loud here instead of silently
+        # hash-mismatching; production (no env) diverges freely.
+        assert not (
+            _os.environ.get("SPARK_GRAFT_ORACLE_RUN")
+            and (sample_mod > 1 or two_level)
+        ), (
+            f"semdedup oracle invalid past the flat-unsampled regime "
+            f"(n={n}, k={k}, sample_mod={sample_mod}, "
+            f"two_level={two_level}); the DuckDB oracle trains "
+            f"unsampled and blocks flat — compare at a smaller SF"
+        )
+        if two_level:
             probed = assign_clusters_two_level_multiprobe(
                 e, cents, nprobe=3
             )
@@ -1589,3 +1593,93 @@ FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 
 _register_r6b()
 
+
+
+def _register_r7():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    cos_sql = (
+        "list_inner_product(ev.v, tr.v) / "
+        "(sqrt(list_inner_product(ev.v, ev.v)) * "
+        "sqrt(list_inner_product(tr.v, tr.v)))"
+    )
+
+    @register(
+        "decontaminate_embedding_sim",
+        oracle=f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ev AS (
+    SELECT * FROM e WHERE vec_id < 8
+), tr AS (
+    SELECT * FROM e WHERE vec_id >= 8
+), sc AS (
+    SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+           {stable_round_sql(cos_sql, 6)} AS c
+    FROM ev CROSS JOIN tr
+)
+SELECT eval_id, train_id AS nearest_train_id, c AS max_cos,
+       c >= 0.35 AS contaminated
+FROM sc
+QUALIFY row_number() OVER (
+    PARTITION BY eval_id ORDER BY c DESC, train_id ASC) = 1
+""",
+        doc="SEMANTIC benchmark decontamination — the embedding-space "
+        "twin of decontaminate_ngram_overlap (lexical 8-gram overlap "
+        "misses paraphrased eval leakage; arXiv:2311.04850-style "
+        "similarity screening catches it): for every held-out eval "
+        "vector (vec_id < 8 stands in for the eval suite) find its "
+        "nearest TRAIN vector by exact cosine and flag contamination "
+        "at the 0.35 near-dup threshold the dedup family uses. Scale "
+        "shape: the eval suite is tiny vs the corpus, so it rides a "
+        "BROADCAST into one narrow pass over train embeddings; the "
+        "argmax is a map-side-combinable max(struct(cos, -id)) "
+        "aggregate keyed by the 8-row eval id — no window over a "
+        "train-sized frame, train vectors never shuffle. Ties break "
+        "to the lowest train id via the struct's second field; cosine "
+        "pre-rounded (stable_round) so the cut and argmax are "
+        "engine-exact.",
+    )
+    def decontaminate_embedding_sim(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        ).withColumn("nrm", l2norm(F.col("v")))
+        ev = e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("v").alias("ev_v"),
+            F.col("nrm").alias("ev_nrm"),
+        )
+        tr = e.where(F.col("vec_id") >= 8)
+        cos = stable_round(
+            dot(F.col("ev_v"), F.col("v"))
+            / (F.col("ev_nrm") * F.col("nrm")),
+            6,
+        )
+        best = (
+            tr.crossJoin(F.broadcast(ev))
+            .select(
+                "eval_id",
+                F.struct(
+                    cos.alias("c"), (-F.col("vec_id")).alias("ni")
+                ).alias("s"),
+            )
+            .groupBy("eval_id")
+            .agg(F.max("s").alias("b"))
+        )
+        return best.select(
+            "eval_id",
+            (-F.col("b.ni")).alias("nearest_train_id"),
+            F.col("b.c").alias("max_cos"),
+            (F.col("b.c") >= 0.35).alias("contaminated"),
+        )
+
+
+_register_r7()

@@ -3,17 +3,19 @@ state store — the streaming twin of ``neardup_keep_decision``'s pair
 stage, for the daily-crawl shape where yesterday's corpus must not be
 re-scanned to dedup today's arrivals.
 
-State = three APPEND tables under the segment + atomic-META protocol
+State = four APPEND tables under the segment + atomic-META protocol
 (operators/statestore.py ``appends=``; same commit discipline as the
-budget / IVF folds, but delta segments instead of snapshots) plus a
-one-row config snapshot:
+budget / IVF folds, but delta segments instead of snapshots):
 
 - ``bands``     (doc_id, band_id, bkey, bucket) — the accumulated LSH
-  band index, HASH-BUCKETED ON DISK: every segment is directory-
-  partitioned on ``bucket = pmod(xxhash64(band_id, bkey), P)``;
+  band index, HASH-BUCKETED: every row carries
+  ``bucket = pmod(xxhash64(band_id, bkey), P)``; per-batch deltas
+  land as plain files (LSM hot writes) and compaction rewrites the
+  history directory-partitioned on ``bucket`` for pruned reads;
 - ``shingles``  (doc_id, hs, bucket)            — shingle-hash arrays
   for exact-Jaccard verification, bucketed on
-  ``pmod(xxhash64(doc_id), P)`` for by-doc point lookups;
+  ``pmod(xxhash64(doc_id), P)`` for by-doc point lookups (same
+  delta-then-compact layout);
 - ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
   verified near-dup pair, stamped with the batch that DISCOVERED it;
 - ``labels``    (doc_id, cluster, rev) — APPEND-ONLY REVISIONS of the
@@ -24,9 +26,11 @@ one-row config snapshot:
   committed assignment is the latest-wins read (max-rev row per doc,
   ``rev`` = batch id, unique per doc per batch by construction).
   Compact periodically via statestore.compact_append_table.
-- ``config``    (n_band_buckets) — one-row snapshot pinning P for the
-  fold's lifetime (a mid-fold P change would silently mis-prune old
-  segments, so the first commit's value always wins).
+
+P (the bucket count) pins for the fold's lifetime in META's ``app``
+dict (statestore ``app_meta=``; a mid-fold P change would silently
+mis-prune old segments, so the first commit's value always wins —
+and reading it is a JSON load, not a Spark job).
 
 Per batch: the NEW documents' bands probe the accumulated index (plus
 the batch itself, so intra-batch duplicates surface immediately);
@@ -49,16 +53,23 @@ Per-commit IO is batch-sized on BOTH sides now:
   parallel snapshot files 91.1 s, append segments remove the rewrite
   (SCALE.md round-6 section 2); round 7 extended the same discipline
   to ``labels`` (previously an O(corpus) per-batch snapshot rewrite).
-- PROBE READ: the band-index read is pruned to the BATCH'S bucket
-  set (``read_state_table(partition_filter=...)`` → Spark partition
-  pruning discards the other bucket directories at planning time),
-  and the shingle verify read is pruned to the CANDIDATES' doc-bucket
-  set. With P scaled to the corpus (same nlist ~ N/500 discipline as
+- PROBE READ: ADAPTIVE. Below PRUNE_MIN_BYTES the accumulated store
+  is a handful of parquet files and a full scan is cheaper than any
+  pruning bookkeeping (measured ~1 s/batch of pure overhead against
+  a 2.5 MB index at sf0.1). Past it, the band-index read prunes to
+  the BATCH'S bucket set (``read_state_table(partition_filter=...)``:
+  directory pruning on compacted bucketed segments at planning time,
+  a row filter over the batch-sized hot deltas) and the shingle
+  verify read prunes to the CANDIDATES' doc-bucket set. With P
+  scaled to the corpus (same nlist ~ N/500 discipline as
   operators/ivf.py: P ~ corpus_bands / target_rows_per_bucket,
   re-bucketed at compaction), a bucket directory holds a bounded row
   count, so probe READ IO ~ (batch's bucket count) x (bounded bucket
-  size) — batch-proportional, not O(corpus). The latest-wins label
-  read for the cluster merge remains one columnar scan of a
+  size) + the few uncompacted deltas — batch-proportional, not
+  O(corpus) (measured: tools/probe_bench.py, SCALE.md r7). Every row
+  carries its bucket, so the threshold crossing and the
+  delta/compacted mix are invisible to readers. The latest-wins
+  label read for the cluster merge remains one columnar scan of a
   ~24-byte/row table (the lightest table by ~50x; an at-scale lever
   would be rep-forest labels, not needed here).
 
@@ -96,8 +107,35 @@ from stock_trend_predictor_spark.operators.statestore import (
 #: store. Scale with the corpus: P ~ total band rows / 100k keeps a
 #: bucket directory at a bounded, partition-friendly size; re-bucket
 #: via statestore.compact_append_table(repartition_by=...) when a
-#: fold outgrows its P. Pinned per-fold by the config snapshot.
+#: fold outgrows its P. Pinned per-fold in META's app dict.
 N_BAND_BUCKETS = 64
+
+#: probe reads switch from full-scan to bucket-pruned once a state
+#: table outgrows this. Below it the whole store is a few parquet
+#: files and pruning is pure overhead (two driver collects + one
+#: isin filter per batch measured ~1 s/batch at sf0.1 against a
+#: 2.5 MB index); above it the pruned read is the difference between
+#: batch-sized and corpus-sized probe IO. The LAYOUT is always
+#: bucketed — only the read strategy adapts.
+PRUNE_MIN_BYTES = 32 * 2**20
+
+
+def _state_bytes(state_dir: str, meta: dict | None, table: str) -> int:
+    """On-disk bytes of an append table's committed segments (local
+    metadata walk, no Spark job)."""
+    import os
+
+    if meta is None:
+        return 0
+    total = 0
+    for seg in meta.get("segments", {}).get(table, []):
+        for root, _, files in os.walk(os.path.join(state_dir, seg)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
 
 
 def doc_bands(docs: DataFrame) -> DataFrame:
@@ -127,16 +165,14 @@ def _doc_bucket(p: int) -> Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p))
 
 
-def _fold_bucket_count(
-    spark: SparkSession, state_dir: str, requested: int
-) -> int:
+def _fold_bucket_count(meta: dict | None, requested: int) -> int:
     """The fold's pinned P: the first commit's value wins for the
     state dir's lifetime (old segments are bucketed under it; a
-    different P would silently mis-prune them)."""
-    cfg = read_state_table(spark, state_dir, "config")
-    if cfg is None:
+    different P would silently mis-prune them). Lives in META's
+    ``app`` dict — zero Spark jobs to read."""
+    if meta is None:
         return int(requested)
-    return int(cfg.collect()[0]["n_band_buckets"])
+    return int(meta.get("app", {}).get("n_band_buckets", requested))
 
 
 def _probe_candidates(
@@ -270,7 +306,9 @@ def update_neardup_state(
     batch_id: int,
     maintain_clusters: bool = True,
     n_band_buckets: int = N_BAND_BUCKETS,
-    bucket_cap: int | None = 100_000,
+    bucket_cap: int | None = None,
+    compact_every: int | None = None,
+    prune_min_bytes: int = PRUNE_MIN_BYTES,
 ) -> None:
     """Fold one arrival batch of (doc_id, hs) into the maintained
     near-dup state (idempotent: replayed batch ids are skipped before
@@ -280,7 +318,14 @@ def update_neardup_state(
     be used consistently with one setting. ``n_band_buckets`` only
     takes effect on the fold's FIRST commit (the config snapshot pins
     it afterwards); ``bucket_cap`` is the mega-bucket probe guard
-    (module docstring), None for the plain join.
+    (module docstring) — OPT-IN for corpora with skew-prone band
+    buckets, because the capped path reads the pruned index twice
+    (population counts + the cell join); the default plain equi-join
+    is right while no bucket is mega-sized. ``compact_every=N``
+    runs statestore.compact_append_table over every append table
+    after each Nth batch (an amortized O(corpus) OPTIMIZE that keeps
+    a thousand-batch fold's segment count — and so its read planning
+    cost — bounded); None leaves compaction to the operator.
 
     PRECONDITION — each doc_id arrives in exactly ONE batch. A doc
     re-arriving later (re-crawl) would append duplicate band/shingle
@@ -297,21 +342,32 @@ def update_neardup_state(
         and batch_id <= meta["last_batch_id"]
     ):
         return  # replay: commit_state would skip anyway; skip the work
-    p = _fold_bucket_count(spark, state_dir, n_band_buckets)
+    p = _fold_bucket_count(meta, n_band_buckets)
     new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
-    new_bands = doc_bands(new).withColumn("bucket", _band_bucket(p))
+    # eager: the minhash band derivation feeds THREE consumers (the
+    # bucket-set collect, the probe join, the segment write) — left
+    # lazy each re-runs the 64-permutation signature fold over the
+    # batch (measured 3x the r6 fold wall at sf0.1)
+    new_bands = (
+        doc_bands(new)
+        .withColumn("bucket", _band_bucket(p))
+        .localCheckpoint(eager=True)
+    )
     new_sh = new.withColumn("bucket", _doc_bucket(p))
-    # PRUNED probe read: only the bucket directories this batch's band
-    # keys hash into (<= p values, driver-side set is tiny)
-    batch_buckets = [
-        r["bucket"]
-        for r in new_bands.select("bucket").distinct().collect()
-    ]
+    # ADAPTIVE pruned probe read: once the band index outgrows
+    # PRUNE_MIN_BYTES, read only the bucket directories this batch's
+    # band keys hash into (<= p values, driver-side set is tiny);
+    # below it a full scan is cheaper than the collect + filter.
+    if _state_bytes(state_dir, meta, "bands") >= prune_min_bytes:
+        batch_buckets = [
+            r["bucket"]
+            for r in new_bands.select("bucket").distinct().collect()
+        ]
+        band_filter = {"bucket": batch_buckets}
+    else:
+        band_filter = None
     prev_bands = read_state_table(
-        spark,
-        state_dir,
-        "bands",
-        partition_filter={"bucket": batch_buckets},
+        spark, state_dir, "bands", partition_filter=band_filter
     )
     all_bands = (
         new_bands
@@ -325,21 +381,24 @@ def update_neardup_state(
     cand = _probe_candidates(
         new_bands.drop("bucket"), all_bands.drop("bucket"), bucket_cap
     ).localCheckpoint(eager=True)
-    # PRUNED verify read: only the candidates' doc buckets
-    cand_docs = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    cand_buckets = [
-        r["b"]
-        for r in cand_docs.select(_doc_bucket(p).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    # ADAPTIVE pruned verify read: only the candidates' doc buckets
+    # once the shingle store is big enough for pruning to pay
+    if _state_bytes(state_dir, meta, "shingles") >= prune_min_bytes:
+        cand_docs = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        sh_filter = {
+            "bucket": [
+                r["b"]
+                for r in cand_docs.select(_doc_bucket(p).alias("b"))
+                .distinct()
+                .collect()
+            ]
+        }
+    else:
+        sh_filter = None
     prev_sh = read_state_table(
-        spark,
-        state_dir,
-        "shingles",
-        partition_filter={"bucket": cand_buckets},
+        spark, state_dir, "shingles", partition_filter=sh_filter
     )
     all_sh = (
         new_sh if prev_sh is None else prev_sh.unionByName(new_sh)
@@ -385,16 +444,35 @@ def update_neardup_state(
     # probe reads above. files_per_table caps write parallelism for
     # the unpartitioned tables (coalesce never raises the partition
     # count, so tiny batches still land as single files).
+    # per-batch deltas land UNPARTITIONED (LSM-style hot writes: a
+    # 64-dir partitioned write of a batch-sized delta measured ~2x
+    # the plain write for nothing); compaction below rewrites the
+    # accumulated bands/shingles into the BUCKETED layout partition
+    # pruning needs — the statestore reads stay correct across the
+    # mix (bucket is a data column in deltas, a directory in the
+    # compacted segment).
     commit_state(
         state_dir,
-        {"config": spark.createDataFrame(
-            [(int(p),)], "n_band_buckets int"
-        )},
+        {},
         batch_id=batch_id,
         files_per_table=8,
         appends=appends,
-        append_partition_by={"bands": ["bucket"], "shingles": ["bucket"]},
+        app_meta={"n_band_buckets": int(p)},
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from stock_trend_predictor_spark.operators.statestore import (
+            compact_append_table,
+        )
+
+        for t in appends:
+            compact_append_table(
+                spark,
+                state_dir,
+                t,
+                repartition_by=(
+                    ["bucket"] if t in ("bands", "shingles") else None
+                ),
+            )
 
 
 def read_neardup_pairs(

@@ -141,6 +141,7 @@ def test_bench_compact_line_fits_the_drivers_tail_window():
         "queries": {name: 999.99 for name in HEADLINE},
         "bench_runs": 5,
         "sf": 0.1,
+        "drift": 9.999,  # the r7 box-speed normalizer field
     }
     rendered = json.dumps(compact, separators=(",", ":"))  # bench.py's framing
     assert len(rendered) < 1800, (

@@ -62,11 +62,18 @@ def test_statestore_partitioned_appends_prune(spark, tmp_path):
     )
     assert empty.count() == 0
 
-    # layout is pinned: committing the same table unpartitioned fails
-    import pytest
-
-    with pytest.raises(AssertionError):
-        commit_state(sdir, {}, batch_id=2, appends={"t": b0})
+    # MIXED layouts (the LSM write path): a plain hot delta joins the
+    # bucketed history; partition_filter stays correct across the mix
+    # (row filter on the delta, dir pruning on the bucketed segments)
+    b2 = spark.createDataFrame([(6, 1), (7, 0)], "x long, bucket int")
+    assert commit_state(sdir, {}, batch_id=2, appends={"t": b2})
+    mixed = read_state_table(
+        spark, sdir, "t", partition_filter={"bucket": [1]}
+    )
+    assert sorted(r.x for r in mixed.collect()) == [2, 4, 6]
+    assert sorted(
+        r.x for r in read_state_table(spark, sdir, "t").collect()
+    ) == [1, 2, 3, 4, 5, 6, 7]
 
 
 def test_statestore_compaction_identity_and_crash(spark, tmp_path):
@@ -125,8 +132,17 @@ def test_statestore_compaction_identity_and_crash(spark, tmp_path):
     assert sorted(r.x for r in pr.collect()) == sorted(
         x for x, b in before if b == 2
     )
-    # nothing to do on a single-segment table
+    # nothing to do on a single-segment table...
     assert not compact_append_table(spark, sdir, "t")
+    # ...unless a re-layout is requested (the plain-delta -> bucketed
+    # conversion probe_bench and the periodic fold compaction use)
+    assert compact_append_table(
+        spark, sdir, "t", repartition_by=["bucket"]
+    )
+    assert (
+        sorted(map(tuple, read_state_table(spark, sdir, "t").collect()))
+        == before
+    )
 
 
 def test_probe_candidates_megabucket_identity(spark):
@@ -348,3 +364,41 @@ def test_semdedup_keeper_laws_under_two_level_blocking(
         for cl, rows in by_cluster.items()
         if len(rows) == 1
     )
+
+
+def test_neardup_fold_with_periodic_compaction(spark, tmp_path):
+    """compact_every folds: a fold that OPTIMIZEs its append tables
+    every 2nd batch emits exactly the pairs and labels of the
+    uncompacted fold (compaction is invisible to the protocol)."""
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        read_neardup_clusters,
+        read_neardup_pairs,
+        update_neardup_state,
+    )
+
+    dirs = {"plain": None, "compacted": 2}
+    out = {}
+    for label, ce in dirs.items():
+        sdir = str(tmp_path / label)
+        for b in range(4):
+            update_neardup_state(
+                spark,
+                spark.createDataFrame(
+                    _mk_batch(b), "doc_id long, hs array<bigint>"
+                ),
+                sdir,
+                batch_id=b,
+                compact_every=ce,
+            )
+        out[label] = (
+            sorted(
+                map(tuple, read_neardup_pairs(spark, sdir).collect())
+            ),
+            sorted(
+                map(
+                    tuple,
+                    read_neardup_clusters(spark, sdir).collect(),
+                )
+            ),
+        )
+    assert out["plain"] == out["compacted"]
