@@ -993,3 +993,85 @@ def _register_r6c():
 
 
 _register_r6c()
+
+
+def _register_r7():
+    from stock_trend_predictor_spark.functions.exact import (
+        stable_round,
+        stable_round_sql,
+    )
+    from stock_trend_predictor_spark.plans.registry import register
+
+    w_sql = stable_round_sql("sqrt(tokens)", 6)
+
+    @register(
+        "source_temperature_mix",
+        oracle=f"""
+WITH s AS (
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS tokens
+    FROM documents GROUP BY source
+), w AS (
+    SELECT *, {w_sql} AS w FROM s
+), tot AS (
+    SELECT sum(tokens) AS tt,
+           CAST(sum(CAST(w AS DECIMAL(27,6))) AS DOUBLE) AS ww
+    FROM w
+)
+SELECT source, n_docs, tokens,
+       {stable_round_sql('CAST(tokens AS DOUBLE) / tt', 6)} AS p_raw,
+       {stable_round_sql('w / ww', 6)} AS p_temp,
+       CAST(floor(tt * {stable_round_sql('w / ww', 6)}) AS BIGINT)
+           AS alloc_tokens
+FROM w CROSS JOIN tot
+""",
+        doc="Temperature-scaled source sampling weights (the "
+        "multilingual/multi-source pretraining mixture rule, "
+        "arXiv:1901.07291 sec 3.1 style, alpha = 0.5): per source, "
+        "p_temp = tokens^alpha / sum(tokens^alpha) flattens the raw "
+        "size distribution so low-resource sources are upsampled, "
+        "and alloc_tokens = floor(total * p_temp) is the per-source "
+        "budget for one epoch of the re-balanced mix. Scale shape: "
+        "ONE narrow scan (token count = array length, text never "
+        "moves), a map-side-combinable 20-row source aggregate, and "
+        "a broadcast 1-row total — the whole query is "
+        "parameter-sized after the scan. Cross-engine determinism: "
+        "sqrt is IEEE-correctly-rounded in both engines, weights "
+        "pre-round to 6 dp, and their total accumulates as "
+        "DECIMAL(27,6) so the normalizing sum is exact under any "
+        "partitioning.",
+    )
+    def source_temperature_mix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        s = docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("tokens"),
+        )
+        w = s.withColumn("w", stable_round(F.sqrt("tokens"), 6))
+        tot = w.agg(
+            F.sum("tokens").alias("tt"),
+            F.sum(F.col("w").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("ww"),
+        )
+        p_temp = stable_round(F.col("w") / F.col("ww"), 6)
+        return w.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "tokens",
+            stable_round(
+                F.col("tokens").cast("double") / F.col("tt"), 6
+            ).alias("p_raw"),
+            p_temp.alias("p_temp"),
+            F.floor(F.col("tt") * p_temp)
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+
+
+_register_r7()

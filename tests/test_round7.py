@@ -402,3 +402,23 @@ def test_neardup_fold_with_periodic_compaction(spark, tmp_path):
             ),
         )
     assert out["plain"] == out["compacted"]
+
+
+def test_source_temperature_mix_laws(spark, sf_dir):
+    """alpha=0.5 flattening: every below-average-size source is
+    UPSAMPLED (p_temp > p_raw) and every above-average source
+    downsampled; probabilities sum to ~1; allocations never exceed
+    the total token budget."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["source_temperature_mix"].fn(spark, sf_dir).collect()
+    tot = sum(r.tokens for r in rows)
+    mean = tot / len(rows)
+    for r in rows:
+        if r.tokens < mean * 0.8:
+            assert r.p_temp > r.p_raw, (r.source, r.p_temp, r.p_raw)
+        if r.tokens > mean * 1.25:
+            assert r.p_temp < r.p_raw, (r.source, r.p_temp, r.p_raw)
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+    assert sum(r.alloc_tokens for r in rows) <= tot
