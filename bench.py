@@ -103,6 +103,7 @@ HEADLINE = [
     "dsir_importance_weights",   # hashed-ngram importance model + score
     # round-7 additions (everything above stays frozen).
     "decontaminate_embedding_sim",  # broadcast eval x train argmax cosine
+    "knn_graph_ivf",             # cell-blocked corpus kNN graph + top-5
 ]
 
 

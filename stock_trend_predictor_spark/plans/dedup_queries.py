@@ -1683,3 +1683,126 @@ QUALIFY row_number() OVER (
 
 
 _register_r7()
+
+
+def _register_r7b():
+    from stock_trend_predictor_spark.plans.registry import register
+
+    @register(
+        "knn_graph_ivf",
+        # the BLOCKING is part of the spec (top-5 among IVF-probe
+        # cell-mates), and the r6 decimal-deterministic quantizer lets
+        # DuckDB replay it exactly — so the graph carries a full
+        # value-hash oracle, not a recall bound. Ordering ties break
+        # on the raw (bit-identical) cosine then neighbor id, the
+        # knn_bruteforce_cosine convention.
+        oracle=f"""
+WITH {_lloyd_ctes_sql('GREATEST(8, count(*) // 500)', 3)},\
+{_probed_cte_sql(3, 3)},
+pairs AS (
+    SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+    FROM probed l JOIN probed r
+      ON l.cid = r.cid AND l.vec_id != r.vec_id
+), scored AS (
+    SELECT p.query_id, p.neighbor_id, {_COS_SQL} AS sim
+    FROM pairs p
+    JOIN e a ON a.vec_id = p.query_id
+    JOIN e b ON b.vec_id = p.neighbor_id
+), ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {stable_round_sql('sim', 6)} AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        doc="ALL-PAIRS-FREE kNN graph: every vector's top-5 exact-"
+        "cosine neighbors AMONG its IVF multiprobe cell-mates "
+        "(nprobe=3) — the corpus-to-corpus neighbor structure that "
+        "feeds SemDeDup-style curation, link-based quality "
+        "propagation, and embedding-space diagnostics, built without "
+        "the O(N^2) broadcast self-join (knn_bruteforce_cosine's "
+        "shape, which is the right plan ONLY for a handful of query "
+        "vectors). Scale shape: nlist scales N/500 so cells hold "
+        "~500 vectors; candidate enumeration is a cid-keyed "
+        "self-join (per-vector candidate lists are cell-bounded, "
+        "never corpus-bounded), the top-5 window partitions on the "
+        "high-cardinality vec_id, and the quantizer trains on the "
+        "deterministic hash slice past the cap. Recall against the "
+        "exact graph is the blocking dial (nprobe), same as the "
+        "dedup family; the ORACLE replays the blocking itself, so "
+        "correctness is exact, not probabilistic.",
+    )
+    def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from stock_trend_predictor_spark.operators.ivf import (
+            assign_clusters_multiprobe,
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            dot,
+            l2norm,
+        )
+
+        e = materialize_once(
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        n = e.count()
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        import os as _os
+
+        # same oracle-regime gate as semdedup: the SQL replay trains
+        # Lloyd unsampled, valid while sample_mod == 1
+        assert not (
+            _os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1
+        ), (
+            f"knn_graph_ivf oracle invalid in the sampled-Lloyd "
+            f"regime (n={n}, k={k}, sample_mod={sample_mod})"
+        )
+        cents = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
+        probed = assign_clusters_multiprobe(e, cents, nprobe=3)
+        lhs = probed.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
+        rhs = probed.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+            "cid",
+        )
+        sim = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        cand = (
+            lhs.join(rhs, "cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(F.col("sim"), 6).alias("sim"),
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )
+
+
+_register_r7b()

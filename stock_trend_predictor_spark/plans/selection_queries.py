@@ -1075,3 +1075,114 @@ FROM w CROSS JOIN tot
 
 
 _register_r7()
+
+
+def _register_r7b():
+    from stock_trend_predictor_spark.functions.exact import (
+        stable_round,
+        stable_round_sql,
+    )
+    from stock_trend_predictor_spark.functions.text import hash60_sql
+    from stock_trend_predictor_spark.plans.registry import register
+
+    B = 2048  # must match the fold's N_BUCKETS / dsir_importance_weights
+
+    @register(
+        "dsir_retarget_weights",
+        # the retargeted score is the one-shot DSIR pass with the new
+        # target slice — same decimal bridge, so the full value-hash
+        # oracle is the en-oracle with the target predicate swapped
+        oracle=f"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(ts,
+               list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]))) AS f
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts
+          FROM documents)
+), b AS MATERIALIZED (
+    SELECT doc_id, lang, {hash60_sql('f')} % {B} AS bucket FROM feats
+), rb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r
+    FROM b GROUP BY bucket
+), tb AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+    FROM b WHERE lang = 'de' GROUP BY bucket
+), tot AS (
+    SELECT (SELECT sum(cnt_r) FROM rb) AS tr,
+           (SELECT coalesce(sum(cnt_t), 0) FROM tb) AS tt
+), lr AS (
+    SELECT bucket,
+           ln((coalesce(cnt_t, 0) + 1) / (tt + {B}.0))
+         - ln((cnt_r + 1) / (tr + {B}.0)) AS lr
+    FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(SUM(CAST(lr AS DECIMAL(27,6))) AS DOUBLE) AS s
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       {stable_round_sql('s', 6)} AS log_weight,
+       {stable_round_sql('s', 6)} > 0 AS kept
+FROM per_doc
+""",
+        doc="DSIR RETARGETING on the maintained model: the corpus was "
+        "folded with the lang='en' target, then the practitioner "
+        "changes their mind — re-score every document against the "
+        "lang='de' slice WITHOUT re-reading or re-featurizing any "
+        "text. The stored doc_buckets profiles make the new target "
+        "model one parameter-sized re-aggregation (profiles of the "
+        "newly flagged docs), and scoring is the same broadcast "
+        "log-ratio join as always — featurization, the dominant cost "
+        "of a DSIR pass at corpus scale, is paid exactly once per "
+        "document EVER, not once per target choice. The result is "
+        "bit-identical to a from-scratch one-shot pass with the new "
+        "target (this query's full DuckDB oracle), via the same "
+        "decimal n x lr bridge as dsir_incremental_weights.",
+    )
+    def dsir_retarget_weights(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+            retarget_dsir_weights,
+            update_dsir_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"dsir-ret-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            update_dsir_state(
+                spark,
+                docs.where(F.col("doc_id") % 3 == i),
+                state_dir,
+                batch_id=i,  # folded with the DEFAULT en target
+            )
+        per_doc = retarget_dsir_weights(
+            spark,
+            state_dir,
+            docs.select(
+                "doc_id", (F.col("lang") == "de").alias("__is_target")
+            ),
+        )
+        lw = stable_round(F.col("__s"), 6)
+        return per_doc.select(
+            "doc_id",
+            "n_feats",
+            lw.alias("log_weight"),
+            (lw > 0).alias("kept"),
+        )
+
+
+_register_r7b()

@@ -150,18 +150,17 @@ def update_dsir_state(
     )
 
 
-def read_dsir_weights(
-    spark: SparkSession, state_dir: str, n_buckets: int = N_BUCKETS
-) -> DataFrame | None:
-    """(doc_id, n_feats, __s) for every document folded so far, scored
-    against the CURRENT maintained model — the same contract as
-    operators/dsir.py::dsir_log_weights (callers round/alias ``__s``).
-    None pre-commit."""
-    rb = read_state_table(spark, state_dir, "raw_counts")
-    tb = read_state_table(spark, state_dir, "target_counts")
-    prof = read_state_table(spark, state_dir, "doc_buckets")
-    if rb is None or prof is None:
-        return None
+def _score_profiles(
+    prof: DataFrame,
+    rb: DataFrame,
+    tb: DataFrame | None,
+    n_buckets: int,
+) -> DataFrame:
+    """(doc_id, n_feats, __s) — every stored doc profile scored
+    against the (raw, target) Laplace bucket models. The shared
+    scorer behind read_dsir_weights AND retarget_dsir_weights, so a
+    retargeted score is bit-identical to what a fresh fold with that
+    target would read."""
     tot = rb.agg(F.sum("cnt").alias("tr")).crossJoin(
         (tb if tb is not None else rb.limit(0)).agg(
             F.coalesce(F.sum("cnt"), F.lit(0)).alias("tt")
@@ -201,3 +200,53 @@ def read_dsir_weights(
             .alias("__s"),
         )
     )
+
+
+def read_dsir_weights(
+    spark: SparkSession, state_dir: str, n_buckets: int = N_BUCKETS
+) -> DataFrame | None:
+    """(doc_id, n_feats, __s) for every document folded so far, scored
+    against the CURRENT maintained model — the same contract as
+    operators/dsir.py::dsir_log_weights (callers round/alias ``__s``).
+    None pre-commit."""
+    rb = read_state_table(spark, state_dir, "raw_counts")
+    tb = read_state_table(spark, state_dir, "target_counts")
+    prof = read_state_table(spark, state_dir, "doc_buckets")
+    if rb is None or prof is None:
+        return None
+    return _score_profiles(prof, rb, tb, n_buckets)
+
+
+def retarget_dsir_weights(
+    spark: SparkSession,
+    state_dir: str,
+    target_flags: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame | None:
+    """Re-score EVERY folded document against a NEW target slice
+    WITHOUT re-reading or re-featurizing any text — the cheap-retarget
+    property that makes the profile-segment design pay at corpus
+    scale (featurization is the dominant cost of a DSIR pass; the
+    stored ``doc_buckets`` profiles make a target change one
+    parameter-sized re-aggregation + the normal scoring join).
+
+    ``target_flags`` = (doc_id, __is_target boolean) for the docs that
+    define the new slice (absent doc_ids count as non-target). The
+    new target model is rebuilt from the STORED profiles of flagged
+    docs, so the result is bit-identical to what a fresh fold with
+    this target predicate would have maintained (law-tested; the
+    registry query carries the one-shot DuckDB oracle for the
+    retargeted slice). A corpus with ZERO flagged docs degrades to
+    the finite pure-Laplace weights, same as the pre-target-arrival
+    edge. None pre-commit."""
+    rb = read_state_table(spark, state_dir, "raw_counts")
+    prof = read_state_table(spark, state_dir, "doc_buckets")
+    if rb is None or prof is None:
+        return None
+    flagged = target_flags.where(F.col("__is_target")).select("doc_id")
+    tb = (
+        prof.join(flagged, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    return _score_profiles(prof, rb, tb, n_buckets)

@@ -422,3 +422,106 @@ def test_source_temperature_mix_laws(spark, sf_dir):
     assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
     assert sum(r.alloc_tokens for r in rows) <= tot
+
+
+def test_dsir_retarget_laws(spark, tmp_path):
+    """(1) retargeting to the SAME slice the fold maintained returns
+    bit-identical weights to read_dsir_weights (shared scorer); (2) a
+    retarget with ZERO flagged docs pins the finite pure-Laplace
+    weights (the pre-target edge, by construction)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+        read_dsir_weights,
+        retarget_dsir_weights,
+        update_dsir_state,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c d"),
+            (2, "de", "b c d e"),
+            (3, "en", "x y z"),
+            (4, "fr", "a b x"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    sdir = str(tmp_path / "state")
+    update_dsir_state(spark, docs, sdir, batch_id=0)  # en target
+
+    stored = {
+        r.doc_id: r for r in read_dsir_weights(spark, sdir).collect()
+    }
+    same = {
+        r.doc_id: r
+        for r in retarget_dsir_weights(
+            spark,
+            sdir,
+            docs.select(
+                "doc_id", (F.col("lang") == "en").alias("__is_target")
+            ),
+        ).collect()
+    }
+    assert set(same) == set(stored)
+    for d in stored:
+        assert same[d]["__s"] == stored[d]["__s"]  # bit-equal
+        assert same[d].n_feats == stored[d].n_feats
+
+    zero = retarget_dsir_weights(
+        spark,
+        sdir,
+        docs.select("doc_id", F.lit(False).alias("__is_target")),
+    ).collect()
+    assert len(zero) == 4
+    for r in zero:
+        assert r["__s"] is not None and math.isfinite(r["__s"])
+        assert r["__s"] < 0
+
+
+def test_knn_graph_ivf_recall_floor(spark, sf_dir):
+    """The cell-blocked kNN graph's recall@5 against the exact
+    brute-force graph (the blocking dial's quality). Measured 0.958
+    at sf0.001 / 0.950 at sf0.01; floor pinned at 0.85 — a blocking
+    regression (bad quantizer, broken multiprobe) trips this long
+    before the oracle (which replays the blocking) would notice."""
+    from pyspark.sql import Window
+
+    from stock_trend_predictor_spark.operators.similarity import (
+        as_double,
+        dot,
+        l2norm,
+    )
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_graph_ivf"].fn(spark, sf_dir).collect()
+    }
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("nrm", l2norm(F.col("v")))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.85
