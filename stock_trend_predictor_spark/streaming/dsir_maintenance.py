@@ -230,8 +230,11 @@ def retarget_dsir_weights(
     stored ``doc_buckets`` profiles make a target change one
     parameter-sized re-aggregation + the normal scoring join).
 
-    ``target_flags`` = (doc_id, __is_target boolean) for the docs that
-    define the new slice (absent doc_ids count as non-target). The
+    ``target_flags`` = (doc_id, __is_target boolean), ONE ROW PER
+    DOC, for the docs that define the new slice (absent doc_ids count
+    as non-target; a duplicated doc_id would double-count its profile
+    in the rebuilt target model — same input contract as the fold's
+    arrive-exactly-once precondition). The
     new target model is rebuilt from the STORED profiles of flagged
     docs, so the result is bit-identical to what a fresh fold with
     this target predicate would have maintained (law-tested; the

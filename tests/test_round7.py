@@ -525,3 +525,56 @@ def test_knn_graph_ivf_recall_floor(spark, sf_dir):
         .collect()
     }
     assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_neardup_fold_empty_batch(spark, tmp_path):
+    """An EMPTY micro-batch (routine under availableNow triggers) must
+    fold cleanly: no pairs, no label changes, batch id advances (so a
+    replay of it is skipped), and the next real batch behaves as if
+    the empty one never happened."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        read_neardup_clusters,
+        read_neardup_pairs,
+        update_neardup_state,
+    )
+
+    sdir = str(tmp_path / "nd")
+    update_neardup_state(
+        spark,
+        spark.createDataFrame(_mk_batch(0), "doc_id long, hs array<bigint>"),
+        sdir,
+        batch_id=0,
+    )
+    before_pairs = sorted(
+        map(tuple, read_neardup_pairs(spark, sdir).collect())
+    )
+    before_labels = sorted(
+        map(tuple, read_neardup_clusters(spark, sdir).collect())
+    )
+    empty = spark.createDataFrame([], "doc_id long, hs array<bigint>")
+    # force the pruned-read path too: the empty bucket set must read
+    # nothing rather than error
+    update_neardup_state(
+        spark, empty, sdir, batch_id=1, prune_min_bytes=0
+    )
+    assert read_meta(sdir)["last_batch_id"] == 1
+    assert (
+        sorted(map(tuple, read_neardup_pairs(spark, sdir).collect()))
+        == before_pairs
+    )
+    assert (
+        sorted(map(tuple, read_neardup_clusters(spark, sdir).collect()))
+        == before_labels
+    )
+    # the next real batch still discovers its cross-batch dups
+    update_neardup_state(
+        spark,
+        spark.createDataFrame(_mk_batch(1), "doc_id long, hs array<bigint>"),
+        sdir,
+        batch_id=2,
+    )
+    after = read_neardup_pairs(spark, sdir)
+    assert after.where(F.col("found_in_batch") == 2).count() > 0
