@@ -1806,3 +1806,71 @@ FROM ranked WHERE rank <= 5
 
 
 _register_r7b()
+
+
+def _register_r7c():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "decontamination_incremental",
+        # the report is a pure function of (docs folded, bench grams
+        # folded), so the fold shares the one-shot's full DuckDB
+        # oracle verbatim — the dsir_incremental oracle-sharing
+        # pattern
+        oracle=REGISTRY["decontaminate_ngram_overlap"].oracle,
+        doc="The CONTINUOUSLY MAINTAINED decontamination screen "
+        "(streaming/decon_maintenance.py), exercising the arrival "
+        "order a real pipeline fears: the corpus lands FIRST (two "
+        "batches of doc_id >= 5), the benchmark suite (docs 0-4) "
+        "only arrives AFTERWARDS — and every past document is "
+        "re-screened RETROACTIVELY from its stored shingle-hash "
+        "profile, zero text re-reads (the pay-featurization-once "
+        "design shared with the DSIR fold). State = two append "
+        "tables: per-doc gram profiles + the accumulated distinct "
+        "bench-gram set (eval suites are tiny, the set broadcasts). "
+        "Read = explode profiles, hash-join the broadcast bench set, "
+        "doc-keyed aggregate — the one-shot plan minus shingling, "
+        "which is why the fold shares decontaminate_ngram_overlap's "
+        "oracle verbatim. Replayed batch ids skip before any "
+        "compute; laws in tests/test_round7.py.",
+    )
+    def decontamination_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.decon_maintenance import (
+            read_contamination,
+            update_decon_bench,
+            update_decon_docs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"decon-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        corpus = docs.where(F.col("doc_id") >= 5)
+        update_decon_docs(
+            spark, corpus.where(F.col("doc_id") % 2 == 0), state_dir, 0
+        )
+        update_decon_docs(
+            spark, corpus.where(F.col("doc_id") % 2 == 1), state_dir, 1
+        )
+        # the eval suite arrives LAST — retro-screening is the point
+        update_decon_bench(
+            spark, docs.where(F.col("doc_id") < 5), state_dir, 2
+        )
+        return read_contamination(spark, state_dir)
+
+
+_register_r7c()

@@ -578,3 +578,63 @@ def test_neardup_fold_empty_batch(spark, tmp_path):
     )
     after = read_neardup_pairs(spark, sdir)
     assert after.where(F.col("found_in_batch") == 2).count() > 0
+
+
+def test_decon_fold_laws(spark, tmp_path):
+    """(1) docs folded with NO bench yet -> empty report; (2) a bench
+    suite folded AFTER the docs retro-screens them from stored
+    profiles; (3) folding a SECOND suite only grows the report
+    (monotone in the bench set) and matches a one-shot over the
+    union; (4) replayed batch ids are no-ops."""
+    from stock_trend_predictor_spark.streaming.decon_maintenance import (
+        read_contamination,
+        update_decon_bench,
+        update_decon_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d e f"),
+            (11, "c d e x y z"),
+            (12, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    suite_a = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )  # grams: 'a b c', 'b c d' -> hits doc 10
+    suite_b = spark.createDataFrame(
+        [(1, "x y z w")], "doc_id long, text string"
+    )  # hits doc 11
+    sdir = str(tmp_path / "decon")
+    update_decon_docs(spark, docs, sdir, batch_id=0)
+    assert read_contamination(spark, sdir).count() == 0  # no bench yet
+
+    update_decon_bench(spark, suite_a, sdir, batch_id=1)
+    rep_a = {
+        r.doc_id: r.n_contaminated
+        for r in read_contamination(spark, sdir).collect()
+    }
+    assert 10 in rep_a and 12 not in rep_a
+
+    update_decon_bench(spark, suite_b, sdir, batch_id=2)
+    rep_ab = {
+        r.doc_id: r.n_contaminated
+        for r in read_contamination(spark, sdir).collect()
+    }
+    assert 11 in rep_ab  # retro-screened against the NEW suite
+    for d, n in rep_a.items():
+        assert rep_ab[d] >= n  # monotone in the bench set
+
+    # replay: same batch id, different content -> no state change
+    update_decon_bench(
+        spark,
+        spark.createDataFrame([(2, "p q r s")], "doc_id long, text string"),
+        sdir,
+        batch_id=2,
+    )
+    rep_replay = {
+        r.doc_id: r.n_contaminated
+        for r in read_contamination(spark, sdir).collect()
+    }
+    assert rep_replay == rep_ab
