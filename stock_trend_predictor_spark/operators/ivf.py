@@ -510,3 +510,101 @@ def assign_clusters_two_level_multiprobe(
         id_col, F.explode("_top").alias("_t")
     ).select(id_col, F.col("_t.cid").alias("cid"))
     return corpus.join(exploded, id_col)
+
+
+#: mega-cell guard threshold for cell_knn_pairs. Cells at or under it
+#: take the DEGENERATE single-split plan (k=1 — literally the plain
+#: cid equi-join with a constant extra join key); bigger cells split
+#: into ceil(n/cap) deterministic neighbor-splits so no join hash
+#: bucket builds more than ~cap rows. 2x the nlist ~ N/500 design
+#: cell size, so it engages only on genuinely skewed cells (a viral
+#: near-dup cluster packing its replicas into one cell — exactly the
+#: data a kNN graph is built to find). Env-overridable
+#: (KNN_GRAPH_CELL_CAP) for A/B measurement.
+CELL_CAP = 1000
+
+
+def cell_knn_pairs(
+    probed: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    nrm_col: str = "nrm",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Scored, deduplicated ORDERED candidate pairs (query_id,
+    neighbor_id, sim) over IVF cell-mates — the candidate stage of
+    the corpus kNN graph, mega-cell-capped (r7 verdict #1).
+
+    ``probed`` carries one row per (vector, probed cell): ``id_col``,
+    ``vec_col`` (double array), ``nrm_col`` (precomputed l2 norm),
+    ``cid``. The plain ``join(rhs, "cid")`` is quadratic in a cell's
+    population AND lands each cell in ONE join hash bucket; here the
+    neighbor side of any cell over ``cell_cap`` splits into
+    ceil(n/cap) deterministic sub-cells (``pmod(xxhash64(id), k)``)
+    and the query side replicates across them, so the same pair
+    multiset emerges from bounded buckets (identity law-tested at any
+    cap — the cap is plan-invisible to consumers and to the DuckDB
+    oracle). Ordinary cells are the degenerate k=1 case: same plan,
+    no branch, no extra stage. Cell populations come from a map-side-
+    combinable groupBy broadcast back onto the corpus (nlist rows —
+    the centroid set is already driver-sized by construction), so the
+    corpus itself shuffles exactly once, on the (cid, split) join
+    key.
+
+    Each UNORDERED pair scores its cosine once (query_id <
+    neighbor_id) and mirrors into both orientations: multiplication
+    commutes and the fold order over dimensions is shared, so the
+    mirrored sim is bit-identical to scoring the reversed pair."""
+    import os
+
+    cap = (
+        int(os.environ.get("KNN_GRAPH_CELL_CAP", CELL_CAP))
+        if cell_cap is None
+        else int(cell_cap)
+    )
+    # probed feeds three consumers (counts, query side, neighbor
+    # side); materialize once so the multiprobe assignment compute
+    # never re-runs
+    probed = probed.localCheckpoint(eager=True)
+    cnt = probed.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    cellized = (
+        probed.join(F.broadcast(cnt), "cid")
+        .withColumn(
+            "_k",
+            F.when(F.col("_n") <= cap, F.lit(1))
+            .otherwise(F.ceil(F.col("_n") / F.lit(cap)))
+            .cast("int"),
+        )
+        .withColumn(
+            "_s",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")).cast("int"),
+        )
+    )
+    lhs = cellized.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(nrm_col).alias("_qn"),
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("_j"),
+    )
+    rhs = cellized.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col(nrm_col).alias("_nn"),
+        "cid",
+        F.col("_s").alias("_j"),
+    )
+    sim = dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn"))
+    half = (
+        lhs.join(rhs, ["cid", "_j"])
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "sim",
+        )
+    )

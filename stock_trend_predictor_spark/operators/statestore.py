@@ -36,8 +36,11 @@ Spark's partition pruning discards the rest at planning time, so
 probe READ IO scales with the requesting batch's bucket set, not the
 accumulated corpus. Scale the bucket count with the corpus (the same
 nlist ~ N/500 discipline as operators/ivf.py: pick P so a bucket
-holds a bounded row count) and re-bucket at compaction time when the
-corpus outgrows it.
+holds a bounded row count) and re-bucket via
+:func:`rebucket_append_table` when the corpus outgrows it — it
+re-derives the bucket column under the new P, rewrites the segments,
+and re-pins the layout parameter in the SAME atomic META swap (the
+only sanctioned override of the first-commit-wins pin).
 
 Segments of one table may MIX layouts — the LSM-style write path:
 per-batch deltas land UNPARTITIONED (a directory-partitioned write of
@@ -115,7 +118,12 @@ def read_state_table(
         return _apply_partition_filter(df, partition_filter)
     if name not in meta["tables"]:
         return None
-    df = spark.read.parquet(os.path.join(state_dir, meta["dir"], name))
+    # per-table version dirs: a snapshot table not rewritten by the
+    # latest commit still lives in the version dir that last wrote it
+    # (carried forward by commit_state); legacy METAs without the
+    # mapping fall back to the single latest dir.
+    tdir = meta.get("table_dirs", {}).get(name, meta["dir"])
+    df = spark.read.parquet(os.path.join(state_dir, tdir, name))
     return _apply_partition_filter(df, partition_filter)
 
 
@@ -192,8 +200,20 @@ def commit_state(
     (bucket counts, thresholds) persisted inside META itself — read
     it back via read_meta()["app"] with zero Spark jobs. The FIRST
     committed value wins (later commits cannot silently change a
-    layout-determining parameter); a 1-row parquet "config table"
-    measured ~5 s per commit in driver round-trips, this is free."""
+    layout-determining parameter); re-requesting a DIFFERENT value
+    for a pinned key raises instead of silently keeping the old one
+    (a caller that trusted its requested value would diverge from the
+    on-disk layout with no signal — r7 advice); a 1-row parquet
+    "config table" measured ~5 s per commit in driver round-trips,
+    this is free.
+
+    Snapshot tables NOT rewritten by a commit are CARRIED FORWARD:
+    META records a per-table version dir (``table_dirs``), surviving
+    dirs are exempt from GC, and reads resolve each table to the dir
+    that last wrote it. An appends-only commit (``tables={}``) on a
+    dir whose META lists snapshot tables therefore keeps them
+    readable (r7 verdict: it used to GC every prior ``v-*`` dir while
+    writing no new one — silent snapshot loss)."""
     os.makedirs(state_dir, exist_ok=True)
     meta = read_meta(state_dir)
     if (
@@ -209,6 +229,17 @@ def commit_state(
         df.coalesce(files_per_table).write.mode("overwrite").parquet(
             os.path.join(state_dir, vdir, name)
         )
+    # carry forward snapshot tables this commit did not rewrite:
+    # they stay in the version dir that last wrote them
+    prev_dirs = (
+        {
+            n: meta.get("table_dirs", {}).get(n, meta["dir"])
+            for n in meta["tables"]
+        }
+        if meta
+        else {}
+    )
+    table_dirs = {**prev_dirs, **{n: vdir for n in tables}}
     segments = dict(meta.get("segments", {})) if meta else {}
     partitioned = dict(meta.get("partitioned", {})) if meta else {}
     for name, df in (appends or {}).items():
@@ -226,14 +257,24 @@ def commit_state(
             partitioned[name] = pcols
     app = dict(meta.get("app", {})) if meta else {}
     for k, v in (app_meta or {}).items():
+        if k in app and app[k] != v:
+            raise ValueError(
+                f"app_meta[{k!r}] is pinned to {app[k]!r} by an "
+                f"earlier commit; refusing the conflicting {v!r} "
+                f"(a layout-determining parameter cannot change "
+                f"mid-fold — use rebucket_append_table for bucket "
+                f"counts)"
+            )
         app.setdefault(k, v)  # first commit wins
     tmp = os.path.join(state_dir, "META.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {
+                "format": 2,
                 "version": version,
                 "dir": vdir,
-                "tables": sorted(tables),
+                "tables": sorted(table_dirs),
+                "table_dirs": table_dirs,
                 "segments": segments,
                 "partitioned": partitioned,
                 "app": app,
@@ -242,9 +283,84 @@ def commit_state(
             fh,
         )
     os.replace(tmp, os.path.join(state_dir, "META.json"))  # atomic commit
+    live = {vdir, *table_dirs.values()}
     for name in os.listdir(state_dir):  # GC superseded versions
-        if name.startswith("v-") and name != vdir:
+        if name.startswith("v-") and name not in live:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    return True
+
+
+def rebucket_append_table(
+    spark: SparkSession,
+    state_dir: str,
+    recompute: dict,
+    partition_by: dict[str, list[str]],
+    app_updates: dict,
+    files_per_table: int = 8,
+) -> bool:
+    """Re-bucket append tables under a NEW layout parameter — the
+    grow lever for a fold whose corpus outgrew its on-disk bucket
+    count. ``recompute`` maps table names to ``DataFrame ->
+    DataFrame`` callables that RE-DERIVE the bucket column under the
+    new parameter (the derivation is application knowledge — e.g.
+    ``pmod(xxhash64(band_id, bkey), new_p)``); ``partition_by`` gives
+    each table's directory-partition columns for the rewritten
+    segment; ``app_updates`` are the layout keys to re-pin (e.g.
+    ``{"n_band_buckets": new_p}``) — this is the ONE sanctioned
+    override of ``commit_state``'s first-commit-wins pin, and it
+    lands in the SAME atomic META swap as the segment lists, so
+    readers can never observe new-P directories under an old-P pin
+    (the silent mis-prune a naive directory rewrite would cause).
+
+    ALL named tables rewrite before the single swap — tables whose
+    bucket derivations share the parameter (bands + shingles) change
+    together or not at all. Crash safety: rewritten segments land
+    under ``seg-{name}/r-{version}`` first; a crash pre-swap leaves
+    META (old segments, old pin) untouched and the orphan dirs
+    unreferenced — a retry at the same version overwrites them in
+    place. Old segment dirs are GC'd only after the swap. Returns
+    False when no named table has committed segments."""
+    meta = read_meta(state_dir)
+    if meta is None:
+        return False
+    version = meta["version"] + 1
+    segments = dict(meta.get("segments", {}))
+    partitioned = dict(meta.get("partitioned", {}))
+    old_segs: list[str] = []
+    rewrote = False
+    for name, fn in recompute.items():
+        segs = segments.get(name)
+        if not segs:
+            continue
+        df = fn(read_state_table(spark, state_dir, name))
+        pcols = partition_by.get(name)
+        new_seg = os.path.join(f"seg-{name}", f"r-{version:010d}")
+        _write_segment(
+            df, os.path.join(state_dir, new_seg), pcols, files_per_table
+        )
+        old_segs.extend(segs)
+        segments[name] = [new_seg]
+        if pcols:
+            partitioned[name] = pcols
+        rewrote = True
+    if not rewrote:
+        return False
+    app = {**meta.get("app", {}), **app_updates}
+    tmp = os.path.join(state_dir, "META.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                **meta,
+                "version": version,
+                "segments": segments,
+                "partitioned": partitioned,
+                "app": app,
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(state_dir, "META.json"))  # atomic swap
+    for s in old_segs:  # GC only after the swap is durable
+        shutil.rmtree(os.path.join(state_dir, s), ignore_errors=True)
     return True
 
 
@@ -262,10 +378,12 @@ def compact_append_table(
     (``repartition_by`` forces a single-segment rewrite too: that is
     the plain-delta -> bucketed-layout conversion). Reads are
     identical before/after (same row multiset — law-tested); the
-    bucket layout is preserved, or re-written when ``repartition_by``
-    overrides it (the re-bucket lever for a corpus that outgrew its
-    bucket count — pass the same columns with the data already
-    carrying the new bucket values, or new columns entirely).
+    bucket layout is preserved, or a plain-delta table converts to
+    the bucketed layout when ``repartition_by`` names its existing
+    bucket columns. Compaction never CHANGES bucket values — growing
+    a fold's bucket count is :func:`rebucket_append_table`'s job
+    (it re-derives the column and re-pins the layout parameter in
+    the same swap).
 
     Crash safety: the compacted segment lands under ``seg-{name}/
     c-{version}`` BEFORE the META swap; a crash in between leaves

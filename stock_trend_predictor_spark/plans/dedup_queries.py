@@ -1307,15 +1307,17 @@ def _register_r5b():
         # oracle set SPARK_GRAFT_ORACLE_RUN (tools/driver_sim.py) —
         # past the regime they fail loud here instead of silently
         # hash-mismatching; production (no env) diverges freely.
-        assert not (
-            _os.environ.get("SPARK_GRAFT_ORACLE_RUN")
-            and (sample_mod > 1 or two_level)
-        ), (
-            f"semdedup oracle invalid past the flat-unsampled regime "
-            f"(n={n}, k={k}, sample_mod={sample_mod}, "
-            f"two_level={two_level}); the DuckDB oracle trains "
-            f"unsampled and blocks flat — compare at a smaller SF"
-        )
+        # RuntimeError, not assert: `python -O` strips asserts and
+        # the guard must survive optimized mode (r7 advice).
+        if _os.environ.get("SPARK_GRAFT_ORACLE_RUN") and (
+            sample_mod > 1 or two_level
+        ):
+            raise RuntimeError(
+                f"semdedup oracle invalid past the flat-unsampled "
+                f"regime (n={n}, k={k}, sample_mod={sample_mod}, "
+                f"two_level={two_level}); the DuckDB oracle trains "
+                f"unsampled and blocks flat — compare at a smaller SF"
+            )
         if two_level:
             probed = assign_clusters_two_level_multiprobe(
                 e, cents, nprobe=3
@@ -1728,23 +1730,36 @@ FROM ranked WHERE rank <= 5
         "vectors). Scale shape: nlist scales N/500 so cells hold "
         "~500 vectors; candidate enumeration is a cid-keyed "
         "self-join (per-vector candidate lists are cell-bounded, "
-        "never corpus-bounded), the top-5 window partitions on the "
-        "high-cardinality vec_id, and the quantizer trains on the "
-        "deterministic hash slice past the cap. Recall against the "
-        "exact graph is the blocking dial (nprobe), same as the "
+        "never corpus-bounded) with a MEGA-CELL GUARD (r7 verdict "
+        "#1): a viral near-dup cluster packs its replicas into one "
+        "cell, making the plain equi-join quadratic in ONE hash "
+        "bucket — so cells over KNN_GRAPH_CELL_CAP split into "
+        "ceil(n/cap) deterministic neighbor-splits and the query "
+        "side replicates per split (lsh_candidate_pairs' "
+        "degenerate-cell discipline: ordinary cells take the "
+        "IDENTICAL k=1 plan, no branch, and the emitted pair set is "
+        "law-identical at any cap). Each unordered pair scores its "
+        "cosine ONCE and mirrors into both orientations "
+        "(multiplication commutes and the addition order is shared, "
+        "so the mirror is bit-exact); the top-5 window partitions on "
+        "the high-cardinality vec_id, and the quantizer trains on "
+        "the deterministic hash slice past the cap. Recall against "
+        "the exact graph is the blocking dial (nprobe), same as the "
         "dedup family; the ORACLE replays the blocking itself, so "
-        "correctness is exact, not probabilistic.",
+        "correctness is exact, not probabilistic (and the cap is "
+        "plan-invisible: pair-set identity is the law, so no oracle "
+        "regime gate is needed for it).",
     )
     def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window
 
         from stock_trend_predictor_spark.operators.ivf import (
             assign_clusters_multiprobe,
+            cell_knn_pairs,
             kmeans_centroids,
         )
         from stock_trend_predictor_spark.operators.similarity import (
             as_double,
-            dot,
             l2norm,
         )
 
@@ -1760,36 +1775,21 @@ FROM ranked WHERE rank <= 5
         import os as _os
 
         # same oracle-regime gate as semdedup: the SQL replay trains
-        # Lloyd unsampled, valid while sample_mod == 1
-        assert not (
-            _os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1
-        ), (
-            f"knn_graph_ivf oracle invalid in the sampled-Lloyd "
-            f"regime (n={n}, k={k}, sample_mod={sample_mod})"
-        )
+        # Lloyd unsampled, valid while sample_mod == 1. RuntimeError,
+        # not assert — must survive `python -O` (r7 advice).
+        if _os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1:
+            raise RuntimeError(
+                f"knn_graph_ivf oracle invalid in the sampled-Lloyd "
+                f"regime (n={n}, k={k}, sample_mod={sample_mod})"
+            )
         cents = kmeans_centroids(
             e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
         )
         probed = assign_clusters_multiprobe(e, cents, nprobe=3)
-        lhs = probed.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cid",
-        )
-        rhs = probed.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("nv"),
-            F.col("nrm").alias("nn"),
-            "cid",
-        )
-        sim = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-        cand = (
-            lhs.join(rhs, "cid")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", sim.alias("sim"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+        # candidate stage: mega-cell-capped, score-once-mirror scored
+        # pairs over cell-mates (pair-set identical to the plain cid
+        # self-join at any cap — operators/ivf.cell_knn_pairs)
+        cand = cell_knn_pairs(probed)
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id")
         )

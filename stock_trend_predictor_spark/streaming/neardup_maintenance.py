@@ -18,19 +18,29 @@ budget / IVF folds, but delta segments instead of snapshots):
   delta-then-compact layout);
 - ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
   verified near-dup pair, stamped with the batch that DISCOVERED it;
-- ``labels``    (doc_id, cluster, rev) — APPEND-ONLY REVISIONS of the
-  incrementally maintained connected-component label (min doc_id per
-  component of the verified-pair graph; singletons label themselves).
-  Each batch appends one revision row per TOUCHED doc only (fresh
-  arrivals + members of components the new pairs merge); the
-  committed assignment is the latest-wins read (max-rev row per doc,
-  ``rev`` = batch id, unique per doc per batch by construction).
+- ``labels``    (doc_id, cluster, rev, dbucket, cbucket) —
+  APPEND-ONLY REVISIONS of the incrementally maintained
+  connected-component label (min doc_id per component of the
+  verified-pair graph; singletons label themselves). Each batch
+  appends one revision row per TOUCHED doc only (fresh arrivals +
+  members of components the new pairs merge); the committed
+  assignment is the latest-wins read (max-rev row per doc, ``rev``
+  = batch id, unique per doc per batch by construction). Rows carry
+  TWO prune keys — ``dbucket = pmod(xxhash64(doc_id), P)`` (shared
+  by all of a doc's revisions: exact pruned point lookups) and
+  ``cbucket = pmod(xxhash64(cluster), P)`` (per-revision: pruned
+  losing-member scans, exact by the dead-rep invariant in
+  _merge_label_delta) — compaction nests both as directory levels.
   Compact periodically via statestore.compact_append_table.
 
-P (the bucket count) pins for the fold's lifetime in META's ``app``
-dict (statestore ``app_meta=``; a mid-fold P change would silently
-mis-prune old segments, so the first commit's value always wins —
-and reading it is a JSON load, not a Spark job).
+P (the bucket count) pins in META's ``app`` dict (statestore
+``app_meta=``; an uncoordinated mid-fold P change would silently
+mis-prune old segments, so the first commit's value wins — and
+reading it is a JSON load, not a Spark job). The one sanctioned way
+to change it is :func:`rebucket_neardup_state`: bands, shingles, and
+labels rewrite under the new P and the pin updates in the SAME
+atomic META swap, so probes never see new-P directories under an
+old-P pin (pair-set identity across a re-bucket is law-tested).
 
 Per batch: the NEW documents' bands probe the accumulated index (plus
 the batch itself, so intra-batch duplicates surface immediately);
@@ -63,15 +73,17 @@ Per-commit IO is batch-sized on BOTH sides now:
   verify read prunes to the CANDIDATES' doc-bucket set. With P
   scaled to the corpus (same nlist ~ N/500 discipline as
   operators/ivf.py: P ~ corpus_bands / target_rows_per_bucket,
-  re-bucketed at compaction), a bucket directory holds a bounded row
+  grown via rebucket_neardup_state), a bucket directory holds a bounded row
   count, so probe READ IO ~ (batch's bucket count) x (bounded bucket
   size) + the few uncompacted deltas — batch-proportional, not
   O(corpus) (measured: tools/probe_bench.py, SCALE.md r7). Every row
   carries its bucket, so the threshold crossing and the
-  delta/compacted mix are invisible to readers. The latest-wins
-  label read for the cluster merge remains one columnar scan of a
-  ~24-byte/row table (the lightest table by ~50x; an at-scale lever
-  would be rep-forest labels, not needed here).
+  delta/compacted mix are invisible to readers. The CLUSTER MERGE's
+  label reads prune the same way since r8 (the r7 verdict's one
+  residual read-side term): the endpoint rep lookup reads the new
+  pairs' dbuckets, the losing-member scan reads the losing reps'
+  cbuckets — per-batch labels read IO is touched-bucket-sized, with
+  the exactness argument documented on _merge_label_delta.
 
 Mega-bucket guard: a skewed band bucket (one bkey shared by a huge
 index population) would make the plain probe equi-join build one huge
@@ -105,9 +117,10 @@ from stock_trend_predictor_spark.operators.statestore import (
 
 #: default on-disk hash-bucket count for the band index and shingle
 #: store. Scale with the corpus: P ~ total band rows / 100k keeps a
-#: bucket directory at a bounded, partition-friendly size; re-bucket
-#: via statestore.compact_append_table(repartition_by=...) when a
-#: fold outgrows its P. Pinned per-fold in META's app dict.
+#: bucket directory at a bounded, partition-friendly size; grow a
+#: fold that outgrew its P with :func:`rebucket_neardup_state`
+#: (atomic segment rewrite + pin update). Pinned per-fold in META's
+#: app dict.
 N_BAND_BUCKETS = 64
 
 #: probe reads switch from full-scan to bucket-pruned once a state
@@ -163,6 +176,56 @@ def _band_bucket(p: int) -> Column:
 
 def _doc_bucket(p: int) -> Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p))
+
+
+def _cluster_bucket(p: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("cluster")), F.lit(p))
+
+
+#: on-disk layout version of the neardup fold's state, stamped into
+#: META's app dict on every commit. v3 (r8) = v2's append segments +
+#: the labels table's dbucket/cbucket prune keys. Unstamped dirs are
+#: older layouts (pre-r7 snapshots without ``bucket``/``rev``
+#: columns; r7 append segments whose labels rows lack the prune
+#: keys) — either would crash obscurely mid-batch (unionByName on a
+#: missing column), so the fold refuses them explicitly instead
+#: (r7 advice: detect, don't crash).
+NEARDUP_FORMAT = 3
+
+
+def _check_fold_format(meta: dict | None) -> None:
+    """Fail loud on a state dir written by a different fold layout.
+    Legacy fingerprints: an explicit non-current ``neardup_format``
+    stamp; neardup tables committed as SNAPSHOTS (pre-r7); or append
+    segments without a stamp (r7 — its labels rows lack the v3
+    dbucket/cbucket prune keys)."""
+    if meta is None:
+        return
+    app = meta.get("app", {})
+    fmt = app.get("neardup_format")
+    if fmt is not None and int(fmt) != NEARDUP_FORMAT:
+        raise RuntimeError(
+            f"neardup state dir is fold format v{fmt}; this build "
+            f"reads v{NEARDUP_FORMAT} — re-fold the corpus (or keep "
+            f"running the matching build)"
+        )
+    legacy_snapshots = {"bands", "shingles", "labels", "pairs"} & set(
+        meta.get("tables", [])
+    )
+    has_segments = any(
+        t in meta.get("segments", {})
+        for t in ("bands", "shingles", "labels", "pairs")
+    )
+    if legacy_snapshots or (has_segments and fmt is None):
+        raise RuntimeError(
+            "neardup state dir uses a pre-v3 layout "
+            f"(snapshot tables {sorted(legacy_snapshots)} / "
+            "unstamped segments): its rows lack the columns this "
+            "fold reads ('bucket' on bands/shingles, 'rev' + "
+            "'dbucket'/'cbucket' on labels). Re-fold the corpus "
+            "into a fresh state dir — there is no in-place "
+            "migration for the unbucketed layouts."
+        )
 
 
 def _fold_bucket_count(meta: dict | None, requested: int) -> int:
@@ -227,12 +290,34 @@ def _probe_candidates(
     ).distinct()
 
 
+def _labels_latest(
+    spark: SparkSession,
+    state_dir: str,
+    partition_filter: dict[str, list] | None,
+) -> DataFrame | None:
+    """Latest-wins (doc_id, cluster) over the labels revision rows a
+    ``partition_filter`` selects, or None before the first labels
+    commit. Callers own the filter's correctness argument (see
+    _merge_label_delta)."""
+    revs = read_state_table(
+        spark, state_dir, "labels", partition_filter=partition_filter
+    )
+    if revs is None:
+        return None
+    return revs.groupBy("doc_id").agg(
+        F.max_by("cluster", "rev").alias("cluster")
+    )
+
+
 def _merge_label_delta(
     spark: SparkSession,
     state_dir: str,
     new: DataFrame,
     new_pairs: DataFrame,
     batch_id: int,
+    p: int,
+    meta: dict | None,
+    prune_min_bytes: int,
 ) -> DataFrame:
     """The labels REVISION DELTA for this batch: one (doc_id, cluster,
     rev=batch_id) row per touched doc — fresh arrivals plus members
@@ -248,17 +333,55 @@ def _merge_label_delta(
     sizes), and revise exactly the docs whose rep lost (plus the
     fresh docs). The new component min equals min over merged reps
     equals min over all member ids — inductively identical to the
-    one-shot CC (law-tested in tests/test_neardup_stream.py)."""
+    one-shot CC (law-tested in tests/test_neardup_stream.py).
+
+    Both state reads PRUNE once the labels table outgrows
+    ``prune_min_bytes`` (the same adaptive rule as the band/shingle
+    probes — below it the two driver collects cost more than the
+    full scan they'd save):
+
+    - the ENDPOINT rep lookup reads only the new pairs' doc buckets
+      (``dbucket``): every revision of a doc shares its dbucket, so
+      latest-wins over the pruned read is exact for those docs;
+    - the LOSING-MEMBER scan reads only the losing reps' cluster
+      buckets (``cbucket``). That is exact because AN ABANDONED REP
+      IS DEAD FOREVER: components only merge and labels are
+      component-mins, so once any doc revises away from rep ``c``,
+      the whole component did (c's component merged into a smaller
+      min — and any future component containing doc ``c`` also
+      contains that smaller id, so its min is below ``c``). Hence if
+      a doc's max-rev row WITHIN the pruned subset carries cluster
+      ``c`` while a newer revision lies outside the subset, ``c`` is
+      dead and cannot be in the losing set — the join on
+      ``cluster ∈ losing`` drops exactly the stale rows the pruning
+      let through. (Law-tested: pruned fold == full-scan fold ==
+      one-shot CC after every batch.)
+
+    Per-batch labels READ IO is therefore touched-bucket-sized, not
+    O(corpus) — the r7 verdict's one residual read-side term."""
     from stock_trend_predictor_spark.operators.components import (
         connected_components,
     )
 
     rev = F.lit(int(batch_id)).alias("rev")
-    prev_labels = read_neardup_clusters(spark, state_dir)
     fresh = new.select("doc_id", F.col("doc_id").alias("cluster"))
-    base = (
-        fresh if prev_labels is None else prev_labels.unionByName(fresh)
-    )
+    prune = _state_bytes(state_dir, meta, "labels") >= prune_min_bytes
+    if prune:
+        ep_filter = {
+            "dbucket": [
+                r["b"]
+                for r in new_pairs.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+                )
+                .select(_doc_bucket(p).alias("b"))
+                .distinct()
+                .collect()
+            ]
+        }
+    else:
+        ep_filter = None
+    prev_ep = _labels_latest(spark, state_dir, ep_filter)
+    base = fresh if prev_ep is None else prev_ep.unionByName(fresh)
     np_ = new_pairs.select("doc_a", "doc_b")
     lab_a = base.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster").alias("rep_a")
@@ -281,7 +404,7 @@ def _merge_label_delta(
     merged = connected_components(rep_edges, "src", "dst").select(
         F.col("node").alias("cluster"),
         F.col("component").alias("new_cluster"),
-    )
+    ).localCheckpoint(eager=True)
     # only LOSING reps force member revisions; winners keep their rows
     losing = merged.where(F.col("new_cluster") != F.col("cluster"))
     fresh_rows = fresh.join(F.broadcast(merged), "cluster", "left").select(
@@ -289,9 +412,23 @@ def _merge_label_delta(
         F.coalesce("new_cluster", "cluster").alias("cluster"),
         rev,
     )
-    if prev_labels is None:
+    if prev_ep is None:
         return fresh_rows
-    touched = prev_labels.join(F.broadcast(losing), "cluster").select(
+    if prune:
+        mem_filter = {
+            "cbucket": [
+                r["b"]
+                for r in losing.select(
+                    _cluster_bucket(p).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+        }
+    else:
+        mem_filter = None
+    prev_mem = _labels_latest(spark, state_dir, mem_filter)
+    touched = prev_mem.join(F.broadcast(losing), "cluster").select(
         "doc_id", F.col("new_cluster").alias("cluster"), rev
     )
     # a doc is fresh XOR previously labeled, so the union stays one
@@ -336,6 +473,7 @@ def update_neardup_state(
     against the accumulated shingle store would cost an O(corpus)
     state read per batch, defeating the append-only IO discipline."""
     meta = read_meta(state_dir)
+    _check_fold_format(meta)
     if (
         meta is not None
         and meta.get("last_batch_id") is not None
@@ -431,8 +569,24 @@ def update_neardup_state(
         "pairs": new_pairs,
     }
     if maintain_clusters:
-        appends["labels"] = _merge_label_delta(
-            spark, state_dir, new, new_pairs, batch_id
+        # every revision row carries BOTH prune keys: dbucket (all of
+        # a doc's revisions share it -> exact pruned point lookups)
+        # and cbucket (per-row, from the revision's own cluster value
+        # -> pruned losing-member scans; correctness argument in
+        # _merge_label_delta)
+        appends["labels"] = (
+            _merge_label_delta(
+                spark,
+                state_dir,
+                new,
+                new_pairs,
+                batch_id,
+                p,
+                meta,
+                prune_min_bytes,
+            )
+            .withColumn("dbucket", _doc_bucket(p))
+            .withColumn("cbucket", _cluster_bucket(p))
         )
 
     # ALL data tables are append-only by construction (module
@@ -457,7 +611,10 @@ def update_neardup_state(
         batch_id=batch_id,
         files_per_table=8,
         appends=appends,
-        app_meta={"n_band_buckets": int(p)},
+        app_meta={
+            "n_band_buckets": int(p),
+            "neardup_format": NEARDUP_FORMAT,
+        },
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         from stock_trend_predictor_spark.operators.statestore import (
@@ -465,14 +622,66 @@ def update_neardup_state(
         )
 
         for t in appends:
+            if t in ("bands", "shingles"):
+                rp = ["bucket"]
+            elif t == "labels":
+                # two-level layout: pruning works on either key
+                # (Spark prunes on any partition-column predicate)
+                rp = ["dbucket", "cbucket"]
+            else:
+                rp = None
             compact_append_table(
-                spark,
-                state_dir,
-                t,
-                repartition_by=(
-                    ["bucket"] if t in ("bands", "shingles") else None
-                ),
+                spark, state_dir, t, repartition_by=rp
             )
+
+
+def rebucket_neardup_state(
+    spark: SparkSession, state_dir: str, new_p: int
+) -> bool:
+    """Grow (or shrink) the fold's on-disk bucket count to ``new_p``
+    — the maintenance move for a fold whose corpus outgrew the P its
+    first commit pinned. Both bucket-derived tables rewrite together
+    (bands under ``pmod(xxhash64(band_id, bkey), new_p)``, shingles
+    under ``pmod(xxhash64(doc_id), new_p)``) and the
+    ``n_band_buckets`` pin updates in the SAME atomic META swap
+    (statestore.rebucket_append_table), so a pruned probe can never
+    plan against a mixed layout: pre-swap reads see old-P segments
+    under the old pin, post-swap reads see new-P segments under the
+    new pin, and a crash in between leaves the old state intact.
+    Post-re-bucket probes find the IDENTICAL pair set (law-tested in
+    tests/test_neardup_stream.py). Returns False before the first
+    commit. Run it between batches — the fold is single-writer, and
+    the next update_neardup_state reads the new pin from META."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        rebucket_append_table,
+    )
+
+    meta = read_meta(state_dir)
+    _check_fold_format(meta)
+    new_p = int(new_p)
+    if new_p < 1:
+        raise ValueError(f"bucket count must be >= 1, got {new_p}")
+    return rebucket_append_table(
+        spark,
+        state_dir,
+        recompute={
+            "bands": lambda df: df.withColumn(
+                "bucket", _band_bucket(new_p)
+            ),
+            "shingles": lambda df: df.withColumn(
+                "bucket", _doc_bucket(new_p)
+            ),
+            "labels": lambda df: df.withColumn(
+                "dbucket", _doc_bucket(new_p)
+            ).withColumn("cbucket", _cluster_bucket(new_p)),
+        },
+        partition_by={
+            "bands": ["bucket"],
+            "shingles": ["bucket"],
+            "labels": ["dbucket", "cbucket"],
+        },
+        app_updates={"n_band_buckets": new_p},
+    )
 
 
 def read_neardup_pairs(

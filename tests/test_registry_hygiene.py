@@ -135,13 +135,14 @@ def test_bench_compact_line_fits_the_drivers_tail_window():
     compact = {
         "metric": "headline_queries_total",
         "value": 9999.999,
-        "unit": "sec",
-        # bench.py rounds compact per-query values to 2dp; 999.99 is
-        # the widest any sane per-query median renders
-        "queries": {name: 999.99 for name in HEADLINE},
-        "bench_runs": 5,
+        # bench.py rounds compact per-query values to 1dp since r8
+        # (unit/bench_runs also moved to the detail artifacts for
+        # byte headroom); 999.9 is the widest any sane value renders
+        "queries": {name: 999.9 for name in HEADLINE},
         "sf": 0.1,
-        "drift": 9.999,  # the r7 box-speed normalizer field
+        # the r8 drift BRACKET + suspect-resample count
+        "drift": [9.999, 9.999],
+        "resampled": 99,
     }
     rendered = json.dumps(compact, separators=(",", ":"))  # bench.py's framing
     assert len(rendered) < 1800, (
