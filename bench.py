@@ -112,6 +112,8 @@ HEADLINE = [
     # round-7 additions (everything above stays frozen).
     "decontaminate_embedding_sim",  # broadcast eval x train argmax cosine
     "knn_graph_ivf",             # cell-blocked corpus kNN graph + top-5
+    # round-8 additions (everything above stays frozen).
+    "knn_graph_incremental",     # maintained kNN-graph fold (3 commits)
 ]
 
 

@@ -1874,3 +1874,164 @@ def _register_r7c():
 
 
 _register_r7c()
+
+
+def _register_r8():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "knn_graph_incremental",
+        # the folded graph is a pure function of the arrival set
+        # under the frozen quantizer (top-k merge is exact, probed
+        # cells are arrival-order-independent), so the fold shares
+        # knn_graph_ivf's full DuckDB oracle VERBATIM — the
+        # decontamination_incremental oracle-sharing pattern
+        oracle=REGISTRY["knn_graph_ivf"].oracle,
+        doc="The CONTINUOUSLY MAINTAINED corpus kNN graph "
+        "(streaming/knngraph_maintenance.py) — the streaming twin of "
+        "knn_graph_ivf, completing the maintained-curation family "
+        "(near-dup, DSIR, decontamination, budget admission: the "
+        "similarity graph was the missing fold). Arrivals fold in "
+        "three batches under a FROZEN coarse quantizer (the FAISS / "
+        "ivf_maintenance train-then-add discipline); each batch "
+        "scores only NEW x touched-cell pairs through one "
+        "mega-cell-capped salted join (sim computed once, mirrored "
+        "bit-exactly), appends fresh top-5 lists for its own vectors "
+        "and CHANGED-ONLY latest-wins revisions for existing "
+        "cell-mates (top-k merge via the flatten+slice move), and "
+        "reads prune to touched cid/query hash-buckets past the "
+        "adaptive threshold. Because the maintained read equals the "
+        "one-shot graph on the union, this fold shares "
+        "knn_graph_ivf's value-hash oracle verbatim. Laws (parity on "
+        "arrival splits, order invariance, replay idempotence, "
+        "changed-only revisions, capped-join identity, per-commit "
+        "write-IO boundedness) in tests/test_round8.py.",
+    )
+    def knn_graph_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+            read_knn_graph,
+            update_knngraph_state,
+        )
+
+        e = materialize_once(
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        n = e.count()
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        # knn_graph_ivf's oracle-regime gate, shared with its oracle
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1:
+            raise RuntimeError(
+                f"knn_graph_incremental oracle invalid in the "
+                f"sampled-Lloyd regime (n={n}, k={k}, "
+                f"sample_mod={sample_mod})"
+            )
+        cents = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"knng-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            update_knngraph_state(
+                spark,
+                e.where(F.col("vec_id") % 3 == i).select("vec_id", "v"),
+                state_dir,
+                cents,
+                batch_id=i,
+            )
+        return read_knn_graph(spark, state_dir)
+
+
+_register_r8()
+
+
+def _register_r8b():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "decon_screen_steady",
+        # read_decon_scores == read_contamination after every commit
+        # (law), and read_contamination shares the one-shot's oracle,
+        # so the steady screen inherits it verbatim too
+        oracle=REGISTRY["decontaminate_ngram_overlap"].oracle,
+        doc="The STEADY-STATE decontamination screen (r7 verdict #7): "
+        "the r7 fold re-exploded EVERY stored doc profile on every "
+        "read — right for the retro-screen event, O(corpus profiles) "
+        "for the everyday 'screen the current corpus' call. v2 "
+        "maintains a scores table instead: a doc batch scores "
+        "against the bench set AS OF arrival (batch-sized, broadcast "
+        "join), a bench batch appends only its DELTA grams and "
+        "retro-bumps stored counts by hits(delta) — exact because "
+        "per-doc shingle arrays are distinct and the delta is "
+        "disjoint from the stored set — and the read is ONE "
+        "latest-wins scan of ~32 B/doc score rows, zero explodes, "
+        "zero text. This query folds corpus-evens, then the bench "
+        "suite (retro path), then corpus-odds (arrival-time path), "
+        "and reads through the scores table; column-identical to "
+        "decontaminate_ngram_overlap, oracle shared verbatim.",
+    )
+    def decon_screen_steady(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.decon_maintenance import (
+            read_decon_scores,
+            update_decon_bench,
+            update_decon_docs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"decon-steady-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        corpus = docs.where(F.col("doc_id") >= 5)
+        update_decon_docs(
+            spark, corpus.where(F.col("doc_id") % 2 == 0), state_dir, 0
+        )
+        # the suite lands mid-corpus: evens retro-rescore from stored
+        # profiles, odds score on arrival — both score paths feed the
+        # same latest-wins read
+        update_decon_bench(
+            spark, docs.where(F.col("doc_id") < 5), state_dir, 1
+        )
+        update_decon_docs(
+            spark, corpus.where(F.col("doc_id") % 2 == 1), state_dir, 2
+        )
+        return read_decon_scores(spark, state_dir)
+
+
+_register_r8b()

@@ -3,7 +3,7 @@ state store — the streaming twin of ``neardup_keep_decision``'s pair
 stage, for the daily-crawl shape where yesterday's corpus must not be
 re-scanned to dedup today's arrivals.
 
-State = four APPEND tables under the segment + atomic-META protocol
+State = five APPEND tables under the segment + atomic-META protocol
 (operators/statestore.py ``appends=``; same commit discipline as the
 budget / IVF folds, but delta segments instead of snapshots):
 
@@ -18,27 +18,34 @@ budget / IVF folds, but delta segments instead of snapshots):
   delta-then-compact layout);
 - ``pairs``     (found_in_batch, doc_a, doc_b, jaccard) — every
   verified near-dup pair, stamped with the batch that DISCOVERED it;
-- ``labels``    (doc_id, cluster, rev, dbucket, cbucket) —
-  APPEND-ONLY REVISIONS of the incrementally maintained
-  connected-component label (min doc_id per component of the
-  verified-pair graph; singletons label themselves). Each batch
-  appends one revision row per TOUCHED doc only (fresh arrivals +
-  members of components the new pairs merge); the committed
-  assignment is the latest-wins read (max-rev row per doc, ``rev``
-  = batch id, unique per doc per batch by construction). Rows carry
-  TWO prune keys — ``dbucket = pmod(xxhash64(doc_id), P)`` (shared
-  by all of a doc's revisions: exact pruned point lookups) and
-  ``cbucket = pmod(xxhash64(cluster), P)`` (per-revision: pruned
-  losing-member scans, exact by the dead-rep invariant in
-  _merge_label_delta) — compaction nests both as directory levels.
-  Compact periodically via statestore.compact_append_table.
+- ``labels``    (doc_id, cluster, rev, dbucket) — APPEND-ONLY
+  REVISIONS of the incrementally maintained connected-component
+  label (min doc_id per component of the verified-pair graph;
+  singletons label themselves). Each batch appends one revision row
+  per TOUCHED doc only (fresh arrivals + members of components the
+  new pairs merge); the committed assignment is the latest-wins read
+  (max-rev row per doc, ``rev`` = batch id, unique per doc per batch
+  by construction). ``dbucket = pmod(xxhash64(doc_id), P)`` is
+  shared by all of a doc's revisions, so BY-DOC pruned reads (the
+  merge's endpoint rep lookups) are exact;
+- ``labels_byc`` (doc_id, cluster, rev, cbucket) — the SAME revision
+  rows under a second single-level layout,
+  ``cbucket = pmod(xxhash64(cluster), P)``, serving the merge's
+  BY-CLUSTER losing-member scans (exact by the dead-rep invariant
+  in _merge_label_delta). Two bucketed copies instead of one nested
+  (dbucket, cbucket) layout ON PURPOSE: nesting squares the
+  directory count (P² dirs ≈ one row per dir once P scales with the
+  corpus — pathological to write and compact), while the
+  secondary-index copy keeps each layout at P dirs with
+  batch-bounded rows per bucket, for ~32 B/row duplicated write.
+  Compact both periodically via statestore.compact_append_table.
 
 P (the bucket count) pins in META's ``app`` dict (statestore
 ``app_meta=``; an uncoordinated mid-fold P change would silently
 mis-prune old segments, so the first commit's value wins — and
 reading it is a JSON load, not a Spark job). The one sanctioned way
-to change it is :func:`rebucket_neardup_state`: bands, shingles, and
-labels rewrite under the new P and the pin updates in the SAME
+to change it is :func:`rebucket_neardup_state`: every bucket-derived
+table rewrites under the new P and the pin updates in the SAME
 atomic META swap, so probes never see new-P directories under an
 old-P pin (pair-set identity across a re-bucket is law-tested).
 
@@ -294,13 +301,16 @@ def _labels_latest(
     spark: SparkSession,
     state_dir: str,
     partition_filter: dict[str, list] | None,
+    table: str = "labels",
 ) -> DataFrame | None:
-    """Latest-wins (doc_id, cluster) over the labels revision rows a
-    ``partition_filter`` selects, or None before the first labels
-    commit. Callers own the filter's correctness argument (see
+    """Latest-wins (doc_id, cluster) over the revision rows a
+    ``partition_filter`` selects from ``table`` (the canonical
+    ``labels`` copy or the ``labels_byc`` secondary index — same
+    rows, different prune key), or None before the first commit.
+    Callers own the filter's correctness argument (see
     _merge_label_delta)."""
     revs = read_state_table(
-        spark, state_dir, "labels", partition_filter=partition_filter
+        spark, state_dir, table, partition_filter=partition_filter
     )
     if revs is None:
         return None
@@ -341,10 +351,12 @@ def _merge_label_delta(
     full scan they'd save):
 
     - the ENDPOINT rep lookup reads only the new pairs' doc buckets
-      (``dbucket``): every revision of a doc shares its dbucket, so
-      latest-wins over the pruned read is exact for those docs;
+      (``dbucket`` on the canonical ``labels`` copy): every revision
+      of a doc shares its dbucket, so latest-wins over the pruned
+      read is exact for those docs;
     - the LOSING-MEMBER scan reads only the losing reps' cluster
-      buckets (``cbucket``). That is exact because AN ABANDONED REP
+      buckets (``cbucket`` on the ``labels_byc`` secondary-index
+      copy). That is exact because AN ABANDONED REP
       IS DEAD FOREVER: components only merge and labels are
       component-mins, so once any doc revises away from rep ``c``,
       the whole component did (c's component merged into a smaller
@@ -427,7 +439,9 @@ def _merge_label_delta(
         }
     else:
         mem_filter = None
-    prev_mem = _labels_latest(spark, state_dir, mem_filter)
+    prev_mem = _labels_latest(
+        spark, state_dir, mem_filter, table="labels_byc"
+    )
     touched = prev_mem.join(F.broadcast(losing), "cluster").select(
         "doc_id", F.col("new_cluster").alias("cluster"), rev
     )
@@ -569,24 +583,23 @@ def update_neardup_state(
         "pairs": new_pairs,
     }
     if maintain_clusters:
-        # every revision row carries BOTH prune keys: dbucket (all of
-        # a doc's revisions share it -> exact pruned point lookups)
-        # and cbucket (per-row, from the revision's own cluster value
-        # -> pruned losing-member scans; correctness argument in
-        # _merge_label_delta)
-        appends["labels"] = (
-            _merge_label_delta(
-                spark,
-                state_dir,
-                new,
-                new_pairs,
-                batch_id,
-                p,
-                meta,
-                prune_min_bytes,
-            )
-            .withColumn("dbucket", _doc_bucket(p))
-            .withColumn("cbucket", _cluster_bucket(p))
+        # the same revision rows land under TWO single-level bucket
+        # layouts (module docstring): labels/dbucket for exact by-doc
+        # lookups, labels_byc/cbucket for the losing-member scans —
+        # eager once so the merge never recomputes
+        delta = _merge_label_delta(
+            spark,
+            state_dir,
+            new,
+            new_pairs,
+            batch_id,
+            p,
+            meta,
+            prune_min_bytes,
+        ).localCheckpoint(eager=True)
+        appends["labels"] = delta.withColumn("dbucket", _doc_bucket(p))
+        appends["labels_byc"] = delta.withColumn(
+            "cbucket", _cluster_bucket(p)
         )
 
     # ALL data tables are append-only by construction (module
@@ -621,17 +634,15 @@ def update_neardup_state(
             compact_append_table,
         )
 
+        rp_by_table = {
+            "bands": ["bucket"],
+            "shingles": ["bucket"],
+            "labels": ["dbucket"],
+            "labels_byc": ["cbucket"],
+        }
         for t in appends:
-            if t in ("bands", "shingles"):
-                rp = ["bucket"]
-            elif t == "labels":
-                # two-level layout: pruning works on either key
-                # (Spark prunes on any partition-column predicate)
-                rp = ["dbucket", "cbucket"]
-            else:
-                rp = None
             compact_append_table(
-                spark, state_dir, t, repartition_by=rp
+                spark, state_dir, t, repartition_by=rp_by_table.get(t)
             )
 
 
@@ -640,9 +651,10 @@ def rebucket_neardup_state(
 ) -> bool:
     """Grow (or shrink) the fold's on-disk bucket count to ``new_p``
     — the maintenance move for a fold whose corpus outgrew the P its
-    first commit pinned. Both bucket-derived tables rewrite together
+    first commit pinned. Every bucket-derived table rewrites together
     (bands under ``pmod(xxhash64(band_id, bkey), new_p)``, shingles
-    under ``pmod(xxhash64(doc_id), new_p)``) and the
+    and the labels copy under ``pmod(xxhash64(doc_id), new_p)``, the
+    labels_byc index under ``pmod(xxhash64(cluster), new_p)``) and the
     ``n_band_buckets`` pin updates in the SAME atomic META swap
     (statestore.rebucket_append_table), so a pruned probe can never
     plan against a mixed layout: pre-swap reads see old-P segments
@@ -673,12 +685,16 @@ def rebucket_neardup_state(
             ),
             "labels": lambda df: df.withColumn(
                 "dbucket", _doc_bucket(new_p)
-            ).withColumn("cbucket", _cluster_bucket(new_p)),
+            ),
+            "labels_byc": lambda df: df.withColumn(
+                "cbucket", _cluster_bucket(new_p)
+            ),
         },
         partition_by={
             "bands": ["bucket"],
             "shingles": ["bucket"],
-            "labels": ["dbucket", "cbucket"],
+            "labels": ["dbucket"],
+            "labels_byc": ["cbucket"],
         },
         app_updates={"n_band_buckets": new_p},
     )
