@@ -516,12 +516,18 @@ def assign_clusters_two_level_multiprobe(
 #: take the DEGENERATE single-split plan (k=1 — literally the plain
 #: cid equi-join with a constant extra join key); bigger cells split
 #: into ceil(n/cap) deterministic neighbor-splits so no join hash
-#: bucket builds more than ~cap rows. 2x the nlist ~ N/500 design
-#: cell size, so it engages only on genuinely skewed cells (a viral
-#: near-dup cluster packing its replicas into one cell — exactly the
-#: data a kNN graph is built to find). Env-overridable
-#: (KNN_GRAPH_CELL_CAP) for A/B measurement.
-CELL_CAP = 1000
+#: bucket builds more than ~cap rows. Sized at 2x the
+#: MULTIPROBE-EFFECTIVE design cell — nprobe(3) x the nlist ~ N/500
+#: target = ~1500 expected rows per cid join key — so it arms only
+#: for genuinely viral cells (a near-dup cluster packing its
+#: replicas into one cell), never for healthy ones: the r8
+#: same-session 30x A/B measured the split machinery at ~9% overhead
+#: when armed on AVERAGE cells (152.8 s capped@1000 vs 139.8 s plain
+#: on the dup-saturated corpus, whose max cell is only ~1.5x the
+#: average — no skew to flatten, pure insurance cost). Identity is
+#: law-tested at any cap; env-overridable (KNN_GRAPH_CELL_CAP) for
+#: A/B measurement.
+CELL_CAP = 3000
 
 
 def cell_knn_pairs(

@@ -67,11 +67,19 @@ the changed-only filter dropping no-op revisions), reads prune to
 touched buckets past PRUNE_MIN_BYTES — the same adaptive rule,
 measured crossover, as the near-dup fold.
 
+The maintained index is a freshness bridge between PERIODIC RETRAINS
+(the ivf_maintenance contract): :func:`retrain_knngraph_state`
+rebuilds the graph from folded state only (no source re-read) under
+fresh centroids into a new dir, and :func:`swap_current_state`
+atomically repoints readers — a crash mid-retrain leaves the old
+generation serving.
+
 Laws in tests/test_round8.py: stream == batch (== knn_graph_ivf) on
 mod-3 and front/back splits, arrival-order invariance, replay
 idempotence, changed-only revisions, capped-join identity, pruned
 reads touching only the batch's buckets, per-commit write IO
-batch-bounded.
+batch-bounded, retrain == direct build under the new centroids +
+atomic pointer swap.
 """
 
 from __future__ import annotations
@@ -99,8 +107,9 @@ N_GRAPH_BUCKETS = 64
 TOP_K = 5
 
 #: mega-cell split threshold for the per-batch scoring join (see
-#: operators/ivf.CELL_CAP for the rationale; identical default).
-CELL_CAP = 1000
+#: operators/ivf.CELL_CAP for the rationale — 2x the
+#: multiprobe-effective design cell, measured; identical default).
+CELL_CAP = 3000
 
 
 def _cid_bucket(p: int) -> Column:
@@ -183,12 +192,17 @@ def update_knngraph_state(
     n_buckets: int = N_GRAPH_BUCKETS,
     cell_cap: int = CELL_CAP,
     prune_min_bytes: int = PRUNE_MIN_BYTES,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one arrival batch of (vec_id, v) double-array vectors into
     the maintained kNN graph under the FROZEN ``centroids`` (the
     ivf_maintenance retrain discipline; a retrain swaps in a fresh
     state dir). Idempotent: replayed batch ids skip before any
-    compute. PRECONDITION (shared with every fold in the family):
+    compute. ``compact_every=N`` runs the statestore OPTIMIZE over
+    both append tables after each Nth batch (members re-bucketed on
+    ``bucket``, toplists on ``qbucket`` — the near-dup fold's
+    amortized segment-count bound); None leaves compaction to the
+    operator. PRECONDITION (shared with every fold in the family):
     each vec_id arrives in exactly one batch — re-deliveries of the
     same batch are handled, re-crawls dedupe upstream."""
     from stock_trend_predictor_spark.operators.ivf import (
@@ -338,6 +352,17 @@ def update_knngraph_state(
         },
         app_meta={"n_graph_buckets": int(p), "knngraph_format": 1},
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from stock_trend_predictor_spark.operators.statestore import (
+            compact_append_table,
+        )
+
+        compact_append_table(
+            spark, state_dir, "members", repartition_by=["bucket"]
+        )
+        compact_append_table(
+            spark, state_dir, "toplists", repartition_by=["qbucket"]
+        )
 
 
 def read_knn_graph(
@@ -390,3 +415,74 @@ def knngraph_maintenance_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def retrain_knngraph_state(
+    spark: SparkSession,
+    state_dir: str,
+    new_centroids: list[list[float]],
+    out_dir: str,
+    n_buckets: int = N_GRAPH_BUCKETS,
+    cell_cap: int = CELL_CAP,
+) -> None:
+    """The PERIODIC RETRAIN leg of the maintained-index contract
+    (streaming/ivf_maintenance.py's documented production pattern:
+    retrain on schedule, fold the stream in between, swap atomically
+    at the next retrain). Rebuilds the graph state under
+    ``new_centroids`` from the vectors already folded — one batch
+    build into a FRESH state dir (the old dir keeps serving until the
+    pointer swap; see :func:`swap_current_state`), after which the
+    fold continues into ``out_dir`` under the new quantizer.
+
+    The accumulated ``members`` table carries each vector's payload
+    once per probed cell; dropDuplicates on the id recovers the
+    vector set without touching any upstream source — a retrain needs
+    the STATE only. The rebuilt state is bit-identical to folding the
+    same vectors through update_knngraph_state in one batch (it IS
+    that call), so every fold law carries over; parity with the
+    one-shot knn_graph_ivf under the same centroids is the law
+    (tests/test_round8.py)."""
+    vecs = read_state_table(spark, state_dir, "members")
+    if vecs is None:
+        raise ValueError(f"no folded state under {state_dir}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    update_knngraph_state(
+        spark,
+        vecs.dropDuplicates(["vec_id"]).select("vec_id", "v"),
+        out_dir,
+        new_centroids,
+        batch_id=0,
+        n_buckets=n_buckets,
+        cell_cap=cell_cap,
+    )
+
+
+def swap_current_state(base_dir: str, state_dir: str) -> None:
+    """Atomically point ``base_dir/CURRENT.json`` at ``state_dir`` —
+    the serve-path indirection that makes a retrain invisible to
+    readers: they resolve the pointer, then read that dir's committed
+    META as usual. tmp-file + os.replace, same crash discipline as
+    the statestore's own META swap (a crash leaves the old pointer;
+    the half-built new dir is simply unreferenced)."""
+    import json
+    import os
+
+    os.makedirs(base_dir, exist_ok=True)
+    tmp = os.path.join(base_dir, "CURRENT.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"dir": os.path.abspath(state_dir)}, fh)
+    os.replace(tmp, os.path.join(base_dir, "CURRENT.json"))
+
+
+def current_state_dir(base_dir: str) -> str | None:
+    """Resolve the serving state dir, or None before the first swap."""
+    import json
+    import os
+
+    path = os.path.join(base_dir, "CURRENT.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)["dir"]

@@ -959,3 +959,121 @@ def test_decon_format_guard(spark, tmp_path):
         update_decon_docs(spark, docs, sdir, 1)
     with pytest.raises(RuntimeError, match="pre-v2"):
         read_decon_scores(spark, sdir)
+
+
+def test_knngraph_retrain_and_pointer_swap(spark, sf_dir, tmp_path):
+    """The periodic-retrain leg of the maintained-index contract:
+    retrain_knngraph_state rebuilds the graph from FOLDED STATE ONLY
+    (no source re-read) under new centroids and equals the direct
+    batch build under those centroids; the CURRENT pointer swap is
+    atomic and readers resolve through it; the fold then continues
+    into the new dir under the new quantizer."""
+    from pyspark.sql import Window
+
+    from stock_trend_predictor_spark.functions.exact import stable_round
+    from stock_trend_predictor_spark.operators.ivf import (
+        assign_clusters_multiprobe,
+        cell_knn_pairs,
+        kmeans_centroids,
+    )
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        current_state_dir,
+        read_knn_graph,
+        retrain_knngraph_state,
+        swap_current_state,
+        update_knngraph_state,
+    )
+
+    e, cents1 = _knng_inputs(spark, sf_dir)
+    old_dir = str(tmp_path / "gen0")
+    for i in range(2):
+        update_knngraph_state(
+            spark,
+            e.where(F.col("vec_id") % 2 == i).select("vec_id", "v"),
+            old_dir,
+            cents1,
+            batch_id=i,
+        )
+    base = str(tmp_path / "serve")
+    swap_current_state(base, old_dir)
+    assert current_state_dir(base) == old_dir
+
+    # retrain under DIFFERENT centroids (one Lloyd iteration)
+    cents2 = kmeans_centroids(
+        e, k=max(8, e.count() // 500), iters=1, vec_col="v"
+    )
+    assert cents2 != cents1
+    new_dir = str(tmp_path / "gen1")
+    retrain_knngraph_state(spark, old_dir, cents2, new_dir)
+    got = sorted(map(tuple, read_knn_graph(spark, new_dir).collect()))
+
+    # reference: the direct batch build under cents2
+    probed = assign_clusters_multiprobe(e, cents2, nprobe=3)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ref = sorted(
+        map(
+            tuple,
+            cell_knn_pairs(probed)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(F.col("sim"), 6).alias("sim"),
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+            .collect(),
+        )
+    )
+    assert got == ref and len(ref) > 0
+
+    # atomic pointer swap; the fold continues under the new quantizer
+    swap_current_state(base, new_dir)
+    assert current_state_dir(base) == new_dir
+    extra = _knng_synth(spark, range(10**6, 10**6 + 8), 3)
+    update_knngraph_state(
+        spark, extra, current_state_dir(base), cents2, batch_id=1
+    )
+    after = read_knn_graph(spark, new_dir)
+    assert after.where(F.col("query_id") >= 10**6).count() > 0
+
+
+def test_knngraph_compaction_read_identity(spark, sf_dir, tmp_path):
+    """compact_every OPTIMIZEs both fold tables into bucketed
+    segments mid-fold; the graph read is identical to the
+    never-compacted fold, and the fold continues correctly over the
+    compacted layout with pruning forced."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        read_knn_graph,
+        update_knngraph_state,
+    )
+
+    e, cents = _knng_inputs(spark, sf_dir)
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    for i in range(3):
+        for sdir, ce in ((plain, None), (comp, 2)):
+            update_knngraph_state(
+                spark,
+                e.where(F.col("vec_id") % 3 == i).select("vec_id", "v"),
+                sdir,
+                cents,
+                batch_id=i,
+                compact_every=ce,
+                prune_min_bytes=0,
+            )
+    meta = read_meta(comp)
+    # batch 2 triggered the OPTIMIZE: one compacted segment + the
+    # post-compaction delta at most
+    for t in ("members", "toplists"):
+        segs = meta["segments"][t]
+        assert any("/c-" in s.replace(os.sep, "/") for s in segs), segs
+        assert len(segs) <= 2, segs
+    a = sorted(map(tuple, read_knn_graph(spark, plain).collect()))
+    b = sorted(map(tuple, read_knn_graph(spark, comp).collect()))
+    assert a == b and len(a) > 0
