@@ -2035,3 +2035,98 @@ def _register_r8b():
 
 
 _register_r8b()
+
+
+def _register_r8c():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "knn_graph_retrain",
+        # the retrain rebuilds from folded state under the one-shot's
+        # own centroids, so the read equals knn_graph_ivf exactly —
+        # oracle shared verbatim (the pure-function-of-state design)
+        oracle=REGISTRY["knn_graph_ivf"].oracle,
+        doc="The PERIODIC-RETRAIN leg of the maintained kNN graph "
+        "(streaming/knngraph_maintenance.retrain_knngraph_state + "
+        "swap_current_state), exercised end-to-end: arrivals fold in "
+        "two batches under a STALE quantizer (one Lloyd iteration — "
+        "the freshness-bridge generation), then the scheduled retrain "
+        "rebuilds the graph FROM FOLDED STATE ONLY (members dedup; "
+        "no source re-read) under the fully-trained centroids and "
+        "the serve pointer swaps atomically. The rebuilt read is a "
+        "pure function of (arrival set, new centroids), identical to "
+        "the one-shot knn_graph_ivf — oracle shared verbatim. This "
+        "is the production shape ivf_maintenance documents: retrain "
+        "on schedule, fold in between, swap at the boundary; a crash "
+        "mid-retrain leaves the old generation serving.",
+    )
+    def knn_graph_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+            current_state_dir,
+            read_knn_graph,
+            retrain_knngraph_state,
+            swap_current_state,
+            update_knngraph_state,
+        )
+
+        e = materialize_once(
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        n = e.count()
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1:
+            raise RuntimeError(
+                f"knn_graph_retrain oracle invalid in the "
+                f"sampled-Lloyd regime (n={n}, k={k}, "
+                f"sample_mod={sample_mod})"
+            )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"knng-retrain-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        # generation 0: the stale bridge quantizer (one iteration)
+        stale = kmeans_centroids(
+            e, k=k, iters=1, vec_col="v", sample_mod=sample_mod
+        )
+        gen0 = os.path.join(base, "gen0")
+        for i in range(2):
+            update_knngraph_state(
+                spark,
+                e.where(F.col("vec_id") % 2 == i).select("vec_id", "v"),
+                gen0,
+                stale,
+                batch_id=i,
+            )
+        swap_current_state(base, gen0)
+        # the scheduled retrain: fully-trained centroids (the
+        # one-shot's spec), rebuilt from state, atomically swapped
+        fresh = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
+        gen1 = os.path.join(base, "gen1")
+        retrain_knngraph_state(spark, gen0, fresh, gen1)
+        swap_current_state(base, gen1)
+        return read_knn_graph(spark, current_state_dir(base))
+
+
+_register_r8c()

@@ -72,7 +72,10 @@ The maintained index is a freshness bridge between PERIODIC RETRAINS
 rebuilds the graph from folded state only (no source re-read) under
 fresh centroids into a new dir, and :func:`swap_current_state`
 atomically repoints readers — a crash mid-retrain leaves the old
-generation serving.
+generation serving. Within a generation, the pinned bucket count
+grows via :func:`rebucket_knngraph_state` (the near-dup fold's
+sanctioned pin-override pattern), and every commit stamps
+``knngraph_format`` so a mismatched layout is refused explicitly.
 
 Laws in tests/test_round8.py: stream == batch (== knn_graph_ivf) on
 mod-3 and front/back splits, arrival-order invariance, replay
@@ -100,7 +103,9 @@ from stock_trend_predictor_spark.streaming.neardup_maintenance import (
 
 #: default on-disk hash-bucket count for members/toplists; same
 #: sizing discipline as the near-dup fold's N_BAND_BUCKETS (P ~ rows
-#: / bounded-bucket-size, grown via statestore.rebucket_append_table).
+#: / bounded-bucket-size). Pinned per fold in META's app dict; grow a
+#: fold that outgrew it with :func:`rebucket_knngraph_state` (atomic
+#: segment rewrite + pin update — the sanctioned override).
 N_GRAPH_BUCKETS = 64
 
 #: neighbors kept per vector — knn_graph_ivf's k.
@@ -110,6 +115,32 @@ TOP_K = 5
 #: operators/ivf.CELL_CAP for the rationale — 2x the
 #: multiprobe-effective design cell, measured; identical default).
 CELL_CAP = 3000
+
+#: on-disk layout version, stamped in META's app dict on every
+#: commit (the neardup/decon fold discipline: refuse a mismatched
+#: layout explicitly instead of crashing mid-batch on it).
+KNNGRAPH_FORMAT = 1
+
+
+def _check_graph_format(meta: dict | None) -> None:
+    if meta is None:
+        return
+    app = meta.get("app", {})
+    fmt = app.get("knngraph_format")
+    if fmt is not None and int(fmt) != KNNGRAPH_FORMAT:
+        raise RuntimeError(
+            f"knn-graph state dir is fold format v{fmt}; this build "
+            f"reads v{KNNGRAPH_FORMAT} — retrain into a fresh dir "
+            f"(retrain_knngraph_state) or run the matching build"
+        )
+    if fmt is None and any(
+        t in meta.get("segments", {}) for t in ("members", "toplists")
+    ):
+        raise RuntimeError(
+            "knn-graph state dir has unstamped segments (written by "
+            "a different fold or a pre-release layout) — retrain "
+            "into a fresh dir"
+        )
 
 
 def _cid_bucket(p: int) -> Column:
@@ -211,6 +242,7 @@ def update_knngraph_state(
     from stock_trend_predictor_spark.operators.similarity import l2norm
 
     meta = read_meta(state_dir)
+    _check_graph_format(meta)
     if (
         meta is not None
         and meta.get("last_batch_id") is not None
@@ -350,7 +382,10 @@ def update_knngraph_state(
             "members": new_m.withColumn("bucket", _cid_bucket(p)),
             "toplists": toplists.withColumn("qbucket", _q_bucket(p)),
         },
-        app_meta={"n_graph_buckets": int(p), "knngraph_format": 1},
+        app_meta={
+            "n_graph_buckets": int(p),
+            "knngraph_format": KNNGRAPH_FORMAT,
+        },
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         from stock_trend_predictor_spark.operators.statestore import (
@@ -363,6 +398,41 @@ def update_knngraph_state(
         compact_append_table(
             spark, state_dir, "toplists", repartition_by=["qbucket"]
         )
+
+
+def rebucket_knngraph_state(
+    spark: SparkSession, state_dir: str, new_p: int
+) -> bool:
+    """Grow (or shrink) the fold's on-disk bucket count to ``new_p``
+    — the same sanctioned pin override as the near-dup fold's
+    rebucket_neardup_state: members (cid-hash) and toplists
+    (query-hash) rewrite under the new P and ``n_graph_buckets``
+    re-pins in ONE atomic META swap, so pruned probes never plan
+    against a mixed layout. Post-re-bucket reads are row-identical
+    (law-tested). Run between batches; the next fold reads the new
+    pin from META."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        rebucket_append_table,
+    )
+
+    _check_graph_format(read_meta(state_dir))
+    new_p = int(new_p)
+    if new_p < 1:
+        raise ValueError(f"bucket count must be >= 1, got {new_p}")
+    return rebucket_append_table(
+        spark,
+        state_dir,
+        recompute={
+            "members": lambda df: df.withColumn(
+                "bucket", _cid_bucket(new_p)
+            ),
+            "toplists": lambda df: df.withColumn(
+                "qbucket", _q_bucket(new_p)
+            ),
+        },
+        partition_by={"members": ["bucket"], "toplists": ["qbucket"]},
+        app_updates={"n_graph_buckets": new_p},
+    )
 
 
 def read_knn_graph(

@@ -1077,3 +1077,69 @@ def test_knngraph_compaction_read_identity(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, read_knn_graph(spark, plain).collect()))
     b = sorted(map(tuple, read_knn_graph(spark, comp).collect()))
     assert a == b and len(a) > 0
+
+
+def test_knngraph_rebucket_and_format_guard(spark, sf_dir, tmp_path):
+    """rebucket_knngraph_state rewrites both tables under the new P
+    and re-pins it in one swap; the fold continues with pruning
+    forced and the read is identical to a never-re-bucketed fold.
+    A mismatched or unstamped state dir is refused explicitly."""
+    import pytest
+
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        read_knn_graph,
+        rebucket_knngraph_state,
+        update_knngraph_state,
+    )
+
+    e, cents = _knng_inputs(spark, sf_dir)
+    ref_dir = str(tmp_path / "ref")
+    reb_dir = str(tmp_path / "reb")
+    parts = [F.col("vec_id") % 3 == i for i in range(3)]
+    for i, part in enumerate(parts):
+        update_knngraph_state(
+            spark, e.where(part).select("vec_id", "v"), ref_dir,
+            cents, batch_id=i, n_buckets=8, prune_min_bytes=0,
+        )
+    for i, part in enumerate(parts[:2]):
+        update_knngraph_state(
+            spark, e.where(part).select("vec_id", "v"), reb_dir,
+            cents, batch_id=i, n_buckets=8, prune_min_bytes=0,
+        )
+    assert rebucket_knngraph_state(spark, reb_dir, 32)
+    meta = read_meta(reb_dir)
+    assert meta["app"]["n_graph_buckets"] == 32
+    for t in ("members", "toplists"):
+        segs = meta["segments"][t]
+        assert len(segs) == 1 and "/r-" in segs[0].replace(os.sep, "/")
+    update_knngraph_state(
+        spark, e.where(parts[2]).select("vec_id", "v"), reb_dir,
+        cents, batch_id=2, prune_min_bytes=0,
+    )
+    a = sorted(map(tuple, read_knn_graph(spark, ref_dir).collect()))
+    b = sorted(map(tuple, read_knn_graph(spark, reb_dir).collect()))
+    assert a == b and len(a) > 0
+
+    # format guard: unstamped segments and older stamps are refused
+    legacy = str(tmp_path / "legacy")
+    commit_state(
+        legacy, {}, batch_id=0,
+        appends={"members": spark.createDataFrame([(1,)], "vec_id long")},
+    )
+    batch = _knng_synth(spark, range(5), 0)
+    with pytest.raises(RuntimeError, match="unstamped"):
+        update_knngraph_state(spark, batch, legacy, cents, batch_id=1)
+    legacy2 = str(tmp_path / "legacy2")
+    commit_state(
+        legacy2, {}, batch_id=0,
+        appends={"toplists": spark.createDataFrame([(1,)], "query_id long")},
+        app_meta={"knngraph_format": 99},
+    )
+    with pytest.raises(RuntimeError, match="fold format v99"):
+        update_knngraph_state(spark, batch, legacy2, cents, batch_id=1)
+    with pytest.raises(RuntimeError, match="fold format v99"):
+        rebucket_knngraph_state(spark, legacy2, 16)
