@@ -114,6 +114,8 @@ HEADLINE = [
     "knn_graph_ivf",             # cell-blocked corpus kNN graph + top-5
     # round-8 additions (everything above stays frozen).
     "knn_graph_incremental",     # maintained kNN-graph fold (3 commits)
+    "semdedup_incremental",      # maintained SemDeDup fold (3 commits)
+    "gopher_repetition_flags",   # 9-arity gram windows + interval union
 ]
 
 

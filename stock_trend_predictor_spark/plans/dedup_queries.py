@@ -2130,3 +2130,99 @@ def _register_r8c():
 
 
 _register_r8c()
+
+
+def _register_r8d():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "semdedup_incremental",
+        # the folded keep decision is a pure function of the arrival
+        # set under the frozen quantizer (the fold enumerates exactly
+        # the one-shot's cell-sharing pairs — each when its later
+        # member lands — with bit-exact cosines, and min-label CC
+        # over equal edge sets is equal), so the fold shares
+        # semdedup_keep_decision's full DuckDB oracle VERBATIM — the
+        # knn_graph_incremental oracle-sharing pattern
+        oracle=REGISTRY["semdedup_keep_decision"].oracle,
+        doc="The CONTINUOUSLY MAINTAINED SemDeDup keep decision "
+        "(streaming/semdedup_maintenance.py) — the streaming twin of "
+        "semdedup_keep_decision, closing the maintained-curation "
+        "family's last gap (lexical near-dup, DSIR, decontamination, "
+        "budget admission, and the kNN graph already fold; semantic "
+        "dedup was one-shot-only). Arrivals fold in three batches "
+        "under a FROZEN coarse quantizer; each batch scores only "
+        "NEW x touched-cell pairs through the mega-cell-capped join "
+        "(sim computed once, mirrored bit-exactly), thresholds exact "
+        "cosine >= 0.35 into edges, and merges component labels via "
+        "the near-dup fold's rep-contracted min-label CC delta "
+        "(touched-bucket-pruned reads, per-batch work bounded by the "
+        "NEW edge count). The read is one latest-wins label scan — "
+        "column-identical to the one-shot (vec_id, cluster, "
+        "cluster_size, keep), oracle shared verbatim with the same "
+        "flat-unsampled regime gate. Laws (stream == batch on two "
+        "splits, prefix parity after every batch, order invariance, "
+        "replay idempotence, capped-join identity, label-write "
+        "boundedness, format guard) in tests/test_round8.py.",
+    )
+    def semdedup_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+            read_semdedup_keep,
+            update_semdedup_state,
+        )
+
+        e = materialize_once(
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        n = e.count()
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        # the one-shot's oracle replays Lloyd UNSAMPLED with FLAT
+        # multiprobe blocking; the fold blocks flat at any k, so its
+        # oracle validity needs only the unsampled-Lloyd regime
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1:
+            raise RuntimeError(
+                f"semdedup_incremental oracle invalid in the "
+                f"sampled-Lloyd regime (n={n}, k={k}, "
+                f"sample_mod={sample_mod})"
+            )
+        cents = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"semdd-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            update_semdedup_state(
+                spark,
+                e.where(F.col("vec_id") % 3 == i).select("vec_id", "v"),
+                state_dir,
+                cents,
+                batch_id=i,
+            )
+        return read_semdedup_keep(spark, state_dir)
+
+
+_register_r8d()

@@ -1143,3 +1143,487 @@ def test_knngraph_rebucket_and_format_guard(spark, sf_dir, tmp_path):
         update_knngraph_state(spark, batch, legacy2, cents, batch_id=1)
     with pytest.raises(RuntimeError, match="fold format v99"):
         rebucket_knngraph_state(spark, legacy2, 16)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_incremental — the maintained SemDeDup fold
+# ---------------------------------------------------------------------------
+
+
+def _sem_inputs(spark, sf_dir):
+    from stock_trend_predictor_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+    from stock_trend_predictor_spark.operators.similarity import (
+        as_double,
+        l2norm,
+    )
+    from stock_trend_predictor_spark.sources.tables import (
+        load_table,
+        materialize_once,
+    )
+
+    e = materialize_once(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("nrm", l2norm(F.col("v")))
+    )
+    n = e.count()
+    cents = kmeans_centroids(e, k=max(8, n // 500), iters=3, vec_col="v")
+    return e, cents
+
+
+def _sem_oneshot(spark, e, cents):
+    """semdedup_keep_decision's post-quantizer stages under GIVEN
+    centroids — the prefix-parity reference (the registry one-shot
+    trains on its own corpus; the fold's invariant is parity under
+    the FROZEN quantizer, whatever the arrival subset)."""
+    from pyspark.sql import Window
+
+    from stock_trend_predictor_spark.operators.components import (
+        connected_components,
+    )
+    from stock_trend_predictor_spark.operators.ivf import (
+        assign_clusters_multiprobe,
+    )
+    from stock_trend_predictor_spark.operators.similarity import dot
+    from stock_trend_predictor_spark.operators.skew import (
+        pair_parallel_self_join,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        SEM_COS_THRESHOLD,
+    )
+
+    probed = assign_clusters_multiprobe(e, cents, nprobe=3)
+    pairs = pair_parallel_self_join(probed, block="cid", id_col="vec_id")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    edges = (
+        pairs.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                "vec_b"
+            ),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= SEM_COS_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    comps = connected_components(edges, src="vec_a", dst="vec_b")
+    labeled = (
+        e.select("vec_id")
+        .join(
+            comps.select(F.col("node").alias("vec_id"), "component"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster"),
+        )
+    )
+    return labeled.select(
+        "vec_id",
+        "cluster",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster"))
+        .cast("bigint")
+        .alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster")).alias("keep"),
+    )
+
+
+def test_semdedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The maintained keep decision equals the one-shot
+    semdedup_keep_decision on the same corpus — the registry's mod-3
+    split AND a front/back split with pruning forced from the first
+    byte (stream == batch + arrival-order invariance)."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        update_semdedup_state,
+    )
+
+    ref = sorted(
+        map(
+            tuple,
+            REGISTRY["semdedup_keep_decision"].fn(spark, sf_dir).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["semdedup_incremental"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == ref and len(ref) > 0
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    mid = e.count() // 2
+    sdir = str(tmp_path / "semdd-fb")
+    for i, part in enumerate(
+        (F.col("vec_id") >= mid, F.col("vec_id") < mid)
+    ):
+        update_semdedup_state(
+            spark,
+            e.where(part).select("vec_id", "v"),
+            sdir,
+            cents,
+            batch_id=i,
+            prune_min_bytes=0,
+        )
+    got_fb = sorted(
+        map(tuple, read_semdedup_keep(spark, sdir).collect())
+    )
+    assert got_fb == ref
+
+
+def test_semdedup_prefix_parity_every_batch(spark, sf_dir, tmp_path):
+    """After EVERY batch the folded decision equals the one-shot over
+    the arrivals so far under the frozen quantizer — the fold is a
+    pure function of the arrival set at every point in time, not just
+    at the end."""
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    sdir = str(tmp_path / "semdd-prefix")
+    for i in range(3):
+        update_semdedup_state(
+            spark,
+            e.where(F.col("vec_id") % 3 == i).select("vec_id", "v"),
+            sdir,
+            cents,
+            batch_id=i,
+            prune_min_bytes=0,
+        )
+        prefix = e.where(F.col("vec_id") % 3 <= i)
+        ref = sorted(
+            map(tuple, _sem_oneshot(spark, prefix, cents).collect())
+        )
+        got = sorted(
+            map(tuple, read_semdedup_keep(spark, sdir).collect())
+        )
+        assert got == ref and len(got) > 0
+
+
+def test_semdedup_replay_idempotence(spark, sf_dir, tmp_path):
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    sdir = str(tmp_path / "semdd-replay")
+    for i in range(2):
+        update_semdedup_state(
+            spark,
+            e.where(F.col("vec_id") % 2 == i).select("vec_id", "v"),
+            sdir,
+            cents,
+            batch_id=i,
+        )
+    before = sorted(map(tuple, read_semdedup_keep(spark, sdir).collect()))
+    update_semdedup_state(
+        spark,
+        e.where(F.col("vec_id") % 2 == 1).select("vec_id", "v"),
+        sdir,
+        cents,
+        batch_id=1,
+    )
+    after = sorted(map(tuple, read_semdedup_keep(spark, sdir).collect()))
+    assert before == after
+
+
+def test_semdedup_capped_join_identity(spark, sf_dir, tmp_path):
+    """A tiny cell_cap forces the mega-cell split on every cell; the
+    folded decision is identical — the cap is plan-only."""
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    reads = []
+    for cap, name in ((3000, "plain"), (7, "capped")):
+        sdir = str(tmp_path / f"semdd-{name}")
+        for i in range(2):
+            update_semdedup_state(
+                spark,
+                e.where(F.col("vec_id") % 2 == i).select("vec_id", "v"),
+                sdir,
+                cents,
+                batch_id=i,
+                cell_cap=cap,
+            )
+        reads.append(
+            sorted(map(tuple, read_semdedup_keep(spark, sdir).collect()))
+        )
+    assert reads[0] == reads[1] and len(reads[0]) > 0
+
+
+def test_semdedup_label_write_bounded(spark, tmp_path):
+    """A batch whose vectors share no cell with the stored corpus
+    (and form no new edges) appends EXACTLY batch-size label rows —
+    the per-commit label write is touched-docs-bounded, never
+    corpus-sized."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        update_semdedup_state,
+    )
+
+    # batch 0 along axis 0 (a tight near-dup cluster); batch 1 =
+    # five mutually ORTHOGONAL one-hots on axes 2-6 (pairwise cosine
+    # 0 < threshold, and 0 against batch 0) — no edges form, so the
+    # batch-1 labels delta must be exactly its own five fresh rows
+    dim = 8
+    cents = [
+        [1000.0 if d == 0 else 0.0 for d in range(dim)],
+        [1000.0 if d == 7 else 0.0 for d in range(dim)],
+    ]
+    b0 = spark.createDataFrame(
+        [
+            (i, [1000.0 + i if d == 0 else float(i % 3) if d == 1 else 0.0
+                 for d in range(dim)])
+            for i in range(40)
+        ],
+        "vec_id long, v array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (100 + i, [100.0 if d == 2 + i else 0.0 for d in range(dim)])
+            for i in range(5)
+        ],
+        "vec_id long, v array<double>",
+    )
+    sdir = str(tmp_path / "semdd-io")
+    update_semdedup_state(spark, b0, sdir, cents, batch_id=0)
+    update_semdedup_state(spark, b1, sdir, cents, batch_id=1)
+    meta = read_meta(sdir)
+    # last labels segment = batch 1's delta
+    import os
+
+    seg = meta["segments"]["labels"][-1]
+    rows = spark.read.parquet(os.path.join(sdir, seg))
+    got = rows.count()
+    assert got == 5, f"batch-1 labels delta wrote {got} rows, want 5"
+    # and every row labels itself (no merges happened)
+    assert rows.where(F.col("doc_id") != F.col("cluster")).count() == 0
+
+
+def test_semdedup_format_guard(spark, sf_dir, tmp_path):
+    """A state dir stamped with a different format (or carrying
+    unstamped segments) is refused explicitly before any batch work."""
+    import pytest as _pytest
+
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    batch = e.limit(5).select("vec_id", "v")
+
+    wrong = str(tmp_path / "semdd-wrongfmt")
+    commit_state(
+        wrong,
+        {},
+        batch_id=0,
+        appends={"members": batch.select("vec_id")},
+        app_meta={"semdedup_format": 99},
+    )
+    with _pytest.raises(RuntimeError, match="fold format v99"):
+        update_semdedup_state(spark, batch, wrong, cents, batch_id=1)
+
+    unstamped = str(tmp_path / "semdd-unstamped")
+    commit_state(
+        unstamped,
+        {},
+        batch_id=0,
+        appends={"labels": batch.select("vec_id")},
+    )
+    with _pytest.raises(RuntimeError, match="unstamped"):
+        update_semdedup_state(spark, batch, unstamped, cents, batch_id=1)
+
+
+def test_semdedup_rebucket_identity(spark, sf_dir, tmp_path):
+    """rebucket_semdedup_state rewrites all three tables under the
+    new P and re-pins it atomically; the fold continues with pruning
+    forced and the read equals a never-re-bucketed fold's."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        rebucket_semdedup_state,
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    ref_dir = str(tmp_path / "ref")
+    reb_dir = str(tmp_path / "reb")
+    parts = [F.col("vec_id") % 3 == i for i in range(3)]
+    for i, part in enumerate(parts):
+        update_semdedup_state(
+            spark, e.where(part).select("vec_id", "v"), ref_dir,
+            cents, batch_id=i, n_buckets=8, prune_min_bytes=0,
+        )
+    for i, part in enumerate(parts[:2]):
+        update_semdedup_state(
+            spark, e.where(part).select("vec_id", "v"), reb_dir,
+            cents, batch_id=i, n_buckets=8, prune_min_bytes=0,
+        )
+    assert rebucket_semdedup_state(spark, reb_dir, 32)
+    meta = read_meta(reb_dir)
+    assert meta["app"]["n_sem_buckets"] == 32
+    for t in ("members", "labels", "labels_byc"):
+        segs = meta["segments"][t]
+        assert len(segs) == 1 and "/r-" in segs[0].replace(os.sep, "/")
+    update_semdedup_state(
+        spark, e.where(parts[2]).select("vec_id", "v"), reb_dir,
+        cents, batch_id=2, prune_min_bytes=0,
+    )
+    a = sorted(map(tuple, read_semdedup_keep(spark, ref_dir).collect()))
+    b = sorted(map(tuple, read_semdedup_keep(spark, reb_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition_flags — Rae et al. 2021 Table A1 repetition rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_flags_laws(spark, sf_dir):
+    """Structural laws on the corpus: every fraction in [0,1];
+    duplicated-gram coverage is NON-INCREASING in n (a duplicated
+    (n+1)-gram's span is covered by its two duplicated n-gram
+    halves, so cov(n) ⊇ cov(n+1)); keep == all nine thresholds."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["gopher_repetition_flags"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0
+    thresh = {
+        2: 0.20, 3: 0.18, 4: 0.16,
+        5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+    }
+    cols = [f"top{n}_frac" for n in (2, 3, 4)] + [
+        f"dup{n}_frac" for n in range(5, 11)
+    ]
+    for r in rows:
+        for c in cols:
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+        for n in range(5, 10):
+            assert r[f"dup{n}_frac"] >= r[f"dup{n + 1}_frac"] - 1e-9, (
+                r["doc_id"],
+                n,
+            )
+        want = all(
+            r[(f"top{n}_frac" if n <= 4 else f"dup{n}_frac")] <= th
+            for n, th in thresh.items()
+        )
+        assert r["gopher_keep"] == want, r["doc_id"]
+
+
+def test_gopher_flags_hand_computed(spark, tmp_path, monkeypatch):
+    """Closed-form check on a crafted doc: 'a b a b a b' (11 chars) —
+    top 2-gram 'a b' occurs 3x, len 3 → 9/11; top 3-gram 'a b a' 2x,
+    len 5 → 10/11; top 4-gram 'a b a b' 2x, len 7 → 14/11 > 1 is
+    impossible for COVERAGE but the top-fraction counts overlapping
+    occurrences fully (the paper's definition) — and dup-5 coverage
+    is 0 (both 5-grams occur once)."""
+    import os
+
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (0, "a b a b a b", "en", "s", 11),
+            # 30 DISTINCT tokens: long enough that even a single
+            # 4-gram occurrence stays under its threshold (the Gopher
+            # rules assume real-length docs)
+            (1, " ".join(f"t{i}" for i in range(30)), "en", "s", 109),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["gopher_repetition_flags"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    r0 = out[0]
+    assert abs(r0["top2_frac"] - round(9 / 11, 6)) < 1e-9
+    assert abs(r0["top3_frac"] - round(10 / 11, 6)) < 1e-9
+    assert abs(r0["top4_frac"] - round(14 / 11, 6)) < 1e-9
+    # dup coverage: 5-grams 'a b a b a' / 'b a b a b' each once → 0;
+    # all-distinct doc 1 has every fraction at its floor and keeps
+    assert r0["dup5_frac"] == 0.0
+    assert not r0["gopher_keep"]
+    r1 = out[1]
+    assert r1["gopher_keep"]
+    for n in range(5, 11):
+        assert r1[f"dup{n}_frac"] == 0.0
+
+
+def test_semdedup_pruned_reads_touch_buckets_only(
+    spark, tmp_path, monkeypatch
+):
+    """With pruning forced, all three state reads carry partition
+    filters: members -> the batch's cid buckets (semdedup module),
+    labels -> the new pairs' endpoint dbuckets and labels_byc -> the
+    losing reps' cbuckets (the shared label-merge layer) — per-batch
+    read IO tracks the batch, not the corpus."""
+    from stock_trend_predictor_spark.streaming import (
+        neardup_maintenance as nm,
+    )
+    from stock_trend_predictor_spark.streaming import (
+        semdedup_maintenance as sm,
+    )
+
+    sdir = str(tmp_path / "semdd")
+    sm.update_semdedup_state(
+        spark,
+        _knng_synth(spark, range(20), 0),
+        sdir,
+        _KNNG_CENTS,
+        0,
+        prune_min_bytes=0,
+    )
+    filters = {}
+    for mod in (sm, nm):
+        real = mod.read_state_table
+
+        def spy(spark_, sd, name, partition_filter=None, _r=real):
+            filters[name] = partition_filter
+            return _r(spark_, sd, name, partition_filter=partition_filter)
+
+        monkeypatch.setattr(mod, "read_state_table", spy)
+    # batch 1 is near-dup of batch 0 (same direction cone), so edges
+    # form and the merge's label reads both run
+    sm.update_semdedup_state(
+        spark,
+        _knng_synth(spark, range(100, 120), 0),
+        sdir,
+        _KNNG_CENTS,
+        1,
+        prune_min_bytes=0,
+    )
+    assert filters["members"] is not None
+    assert set(filters["members"]) == {"bucket"}
+    assert 0 < len(filters["members"]["bucket"]) <= 3
+    assert filters["labels"] is not None
+    assert set(filters["labels"]) == {"dbucket"}
+    assert filters["labels_byc"] is not None
+    assert set(filters["labels_byc"]) == {"cbucket"}
