@@ -116,6 +116,7 @@ HEADLINE = [
     "knn_graph_incremental",     # maintained kNN-graph fold (3 commits)
     "semdedup_incremental",      # maintained SemDeDup fold (3 commits)
     "gopher_repetition_flags",   # 9-arity gram windows + interval union
+    "bm25_incremental",          # maintained retrieval index (additive fold)
 ]
 
 
@@ -478,18 +479,31 @@ def main() -> None:
     # detail artifacts for the same reason when the r8 drift bracket
     # landed). Full-precision values live in the first line and
     # BENCH_DETAIL.json — both committed to the repo.
+    def _cv(v: float):
+        # whole seconds past 100: a 100+s sf0.1 headline value is
+        # itself the signal, the tenths are noise — and the widest
+        # sane per-query rendering drops from 5 B ("999.9") to 4
+        # ("99.9"), which is what keeps the 59-query compact line
+        # inside the driver's tail window (the guard test models
+        # exactly this renderer)
+        return round(v, 1) if v < 100 else int(round(v))
+
     compact = {
         "metric": "headline_queries_total",
         "value": total,
-        "queries": {k: round(v, 1) for k, v in timings.items()},
+        "queries": {k: _cv(v) for k, v in timings.items()},
         "sf": sf,
         # box-speed normalizers bracketing the timed window
         # (pre != post self-diagnoses intra-run drift); "resampled" =
         # how many suspect queries got the one re-run (names +
-        # both samples in the detail artifacts)
+        # both samples in the detail artifacts). 2dp: the ratio's
+        # third decimal is under the canary's own sampling noise.
         "drift": [
-            (drift_pre or {}).get("ratio"),
-            (drift_post or {}).get("ratio"),
+            r if r is None else round(r, 2)
+            for r in (
+                (drift_pre or {}).get("ratio"),
+                (drift_post or {}).get("ratio"),
+            )
         ],
         "resampled": len(suspects),
     }

@@ -427,3 +427,67 @@ GROUP BY p.token, p.cnt
 
 
 _register()
+
+
+def _register_r8():
+    from stock_trend_predictor_spark.plans.registry import (
+        REGISTRY,
+        register,
+    )
+
+    @register(
+        "bm25_incremental",
+        # the folded index is PURELY ADDITIVE (postings never change
+        # after arrival, df/N/avgdl are sums of per-batch deltas), so
+        # the maintained read is trivially a pure function of the
+        # arrival set and shares bm25_doc_search's full DuckDB oracle
+        # VERBATIM — the fold family's oracle-sharing pattern
+        oracle=REGISTRY["bm25_doc_search"].oracle,
+        doc="The CONTINUOUSLY MAINTAINED retrieval index "
+        "(streaming/retrieval_maintenance.py) — the streaming twin of "
+        "bm25_doc_search + inverted_index_postings, extending the "
+        "maintained family to the retrieval tier: documents fold in "
+        "three batches (tokenize once per arrival; postings + per-doc "
+        "lengths + one corpus-stats delta row per batch, all "
+        "append-only — a purely ADDITIVE fold, no merges or "
+        "revisions), and the query-time read prunes the postings to "
+        "the QUERY TERMS' hash buckets (the sharded-search access "
+        "pattern: a 4-term query against a 10^9-term index reads <= 4 "
+        "bucket directories, never the vocabulary), recovers df/N/"
+        "avgdl exactly (integer-additive deltas), and scores every "
+        "folded document with bm25_doc_search's exact expression — "
+        "oracle shared verbatim. Laws (stream == batch on two splits, "
+        "replay idempotence, query-time pruned-read capture, "
+        "per-commit write-IO boundedness, rebucket identity, format "
+        "guard) in tests/test_round8.py.",
+    )
+    def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+            read_bm25_search,
+            update_retrieval_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        state_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"bm25-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        for i in range(3):
+            update_retrieval_state(
+                spark,
+                docs.where(F.col("doc_id") % 3 == i),
+                state_dir,
+                batch_id=i,
+            )
+        return read_bm25_search(spark, state_dir, BM25_TERMS)
+
+
+_register_r8()

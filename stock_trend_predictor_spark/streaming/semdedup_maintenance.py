@@ -55,12 +55,21 @@ is a PURE FUNCTION of the arrival set. That is why the registry query
 oracle VERBATIM (the knn_graph_incremental oracle-sharing pattern),
 with the same flat-unsampled oracle-regime gate.
 
+Like the kNN-graph fold, the maintained decision is a freshness
+bridge between PERIODIC RETRAINS: :func:`retrain_semdedup_state`
+rebuilds the state from folded members only (no source re-read)
+under fresh centroids into a new dir, and the knngraph module's
+fold-agnostic ``swap_current_state`` pointer makes the generation
+switch atomic for readers.
+
 Laws in tests/test_round8.py: stream == batch (== the one-shot keep
 decision) on mod-3 and front/back splits with pruning forced, arrival-
 order invariance, prefix parity after EVERY batch (fold == one-shot
 over arrivals-so-far under the same frozen centroids), replay
 idempotence, capped-join identity, per-commit label-write boundedness
-(touched docs only), and the format guard.
+(touched docs only), pruned-read filter capture, rebucket identity,
+retrain == direct-build + pointer swap, compaction read-identity, and
+the format guard.
 """
 
 from __future__ import annotations
@@ -315,6 +324,41 @@ def read_semdedup_keep(
         .cast("bigint")
         .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster")).alias("keep"),
+    )
+
+
+def retrain_semdedup_state(
+    spark: SparkSession,
+    state_dir: str,
+    new_centroids: list[list[float]],
+    out_dir: str,
+    n_buckets: int = N_SEM_BUCKETS,
+    cell_cap: int = CELL_CAP,
+) -> None:
+    """The PERIODIC-RETRAIN leg (the knngraph_maintenance contract:
+    retrain on schedule, fold in between, swap atomically at the
+    boundary): rebuild the semantic-dedup state under
+    ``new_centroids`` FROM FOLDED STATE ONLY — the members table
+    carries each vector's payload once per probed cell, so
+    dropDuplicates on the id recovers the vector set with no source
+    re-read. One batch fold into a FRESH dir (the old generation
+    keeps serving until :func:`swap_current_state` — reuse the
+    knngraph module's pointer, the indirection is fold-agnostic);
+    retrain == direct build under the new quantizer is the law."""
+    vecs = read_state_table(spark, state_dir, "members")
+    if vecs is None:
+        raise ValueError(f"no folded state under {state_dir}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    update_semdedup_state(
+        spark,
+        vecs.dropDuplicates(["vec_id"]).select("vec_id", "v"),
+        out_dir,
+        new_centroids,
+        batch_id=0,
+        n_buckets=n_buckets,
+        cell_cap=cell_cap,
     )
 
 

@@ -135,13 +135,16 @@ def test_bench_compact_line_fits_the_drivers_tail_window():
     compact = {
         "metric": "headline_queries_total",
         "value": 9999.999,
-        # bench.py rounds compact per-query values to 1dp since r8
-        # (unit/bench_runs also moved to the detail artifacts for
-        # byte headroom); 999.9 is the widest any sane value renders
-        "queries": {name: 999.9 for name in HEADLINE},
+        # bench.py's compact renderer: 1dp under 100 s, whole
+        # seconds past (unit/bench_runs moved to the detail artifacts
+        # for byte headroom when the r8 drift bracket landed) — the
+        # widest sane rendering is "99.9" (a 100+s value renders
+        # SHORTER as an int, and a 1000+s sf0.1 headline value is a
+        # broken round, not a rendering case)
+        "queries": {name: 99.9 for name in HEADLINE},
         "sf": 0.1,
         # the r8 drift BRACKET + suspect-resample count
-        "drift": [9.999, 9.999],
+        "drift": [9.99, 9.99],  # bench rounds the bracket to 2dp
         "resampled": 99,
     }
     rendered = json.dumps(compact, separators=(",", ":"))  # bench.py's framing

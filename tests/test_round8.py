@@ -1627,3 +1627,317 @@ def test_semdedup_pruned_reads_touch_buckets_only(
     assert set(filters["labels"]) == {"dbucket"}
     assert filters["labels_byc"] is not None
     assert set(filters["labels_byc"]) == {"cbucket"}
+
+
+def test_semdedup_retrain_swap_and_compaction(spark, sf_dir, tmp_path):
+    """The retrain leg: fold two batches under a STALE one-iteration
+    quantizer, retrain from folded state only under the fully-trained
+    centroids into a fresh dir, swap the serve pointer — the rebuilt
+    read equals the direct fold under the new centroids (== the
+    one-shot decision). Plus: compact_every leaves the read identical
+    (statestore OPTIMIZE read-identity, the knngraph law)."""
+    from stock_trend_predictor_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        current_state_dir,
+        swap_current_state,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        retrain_semdedup_state,
+        update_semdedup_state,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    stale = kmeans_centroids(e, k=8, iters=1, vec_col="v")
+    base = str(tmp_path / "semdd-gen")
+    gen0 = os.path.join(base, "gen0")
+    for i in range(2):
+        update_semdedup_state(
+            spark,
+            e.where(F.col("vec_id") % 2 == i).select("vec_id", "v"),
+            gen0,
+            stale,
+            batch_id=i,
+            compact_every=1,
+        )
+    swap_current_state(base, gen0)
+    # compaction read-identity: the compacted gen0 still equals the
+    # one-shot under the STALE centroids
+    got0 = sorted(
+        map(
+            tuple,
+            read_semdedup_keep(spark, current_state_dir(base)).collect(),
+        )
+    )
+    ref0 = sorted(map(tuple, _sem_oneshot(spark, e, stale).collect()))
+    assert got0 == ref0 and len(got0) > 0
+
+    gen1 = os.path.join(base, "gen1")
+    retrain_semdedup_state(spark, gen0, cents, gen1)
+    swap_current_state(base, gen1)
+    got1 = sorted(
+        map(
+            tuple,
+            read_semdedup_keep(spark, current_state_dir(base)).collect(),
+        )
+    )
+    ref1 = sorted(map(tuple, _sem_oneshot(spark, e, cents).collect()))
+    assert got1 == ref1 and len(got1) > 0 and got1 != got0
+
+
+def test_semdedup_write_io_batch_bounded(spark, tmp_path):
+    """Per-commit WRITE bytes stay batch-bounded for equal batches
+    while the corpus grows 6x (the fold family's trap-the-class law:
+    members appends are batch-sized by construction; label revisions
+    are bounded by fresh arrivals + losing-component members, never a
+    corpus rewrite)."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        update_semdedup_state,
+    )
+
+    sdir = str(tmp_path / "semdd")
+    per_commit = []
+    for b in range(6):
+        before = read_meta(sdir)
+        update_semdedup_state(
+            spark,
+            _knng_synth(spark, range(b * 20, (b + 1) * 20), b % 4),
+            sdir,
+            _KNNG_CENTS,
+            b,
+        )
+        after = read_meta(sdir)
+        bseg = before.get("segments", {}) if before else {}
+        written = 0
+        for t, segs in after["segments"].items():
+            for s in segs:
+                if s not in bseg.get(t, []):
+                    written += _dir_bytes(os.path.join(sdir, s))
+        per_commit.append(written)
+    assert max(per_commit[2:]) < 2.0 * per_commit[1], per_commit
+
+
+# ---------------------------------------------------------------------------
+# bm25_incremental — the maintained retrieval index
+# ---------------------------------------------------------------------------
+
+
+def _bm25_docs(spark, sf_dir):
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_bm25_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The maintained index's query read equals the one-shot
+    bm25_doc_search — the registry's mod-3 split AND a front/back
+    split read with pruning forced (stream == batch + order
+    invariance + the pruned read is exact)."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        read_bm25_search,
+        update_retrieval_state,
+    )
+
+    ref = sorted(
+        map(tuple, REGISTRY["bm25_doc_search"].fn(spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(tuple, REGISTRY["bm25_incremental"].fn(spark, sf_dir).collect())
+    )
+    assert got == ref and len(ref) > 0
+
+    docs = _bm25_docs(spark, sf_dir)
+    mid = 250
+    sdir = str(tmp_path / "bm25-fb")
+    for i, part in enumerate(
+        (F.col("doc_id") >= mid, F.col("doc_id") < mid)
+    ):
+        update_retrieval_state(
+            spark, docs.where(part), sdir, batch_id=i
+        )
+    got_fb = sorted(
+        map(
+            tuple,
+            read_bm25_search(
+                spark, sdir, BM25_TERMS, prune_min_bytes=0
+            ).collect(),
+        )
+    )
+    assert got_fb == ref
+
+
+def test_bm25_replay_idempotence(spark, sf_dir, tmp_path):
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        read_bm25_search,
+        update_retrieval_state,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    sdir = str(tmp_path / "bm25-replay")
+    for i in range(2):
+        update_retrieval_state(
+            spark, docs.where(F.col("doc_id") % 2 == i), sdir, batch_id=i
+        )
+    before = sorted(
+        map(tuple, read_bm25_search(spark, sdir, BM25_TERMS).collect())
+    )
+    update_retrieval_state(
+        spark, docs.where(F.col("doc_id") % 2 == 1), sdir, batch_id=1
+    )
+    after = sorted(
+        map(tuple, read_bm25_search(spark, sdir, BM25_TERMS).collect())
+    )
+    assert before == after
+
+
+def test_bm25_pruned_read_touches_term_buckets_only(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """With pruning forced, the query read's postings filter admits at
+    most one bucket per query term — per-query read IO tracks the
+    QUERY, not the vocabulary."""
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming import (
+        retrieval_maintenance as rm,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    sdir = str(tmp_path / "bm25-prune")
+    rm.update_retrieval_state(spark, docs, sdir, batch_id=0)
+    filters = {}
+    real = rm.read_state_table
+
+    def spy(spark_, sd, name, partition_filter=None):
+        filters[name] = partition_filter
+        return real(spark_, sd, name, partition_filter=partition_filter)
+
+    monkeypatch.setattr(rm, "read_state_table", spy)
+    rm.read_bm25_search(
+        spark, sdir, BM25_TERMS, prune_min_bytes=0
+    ).collect()
+    assert filters["postings"] is not None
+    assert set(filters["postings"]) == {"tbucket"}
+    assert 0 < len(filters["postings"]["tbucket"]) <= len(BM25_TERMS)
+
+
+def test_bm25_write_io_batch_bounded(spark, sf_dir, tmp_path):
+    """Per-commit WRITE bytes stay batch-bounded for equal batches
+    while the index grows 6x — the additive fold never rewrites."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        read_meta,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        update_retrieval_state,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    sdir = str(tmp_path / "bm25-io")
+    per_commit = []
+    for b in range(6):
+        before = read_meta(sdir)
+        update_retrieval_state(
+            spark, docs.where(F.col("doc_id") % 6 == b), sdir, batch_id=b
+        )
+        after = read_meta(sdir)
+        bseg = before.get("segments", {}) if before else {}
+        written = 0
+        for t, segs in after["segments"].items():
+            for s in segs:
+                if s not in bseg.get(t, []):
+                    written += _dir_bytes(os.path.join(sdir, s))
+        per_commit.append(written)
+    assert max(per_commit[1:]) < 2.0 * per_commit[0], per_commit
+
+
+def test_bm25_rebucket_identity_and_format_guard(
+    spark, sf_dir, tmp_path
+):
+    import pytest as _pytest
+
+    from stock_trend_predictor_spark.operators.statestore import (
+        commit_state,
+        read_meta,
+    )
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        read_bm25_search,
+        rebucket_retrieval_state,
+        update_retrieval_state,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    ref_dir = str(tmp_path / "ref")
+    reb_dir = str(tmp_path / "reb")
+    parts = [F.col("doc_id") % 3 == i for i in range(3)]
+    for i, part in enumerate(parts):
+        update_retrieval_state(
+            spark, docs.where(part), ref_dir, batch_id=i, n_buckets=8
+        )
+    for i, part in enumerate(parts[:2]):
+        update_retrieval_state(
+            spark, docs.where(part), reb_dir, batch_id=i, n_buckets=8
+        )
+    assert rebucket_retrieval_state(spark, reb_dir, 32)
+    assert read_meta(reb_dir)["app"]["n_index_buckets"] == 32
+    update_retrieval_state(
+        spark, docs.where(parts[2]), reb_dir, batch_id=2
+    )
+    a = sorted(
+        map(
+            tuple,
+            read_bm25_search(
+                spark, ref_dir, BM25_TERMS, prune_min_bytes=0
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            read_bm25_search(
+                spark, reb_dir, BM25_TERMS, prune_min_bytes=0
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+    wrong = str(tmp_path / "bm25-wrongfmt")
+    commit_state(
+        wrong,
+        {},
+        batch_id=0,
+        appends={
+            "postings": spark.createDataFrame([(1,)], "doc_id long")
+        },
+        app_meta={"retrieval_format": 99},
+    )
+    with _pytest.raises(RuntimeError, match="fold format v99"):
+        update_retrieval_state(
+            spark, docs.limit(3), wrong, batch_id=1
+        )
+    unstamped = str(tmp_path / "bm25-unstamped")
+    commit_state(
+        unstamped,
+        {},
+        batch_id=0,
+        appends={"stats": spark.createDataFrame([(1,)], "n_delta long")},
+    )
+    with _pytest.raises(RuntimeError, match="unstamped"):
+        update_retrieval_state(
+            spark, docs.limit(3), unstamped, batch_id=1
+        )

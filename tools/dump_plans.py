@@ -88,6 +88,8 @@ QUERIES = [
     # round-6 additions: the tiny-cardinality-partition rewrites
     ("stratified_hash_sample", "bucket-pruned prefix scan: offsets filtered to < top_k before the broadcast join; window partitioned by (source, md5-prefix), never source alone"),
     ("weighted_doc_sample", "priority-bucketed prefix scan with top_k prune; no lang-only window over the corpus"),
+    ("gopher_repetition_flags", "ONE posexplode + one doc-keyed window pass for offsets and all nine gram arities; count/interval windows on (doc,n[,gram]) keys that scale with the corpus; no Python"),
+    ("bm25_incremental", "query read: postings pruned to the query terms' buckets; stats collapse to one broadcast row; TakeOrderedAndProject top-20"),
 ]
 
 
