@@ -227,14 +227,17 @@ def read_bm25_search(
         return None
     p = int(meta.get("app", {}).get("n_index_buckets", N_INDEX_BUCKETS))
     if _state_bytes(state_dir, meta, "postings") >= prune_min_bytes:
+        # one tiny driver job for ALL query terms (xxhash64 is
+        # JVM-side, so the bucket ids come from a |terms|-row frame)
         buckets = sorted(
             {
-                int(
-                    spark.createDataFrame(
-                        [(t,)], "token string"
-                    ).select(_t_bucket(p).alias("b")).first()["b"]
+                r["b"]
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "token string"
                 )
-                for t in terms
+                .select(_t_bucket(p).alias("b"))
+                .distinct()
+                .collect()
             }
         )
         t_filter = {"tbucket": buckets}

@@ -1,0 +1,235 @@
+"""Steady-state fold measurement: the cost of folding ONE small batch
+into an EXISTING index, at 1x vs 30x index size — the number the
+birth rows (SCALE.md's whole-corpus re-folds) cannot show and the
+fold family's central claim: per-batch cost tracks the BATCH, not the
+index.
+
+For each round-8 fold (maintained SemDeDup, kNN graph, BM25 index),
+this builds the fold state over /root/testdata/sf0.1 and over the
+tools/scaleup.py 30x replica dir (build once, excluded from timing),
+then times ONE fold of the SAME fixed 16-item batch into each and
+reports the commit's write bytes (META segment diff — the write-IO
+law's method). The batch items are real corpus items with remapped
+ids, so they are near-duplicates of existing content and exercise the
+merge paths (label revisions / toplist revisions), not just appends.
+
+Usage:
+    python tools/scaleup.py build        # once per box boot
+    python tools/steady_bench.py         # prints the markdown table
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SCALEUP_DST", "/tmp/scaleup30")
+BATCH = 16
+NEW_ID_BASE = 10**14
+
+
+def _get_spark():
+    from stock_trend_predictor_spark import get_spark
+
+    spark = get_spark(
+        app_name="steady-bench",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _dir_bytes(p: str) -> int:
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _commit_bytes(state_dir: str, before: dict | None, after: dict) -> int:
+    bseg = before.get("segments", {}) if before else {}
+    written = 0
+    for t, segs in after.get("segments", {}).items():
+        for s in segs:
+            if s not in bseg.get(t, []):
+                written += _dir_bytes(os.path.join(state_dir, s))
+    return written
+
+
+def _vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.similarity import as_double
+    from stock_trend_predictor_spark.sources.tables import (
+        load_table,
+        materialize_once,
+    )
+
+    return materialize_once(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+
+
+def _cents_for(spark, e):
+    from stock_trend_predictor_spark.operators.ivf import kmeans_centroids
+    from stock_trend_predictor_spark.operators.similarity import l2norm
+    from pyspark.sql import functions as F
+
+    en = e.withColumn("nrm", l2norm(F.col("v")))
+    n = en.count()
+    k = max(8, n // 500)
+    sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+    return kmeans_centroids(
+        en, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+    )
+
+
+def _probe_batch_vectors(spark, src_e):
+    """16 real source vectors under fresh ids — near-dups of folded
+    content, so merges fire."""
+    from pyspark.sql import functions as F
+
+    return (
+        src_e.orderBy("vec_id")
+        .limit(BATCH)
+        .select(
+            (F.col("vec_id") + F.lit(NEW_ID_BASE)).alias("vec_id"), "v"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _probe_batch_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.sources.tables import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(BATCH)
+        .select(
+            (F.col("doc_id") + F.lit(NEW_ID_BASE)).alias("doc_id"), "text"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _one_cell(fold_name: str, tag: str, sf_dir: str):
+    """One (fold, index-scale) measurement in its OWN SparkSession —
+    the fold builds localCheckpoint blocks that nothing unpersists,
+    so six builds in one 16g JVM OOM; per-cell sessions keep each
+    build's footprint isolated (and the timed +16 fold still runs
+    warm inside its cell's session)."""
+    from pyspark.sql import functions as F
+
+    from stock_trend_predictor_spark.operators.statestore import read_meta
+    from stock_trend_predictor_spark.sources.tables import load_table
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        update_knngraph_state,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        update_retrieval_state,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        update_semdedup_state,
+    )
+
+    spark = _get_spark()
+    try:
+        sdir = f"/tmp/steady-{fold_name}-{tag}"
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
+        if fold_name in ("semdedup", "knngraph"):
+            e = _vectors(spark, sf_dir)
+            cents = _cents_for(spark, e)
+            upd = (
+                update_semdedup_state
+                if fold_name == "semdedup"
+                else update_knngraph_state
+            )
+            # build (untimed): the whole corpus in 3 batches
+            for i in range(3):
+                upd(
+                    spark,
+                    e.where(F.col("vec_id") % 3 == i).select(
+                        "vec_id", "v"
+                    ),
+                    sdir,
+                    cents,
+                    batch_id=i,
+                )
+            batch = _probe_batch_vectors(spark, e)
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            upd(spark, batch, sdir, cents, batch_id=3)
+            wall = time.perf_counter() - t0
+        else:
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            for i in range(3):
+                update_retrieval_state(
+                    spark,
+                    docs.where(F.col("doc_id") % 3 == i),
+                    sdir,
+                    batch_id=i,
+                )
+            batch = _probe_batch_docs(spark, sf_dir)
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_retrieval_state(spark, batch, sdir, batch_id=3)
+            wall = time.perf_counter() - t0
+        after = read_meta(sdir)
+        written = _commit_bytes(sdir, before, after)
+        state = _dir_bytes(sdir)
+        print(
+            f"# {fold_name} {tag}: wall={wall:.2f}s"
+            f" commit={written / 1024:.0f}KB state={state / 2**20:.1f}MB",
+            flush=True,
+        )
+        return wall, written, state
+    finally:
+        spark.stop()
+
+
+def measure() -> None:
+    rows = []
+    for fold_name in ("semdedup", "knngraph", "bm25"):
+        cells = [
+            _one_cell(fold_name, tag, sf_dir)
+            for tag, sf_dir in (("1x", SRC), ("30x", DST))
+        ]
+        (w1, b1, s1), (w30, b30, s30) = cells
+        rows.append(
+            f"| {fold_name} | {w1:.2f} | {w30:.2f} | {w30 / w1:.2f}x |"
+            f" {b1 / 1024:.0f} | {b30 / 1024:.0f} |"
+            f" {s1 / 2**20:.1f} | {s30 / 2**20:.1f} |"
+        )
+    print(
+        "| fold | +16 fold 1x (s) | +16 fold 30x (s) | wall ratio |"
+        " commit KB 1x | commit KB 30x | state MB 1x | state MB 30x |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    measure()
