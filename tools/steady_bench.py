@@ -4,7 +4,8 @@ birth rows (SCALE.md's whole-corpus re-folds) cannot show and the
 fold family's central claim: per-batch cost tracks the BATCH, not the
 index.
 
-For each round-8 fold (maintained SemDeDup, kNN graph, BM25 index),
+For each maintained fold (near-dup, decontamination, SemDeDup,
+kNN graph, BM25 index),
 this builds the fold state over /root/testdata/sf0.1 and over the
 tools/scaleup.py 30x replica dir (build once, excluded from timing),
 then times ONE fold of the SAME fixed 16-item batch into each and
@@ -150,6 +151,15 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
         update_semdedup_state,
     )
 
+    from stock_trend_predictor_spark.operators import dedup as D
+    from stock_trend_predictor_spark.streaming.decon_maintenance import (
+        update_decon_bench,
+        update_decon_docs,
+    )
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        update_neardup_state,
+    )
+
     spark = _get_spark()
     try:
         sdir = f"/tmp/steady-{fold_name}-{tag}"
@@ -180,6 +190,54 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
             t0 = time.perf_counter()
             upd(spark, batch, sdir, cents, batch_id=3)
             wall = time.perf_counter() - t0
+        elif fold_name == "neardup":
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            sh = D.with_shingle_hashes(docs).select("doc_id", "hs")
+            for i in range(3):
+                update_neardup_state(
+                    spark,
+                    sh.where(F.col("doc_id") % 3 == i),
+                    sdir,
+                    batch_id=i,
+                )
+            batch = D.with_shingle_hashes(
+                _probe_batch_docs(spark, sf_dir)
+            ).select("doc_id", "hs").localCheckpoint(eager=True)
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_neardup_state(spark, batch, sdir, batch_id=3)
+            wall = time.perf_counter() - t0
+        elif fold_name == "decon":
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            corpus = docs.where(F.col("doc_id") % 10**9 >= 5)
+            update_decon_docs(
+                spark,
+                corpus.where(F.col("doc_id") % 2 == 0),
+                sdir,
+                batch_id=0,
+            )
+            # the registry arrival order: the suite lands mid-corpus
+            update_decon_bench(
+                spark,
+                docs.where(F.col("doc_id") % 10**9 < 5),
+                sdir,
+                batch_id=1,
+            )
+            update_decon_docs(
+                spark,
+                corpus.where(F.col("doc_id") % 2 == 1),
+                sdir,
+                batch_id=2,
+            )
+            batch = _probe_batch_docs(spark, sf_dir)
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_decon_docs(spark, batch, sdir, batch_id=3)
+            wall = time.perf_counter() - t0
         else:
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text"
@@ -209,9 +267,12 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
         spark.stop()
 
 
-def measure() -> None:
+FOLDS = ("neardup", "decon", "semdedup", "knngraph", "bm25")
+
+
+def measure(folds=FOLDS) -> None:
     rows = []
-    for fold_name in ("semdedup", "knngraph", "bm25"):
+    for fold_name in folds:
         cells = [
             _one_cell(fold_name, tag, sf_dir)
             for tag, sf_dir in (("1x", SRC), ("30x", DST))
@@ -232,4 +293,4 @@ def measure() -> None:
 
 
 if __name__ == "__main__":
-    measure()
+    measure(tuple(sys.argv[1:]) or FOLDS)
