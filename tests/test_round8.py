@@ -1941,3 +1941,40 @@ def test_bm25_rebucket_identity_and_format_guard(
         update_retrieval_state(
             spark, docs.limit(3), unstamped, batch_id=1
         )
+
+
+def test_bm25_compaction_read_identity(spark, sf_dir, tmp_path):
+    """compact_every OPTIMIZEs the append tables (postings re-bucketed
+    on tbucket) without changing any read — compacted fold == plain
+    fold == the one-shot."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        read_bm25_search,
+        update_retrieval_state,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    sdir = str(tmp_path / "bm25-compact")
+    for i in range(3):
+        update_retrieval_state(
+            spark,
+            docs.where(F.col("doc_id") % 3 == i),
+            sdir,
+            batch_id=i,
+            compact_every=1,
+        )
+    got = sorted(
+        map(
+            tuple,
+            read_bm25_search(
+                spark, sdir, BM25_TERMS, prune_min_bytes=0
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(tuple, REGISTRY["bm25_doc_search"].fn(spark, sf_dir).collect())
+    )
+    assert got == ref and len(got) > 0
