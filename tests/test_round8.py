@@ -1978,3 +1978,127 @@ def test_bm25_compaction_read_identity(spark, sf_dir, tmp_path):
         map(tuple, REGISTRY["bm25_doc_search"].fn(spark, sf_dir).collect())
     )
     assert got == ref and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# writeStream sink wrappers — the family's law 4 (real availableNow
+# file stream == one-shot), previously pinned only for the near-dup fold
+# ---------------------------------------------------------------------------
+
+
+def _staged_stream_dir(spark, tmp_path, df, schema, key):
+    """Three mod-3 batch files with increasing mtimes so the
+    maxFilesPerTrigger=1 stream delivers them in arrival order."""
+    import glob as _glob
+    import time as _time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        df.where(F.col(key) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}.parquet"))
+        (f,) = _glob.glob(str(src / f"b{i}.parquet" / "*.parquet"))
+        dst = src / f"batch_{i}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_semdedup_sink_end_to_end(spark, sf_dir, tmp_path):
+    """A real availableNow vector stream through
+    semdedup_maintenance_sink equals the one-shot keep decision."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        read_semdedup_keep,
+        semdedup_maintenance_sink,
+    )
+
+    e, cents = _sem_inputs(spark, sf_dir)
+    stream = _staged_stream_dir(
+        spark,
+        tmp_path,
+        e.select("vec_id", "v"),
+        "vec_id long, v array<double>",
+        "vec_id",
+    )
+    sdir = str(tmp_path / "state")
+    q = semdedup_maintenance_sink(
+        stream, sdir, checkpoint=str(tmp_path / "ckpt"), centroids=cents
+    )
+    q.awaitTermination(240)
+    got = sorted(map(tuple, read_semdedup_keep(spark, sdir).collect()))
+    ref = sorted(
+        map(
+            tuple,
+            REGISTRY["semdedup_keep_decision"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_knngraph_sink_end_to_end(spark, sf_dir, tmp_path):
+    """A real availableNow vector stream through
+    knngraph_maintenance_sink equals the one-shot graph."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.streaming.knngraph_maintenance import (
+        knngraph_maintenance_sink,
+        read_knn_graph,
+    )
+
+    e, cents = _knng_inputs(spark, sf_dir)
+    stream = _staged_stream_dir(
+        spark,
+        tmp_path,
+        e.select("vec_id", "v"),
+        "vec_id long, v array<double>",
+        "vec_id",
+    )
+    sdir = str(tmp_path / "state")
+    q = knngraph_maintenance_sink(
+        stream, sdir, checkpoint=str(tmp_path / "ckpt"), centroids=cents
+    )
+    q.awaitTermination(240)
+    got = sorted(map(tuple, read_knn_graph(spark, sdir).collect()))
+    ref = sorted(
+        map(tuple, REGISTRY["knn_graph_ivf"].fn(spark, sf_dir).collect())
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_bm25_sink_end_to_end(spark, sf_dir, tmp_path):
+    """A real availableNow document stream through
+    retrieval_maintenance_sink serves the one-shot BM25 ranking."""
+    from stock_trend_predictor_spark.plans.registry import REGISTRY
+    from stock_trend_predictor_spark.plans.summary_queries import (
+        BM25_TERMS,
+    )
+    from stock_trend_predictor_spark.streaming.retrieval_maintenance import (
+        read_bm25_search,
+        retrieval_maintenance_sink,
+    )
+
+    docs = _bm25_docs(spark, sf_dir)
+    stream = _staged_stream_dir(
+        spark, tmp_path, docs, "doc_id long, text string", "doc_id"
+    )
+    sdir = str(tmp_path / "state")
+    q = retrieval_maintenance_sink(
+        stream, sdir, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+    got = sorted(
+        map(
+            tuple,
+            read_bm25_search(spark, sdir, BM25_TERMS).collect(),
+        )
+    )
+    ref = sorted(
+        map(tuple, REGISTRY["bm25_doc_search"].fn(spark, sf_dir).collect())
+    )
+    assert got == ref and len(got) > 0
