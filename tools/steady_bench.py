@@ -4,8 +4,8 @@ birth rows (SCALE.md's whole-corpus re-folds) cannot show and the
 fold family's central claim: per-batch cost tracks the BATCH, not the
 index.
 
-For each maintained fold (near-dup, decontamination, SemDeDup,
-kNN graph, BM25 index),
+For each maintained fold (near-dup, decontamination, DSIR, budget
+admission, SemDeDup, kNN graph, BM25 index — the complete family),
 this builds the fold state over /root/testdata/sf0.1 and over the
 tools/scaleup.py 30x replica dir (build once, excluded from timing),
 then times ONE fold of the SAME fixed 16-item batch into each and
@@ -209,6 +209,75 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
             t0 = time.perf_counter()
             update_neardup_state(spark, batch, sdir, batch_id=3)
             wall = time.perf_counter() - t0
+        elif fold_name == "dsir":
+            from stock_trend_predictor_spark.streaming.dsir_maintenance import (
+                update_dsir_state,
+            )
+
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang"
+            )
+            for i in range(3):
+                update_dsir_state(
+                    spark,
+                    docs.where(F.col("doc_id") % 3 == i),
+                    sdir,
+                    batch_id=i,
+                )
+            batch = (
+                load_table(spark, sf_dir, "documents")
+                .orderBy("doc_id")
+                .limit(BATCH)
+                .select(
+                    (F.col("doc_id") + F.lit(NEW_ID_BASE)).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                    "lang",
+                )
+                .localCheckpoint(eager=True)
+            )
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_dsir_state(spark, batch, sdir, batch_id=3)
+            wall = time.perf_counter() - t0
+        elif fold_name == "budget":
+            from stock_trend_predictor_spark.streaming.budget import (
+                update_budget_state,
+            )
+
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            )
+            # budget never exhausts: the steady cost measured is the
+            # fold machinery, not the reject fast-path
+            for i in range(3):
+                update_budget_state(
+                    spark,
+                    docs.where(F.col("doc_id") % 3 == i),
+                    sdir,
+                    budget=10**12,
+                    batch_id=i,
+                )
+            batch = (
+                load_table(spark, sf_dir, "documents")
+                .orderBy("doc_id")
+                .limit(BATCH)
+                .select(
+                    (F.col("doc_id") + F.lit(NEW_ID_BASE)).alias(
+                        "doc_id"
+                    ),
+                    "source",
+                    "text",
+                )
+                .localCheckpoint(eager=True)
+            )
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_budget_state(
+                spark, batch, sdir, budget=10**12, batch_id=3
+            )
+            wall = time.perf_counter() - t0
         elif fold_name == "decon":
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text"
@@ -267,7 +336,7 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
         spark.stop()
 
 
-FOLDS = ("neardup", "decon", "semdedup", "knngraph", "bm25")
+FOLDS = ("neardup", "decon", "dsir", "budget", "semdedup", "knngraph", "bm25")
 
 
 def measure(folds=FOLDS) -> None:
