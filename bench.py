@@ -119,6 +119,23 @@ HEADLINE = [
     "bm25_incremental",          # maintained retrieval index (additive fold)
 ]
 
+#: THIS round's additions — the only queries whose per-query values
+#: ride in the COMPACT line (r8 verdict #5: the full per-query map
+#: outgrew the driver's ~1.9 KB stdout tail window at 59 entries; it
+#: now lives only in the full first line + BENCH_DETAIL.json, both
+#: committed). Roll these into HEADLINE proper next round and refill
+#: with that round's newcomers.
+ROUND_NEW = [
+    "curation_manifest_incremental",  # composed 5-fold keep manifest
+    "phash_incremental_pairs",   # maintained multimodal phash fold
+]
+HEADLINE += ROUND_NEW
+
+#: the continuity set: the original 16 queries, frozen since round 2
+#: — their sum is the cross-round box-comparable series the compact
+#: line must always carry.
+FROZEN16 = HEADLINE[:16]
+
 
 def _drift_canary(sf_dir: str) -> dict | None:
     """Run the FIXED 3-query canary from the PINNED git tree
@@ -483,21 +500,36 @@ def main() -> None:
         # whole seconds past 100: a 100+s sf0.1 headline value is
         # itself the signal, the tenths are noise — and the widest
         # sane per-query rendering drops from 5 B ("999.9") to 4
-        # ("99.9"), which is what keeps the 59-query compact line
-        # inside the driver's tail window (the guard test models
-        # exactly this renderer)
-        return round(v, 1) if v < 100 else int(round(v))
+        # ("99.9"). Round FIRST, then branch: v in [99.95, 100)
+        # rounds to 100.0 and must render as the int (r8 ADVICE —
+        # the boundary rendering otherwise exceeds the 4-byte bound
+        # the tail-window guard test models).
+        r = round(v, 1)
+        return r if r < 100 else int(round(v))
 
+    # COMPACT line restructure (r8 verdict #5): the full per-query
+    # map at 59+ entries outgrew the driver's ~1.9 KB tail window, so
+    # the compact "queries" now carries ONLY this round's new entries
+    # (their first-ever series values — the thing the round artifact
+    # must not lose), plus the two cross-round continuity numbers:
+    # the grand total and the frozen-16 sum. The full map stays in
+    # the first (detail) line and BENCH_DETAIL.json, both committed.
     compact = {
         "metric": "headline_queries_total",
         "value": total,
-        "queries": {k: _cv(v) for k, v in timings.items()},
+        "queries": {
+            k: _cv(timings[k]) for k in ROUND_NEW if k in timings
+        },
+        "n_queries": len(timings),
+        "frozen16": round(sum(timings[q] for q in FROZEN16), 2),
         "sf": sf,
         # box-speed normalizers bracketing the timed window
         # (pre != post self-diagnoses intra-run drift); "resampled" =
-        # how many suspect queries got the one re-run (names +
-        # both samples in the detail artifacts). 2dp: the ratio's
-        # third decimal is under the canary's own sampling noise.
+        # how many suspect queries got the one re-run. 2dp: the
+        # ratio's third decimal is under the canary's own sampling
+        # noise. Suspect NAMES ride along (usually empty; capped so
+        # a pathological round cannot blow the window — full
+        # per-suspect evidence is in the detail artifacts).
         "drift": [
             r if r is None else round(r, 2)
             for r in (
@@ -506,6 +538,7 @@ def main() -> None:
             )
         ],
         "resampled": len(suspects),
+        "suspects": sorted(suspects)[:6],
     }
     # compact separators: no space after ':'/',' — ~2 B per query of
     # tail-window headroom, and any JSON parser reads it the same

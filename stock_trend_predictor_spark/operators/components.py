@@ -52,6 +52,10 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
     und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node"))
@@ -59,6 +63,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_cp = labels
     for _ in range(max_iter):
         # min label among each node's neighbors
         neighbor_min = (
@@ -83,8 +88,17 @@ def connected_components(
         )
         changed = updated.where(F.col("_changed")).limit(1).count()
         labels = updated.select("node", "component")
+        # the superseded round's blocks are dead once the next round
+        # is materialized — release them so an iterative call inside a
+        # long-running fold sink holds at most ONE round of storage
+        release_local_checkpoints(prev_cp)
+        prev_cp = updated
         if changed == 0:
             break
+    release_local_checkpoints(und)
+    # the FINAL round's frame backs the returned labels and stays
+    # persisted — callers release it via the returned df (its plan
+    # reaches the same LogicalRDD leaf) after their last action
     return labels
 
 

@@ -52,14 +52,19 @@ _COS_SQL = (
 )
 
 
-def _lloyd_ctes_sql(k_sql: str, iters: int = 3) -> str:
+def _lloyd_ctes_sql(k_sql: str, iters: int = 3, train_where: str = "") -> str:
     """CTE chain replaying kmeans_centroids(iters) on `embeddings`:
     seeds = k lowest vec_ids, assignment = argmin(dist, tie lowest
     cid), update = decimal-exact per-(cell, dim) mean, empty cells
     keep their previous centroid. Defines e(vec_id, v) and
     c{iters}(cid, c). MATERIALIZED: a recursive CTE downstream would
     otherwise re-run the whole Lloyd pipeline every iteration
-    (measured 25 s -> 3.7 s at sf0.1)."""
+    (measured 25 s -> 3.7 s at sf0.1). ``train_where`` (a full WHERE
+    clause) restricts the TRAINING view — seeds and updates come from
+    the filtered slice, ``e`` stays the whole table for downstream
+    consumers (the ann_ivf_maintained replay trains on the even-id
+    first batch, the sample-trained kmeans_centroids shape)."""
+    src = "(SELECT * FROM e {w}) e".format(w=train_where) if train_where else "e"
     parts = [
         f"""
 e AS MATERIALIZED (
@@ -68,11 +73,11 @@ e AS MATERIALIZED (
     -- single-row by construction: a literal k_sql would otherwise
     -- yield one row per embedding and the downstream scalar
     -- subqueries would lean on DuckDB tolerating multi-row scalars
-    SELECT {k_sql} AS k FROM e LIMIT 1
+    SELECT {k_sql} AS k FROM {src} LIMIT 1
 ), c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            v AS c
-    FROM e
+    FROM {src}
     QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM params)
 )"""
     ]
@@ -85,7 +90,7 @@ a{it} AS (
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY {_DIST_SQL}, c.cid) AS rn
-        FROM e CROSS JOIN c{it - 1} c
+        FROM {src} CROSS JOIN c{it - 1} c
     ) WHERE rn = 1
 ), c{it} AS (
     SELECT p.cid, COALESCE(m.c, p.c) AS c
@@ -1485,7 +1490,16 @@ WHERE {jaccard_raw} >= 0.5
                 batch_id=i,
                 maintain_clusters=False,
             )
-        return read_neardup_pairs(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        # pin the read, then drop the throwaway state dir (r8 ADVICE:
+        # per-pid dirs wiped only on same-pid re-entry leak across
+        # processes and pile up in /tmp over repeated sweeps)
+        return materialize_then_cleanup(
+            read_neardup_pairs(spark, state_dir), state_dir
+        )
 
 
 _register_r6()
@@ -1590,7 +1604,13 @@ FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
                 docs.where(F.col("doc_id") % 3 == i)
             ).select("doc_id", "hs")
             update_neardup_state(spark, batch, state_dir, batch_id=i)
-        return read_neardup_clusters(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_neardup_clusters(spark, state_dir), state_dir
+        )
 
 
 _register_r6b()
@@ -1870,7 +1890,13 @@ def _register_r7c():
         update_decon_bench(
             spark, docs.where(F.col("doc_id") < 5), state_dir, 2
         )
-        return read_contamination(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_contamination(spark, state_dir), state_dir
+        )
 
 
 _register_r7c()
@@ -1962,7 +1988,13 @@ def _register_r8():
                 cents,
                 batch_id=i,
             )
-        return read_knn_graph(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_knn_graph(spark, state_dir), state_dir
+        )
 
 
 _register_r8()
@@ -2031,7 +2063,13 @@ def _register_r8b():
         update_decon_docs(
             spark, corpus.where(F.col("doc_id") % 2 == 1), state_dir, 2
         )
-        return read_decon_scores(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_decon_scores(spark, state_dir), state_dir
+        )
 
 
 _register_r8b()
@@ -2126,7 +2164,13 @@ def _register_r8c():
         gen1 = os.path.join(base, "gen1")
         retrain_knngraph_state(spark, gen0, fresh, gen1)
         swap_current_state(base, gen1)
-        return read_knn_graph(spark, current_state_dir(base))
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_knn_graph(spark, current_state_dir(base)), base
+        )
 
 
 _register_r8c()
@@ -2222,7 +2266,13 @@ def _register_r8d():
                 cents,
                 batch_id=i,
             )
-        return read_semdedup_keep(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            read_semdedup_keep(spark, state_dir), state_dir
+        )
 
 
 _register_r8d()

@@ -720,7 +720,16 @@ FROM c WHERE cum <= (SELECT budget FROM b)
             update_budget_state(
                 spark, part, state_dir, budget=int(budget), batch_id=i
             )
-        return read_admitted_docs(spark, state_dir)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        # pin the read, then drop the throwaway state dir (r8 ADVICE:
+        # per-pid dirs wiped only on same-pid re-entry leak across
+        # processes and pile up in /tmp over repeated sweeps)
+        return materialize_then_cleanup(
+            read_admitted_docs(spark, state_dir), state_dir
+        )
 
 
 _register_r5c()
@@ -984,11 +993,18 @@ def _register_r6c():
             )
         per_doc = read_dsir_weights(spark, state_dir)
         lw = stable_round(F.col("__s"), 6)
-        return per_doc.select(
-            "doc_id",
-            "n_feats",
-            lw.alias("log_weight"),
-            (lw > 0).alias("kept"),
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            per_doc.select(
+                "doc_id",
+                "n_feats",
+                lw.alias("log_weight"),
+                (lw > 0).alias("kept"),
+            ),
+            state_dir,
         )
 
 
@@ -1177,11 +1193,18 @@ FROM per_doc
             ),
         )
         lw = stable_round(F.col("__s"), 6)
-        return per_doc.select(
-            "doc_id",
-            "n_feats",
-            lw.alias("log_weight"),
-            (lw > 0).alias("kept"),
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        return materialize_then_cleanup(
+            per_doc.select(
+                "doc_id",
+                "n_feats",
+                lw.alias("log_weight"),
+                (lw > 0).alias("kept"),
+            ),
+            state_dir,
         )
 
 

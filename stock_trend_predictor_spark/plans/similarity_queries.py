@@ -172,9 +172,60 @@ FROM ranked WHERE rank <= 10
             "rank",
         )
 
+    # r8 verdict #4: the IVF search runs on the decimal-deterministic
+    # quantizer (operators/ivf.kmeans_centroids), the exact property
+    # that let knn_graph_ivf ship a full value-hash oracle — the
+    # BLOCKING is the spec and DuckDB replays it: even-iterations
+    # Lloyd (seeds = 16 lowest ids), corpus assignment = argmin with
+    # lowest-cid ties, query probes = 2 nearest centroids, exact
+    # cosine top-10 ranked on the RAW sim (rounding only at output,
+    # like knn_bruteforce_cosine).
+    from stock_trend_predictor_spark.plans.dedup_queries import (
+        _DIST_SQL,
+        _lloyd_ctes_sql,
+    )
+
+    _ivf_cos = (
+        "list_inner_product(q.v, n.v) / "
+        "(sqrt(list_inner_product(q.v, q.v)) * "
+        "sqrt(list_inner_product(n.v, n.v)))"
+    )
+
     @register(
         "ann_ivf_cosine",
-        oracle=None,  # approximate by design; recall-tested vs brute force
+        oracle=f"""
+WITH {_lloyd_ctes_sql('16', 2)},
+asg AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM e CROSS JOIN c2 c
+    ) WHERE rn = 1
+), qp AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 8) e CROSS JOIN c2 c
+    ) WHERE rn <= 2
+), scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {_ivf_cos} AS sim
+    FROM qp q JOIN asg n
+      ON n.cid = q.cid AND n.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {stable_round_sql('sim', 6)} AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
         doc="IVF approximate top-10 — the DECLARED ANN path: "
         "deterministic Lloyd's k-means coarse quantizer "
         "(DataFrame-native iterations — only the nlist x dim centroid "
@@ -184,9 +235,13 @@ FROM ranked WHERE rank <= 10
         "data-ADAPTIVE quantizer beats the data-oblivious LSH "
         "theoretical probe floor (~0.135) on this corpus. Probe cost "
         "~ nprobe/nlist of the corpus; at scale the cluster id "
-        "becomes the partition column so probes prune files. No SQL "
-        "oracle (approximate); recall + probe floors asserted in "
-        "tests/test_similarity.py.",
+        "becomes the partition column so probes prune files. FULL "
+        "value-hash oracle since r9 (r8 verdict #4): the decimal-"
+        "deterministic quantizer makes the blocking replayable, so "
+        "correctness is exact while recall vs brute force (asserted "
+        "in tests/test_similarity.py) stays the published quality "
+        "dial. Scale-9 decimal sums keep the replay bit-exact up to "
+        "~10^7 corpus rows per cell-dim — far past every oracle SF.",
     )
     def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         from stock_trend_predictor_spark.operators.ivf import ivf_topk
@@ -934,14 +989,89 @@ _register_retrieval_metrics()
 
 
 def _register_maintained_ivf():
+    from stock_trend_predictor_spark.plans.dedup_queries import (
+        _DIST_SQL,
+        _lloyd_ctes_sql,
+    )
     from stock_trend_predictor_spark.plans.registry import register
+
+    # r8 verdict #4: the maintained index is replayable end-to-end —
+    # the frozen trainer is even-id-trained decimal Lloyd (seeds = 16
+    # lowest EVEN ids), the folded per-cell sufficient stats are
+    # order-free DECIMAL(38,12) sums whose union over the two batches
+    # equals ONE decimal mean over the full corpus assigned under the
+    # frozen trainer (maintained_centroids' float(s)/n == DuckDB's
+    # CAST(decimal AS DOUBLE)/n, bit-equal while n*10^12 < 2^53 — the
+    # registry fn gates the oracle regime), and the serve path is
+    # ivf_topk under the refreshed centroids at nprobe=4.
+    _m_cos = (
+        "list_inner_product(q.v, n.v) / "
+        "(sqrt(list_inner_product(q.v, q.v)) * "
+        "sqrt(list_inner_product(n.v, n.v)))"
+    )
 
     @register(
         "ann_ivf_maintained",
-        oracle=None,  # float index maintained incrementally — no SQL
-        # oracle; fold laws (replay idempotence, stream==batch stats
-        # parity, numpy centroid replication) in tests/test_streaming.py
-        # and a recall@10 floor vs brute force in tests/test_similarity.py
+        oracle=f"""
+WITH {_lloyd_ctes_sql('16', 2, train_where='WHERE vec_id % 2 = 0')},
+a0 AS MATERIALIZED (
+    -- full-corpus assignment under the FROZEN first-batch trainer
+    -- (both folded batches use it; decimal sums are order-free, so
+    -- the union of batch stats == one corpus-wide aggregate)
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM e CROSS JOIN c2 c
+    ) WHERE rn = 1
+), cm AS MATERIALIZED (
+    -- maintained centroids: per-cell decimal mean of every folded
+    -- vector, seed centroid where no vector ever landed
+    SELECT p.cid, COALESCE(m.c, p.c) AS c
+    FROM c2 p LEFT JOIN (
+        SELECT cid, list(mu ORDER BY dim) AS c FROM (
+            SELECT cid, dim,
+                   CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*) AS mu
+            FROM (SELECT cid, unnest(v) AS x,
+                         unnest(range(1, len(v) + 1)) AS dim
+                  FROM a0)
+            GROUP BY cid, dim
+        ) GROUP BY cid
+    ) m ON m.cid = p.cid
+), am AS MATERIALIZED (
+    -- serve-time corpus assignment under the REFRESHED quantizer
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM e CROSS JOIN cm c
+    ) WHERE rn = 1
+), qp AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DIST_SQL}, c.cid) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 8) e CROSS JOIN cm c
+    ) WHERE rn <= 4
+), scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           {_m_cos} AS sim
+    FROM qp q JOIN am n
+      ON n.cid = q.cid AND n.vec_id != q.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {stable_round_sql('sim', 6)} AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
         doc="ANN search served from the CONTINUOUSLY MAINTAINED IVF "
         "index (streaming/ivf_maintenance.py, r4 verdict #7): the "
         "embeddings arrive as two micro-batches folded into the "
@@ -958,7 +1088,13 @@ def _register_maintained_ivf():
         "retrains, not a retrain replacement. State traffic per "
         "commit is k x d decimals regardless of corpus size; "
         "replayed batches are no-ops. Published recall alongside the "
-        "batch IVF in RECALL.json.",
+        "batch IVF in RECALL.json. FULL value-hash oracle since r9 "
+        "(r8 verdict #4): frozen-trainer assignment + order-free "
+        "decimal stats make the whole fold replayable; the oracle "
+        "regime is gated at 9000 corpus rows (DECIMAL(38,12)->DOUBLE "
+        "bit-equality needs n*10^12 < 2^53) — RuntimeError past it "
+        "under SPARK_GRAFT_ORACLE_RUN, same discipline as "
+        "knn_graph_ivf's sampled-Lloyd gate.",
     )
     def ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
@@ -978,6 +1114,14 @@ def _register_maintained_ivf():
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN"):
+            n = emb.count()
+            if n > 9000:
+                raise RuntimeError(
+                    f"ann_ivf_maintained oracle invalid past 9000 "
+                    f"corpus rows (n={n}): the DECIMAL(38,12)->DOUBLE "
+                    "cast bit-equality needs n*10^12 < 2^53"
+                )
         seed_view = emb.select(
             F.col("vec_id").alias("neighbor_id"),
             as_double("embedding").alias("cv"),
@@ -1011,6 +1155,10 @@ def _register_maintained_ivf():
         # would let ivf_topk train a fresh batch quantizer and publish
         # its ~1.0 recall as the MAINTAINED index's number
         assert cents is not None, "IVF maintenance state missing"
+        # cents is a collected driver-side model — the state dir has
+        # no further reader, so drop it now instead of leaking one
+        # per-pid copy per sweep into /tmp (r8 ADVICE)
+        shutil.rmtree(state_dir, ignore_errors=True)
         return ivf_topk(
             emb,
             emb.where(F.col("vec_id") < 8),

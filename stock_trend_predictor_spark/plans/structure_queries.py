@@ -520,3 +520,180 @@ FROM d, LATERAL (
 
 
 _register()
+
+
+def _register_r9_manifest():
+    from stock_trend_predictor_spark.plans.registry import REGISTRY, register
+
+    # The streaming curation capstone (r8 verdict #2): the composed
+    # verdict's oracle NESTS the constituent one-shots' oracles
+    # VERBATIM as scoped sub-CTEs — corpus_keep_decision's nesting
+    # pattern (plans/span_queries.py) lifted to the maintained-fold
+    # family. Each constituent fold is a pure function of the arrival
+    # set (its own shared-oracle law), and a deterministic CASE over
+    # pure signals is pure, so the composed manifest is too.
+    _nd = REGISTRY["neardup_incremental_clusters"].oracle
+    _sem = REGISTRY["semdedup_keep_decision"].oracle
+    _dec = REGISTRY["decontaminate_ngram_overlap"].oracle
+    _bud = REGISTRY["budget_admission_state"].oracle
+
+    @register(
+        "curation_manifest_incremental",
+        oracle=f"""
+WITH nd AS MATERIALIZED (
+{_nd}
+), sem AS MATERIALIZED (
+{_sem}
+), dec AS MATERIALIZED (
+{_dec}
+), bud AS MATERIALIZED (
+{_bud}
+), q AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS diversity
+    FROM documents
+)
+SELECT q.doc_id,
+       q.n_tokens,
+       {stable_round_sql('q.diversity', 6)} AS diversity,
+       nd.cluster AS nd_cluster,
+       COALESCE(sem.keep, TRUE) AS sem_keep,
+       dch.doc_id IS NOT NULL AS contaminated,
+       bud.doc_id IS NOT NULL AS admitted,
+       CASE WHEN q.n_tokens < 20 THEN 'drop_short'
+            WHEN q.diversity < 0.3 THEN 'drop_low_diversity'
+            WHEN q.doc_id != nd.cluster THEN 'drop_near_dup'
+            WHEN NOT COALESCE(sem.keep, TRUE) THEN 'drop_semantic_dup'
+            WHEN dch.doc_id IS NOT NULL THEN 'drop_contaminated'
+            WHEN bud.doc_id IS NULL THEN 'drop_over_budget'
+            ELSE 'keep' END AS decision
+FROM q
+JOIN nd ON nd.doc_id = q.doc_id
+LEFT JOIN sem ON sem.vec_id = q.doc_id
+LEFT JOIN (SELECT DISTINCT doc_id FROM dec) dch ON dch.doc_id = q.doc_id
+LEFT JOIN bud ON bud.doc_id = q.doc_id
+""",
+        doc="The STREAMING CURATION CAPSTONE: one continuously "
+        "maintained per-document keep manifest composing five "
+        "maintained folds under one base dir and one commit cadence "
+        "(streaming/manifest_maintenance.py) — arrival-time quality "
+        "gates, the near-dup fold's cluster labels, the SemDeDup "
+        "fold's component keepers (frozen flat-Lloyd quantizer), the "
+        "decon steady screen (bench suite = docs 0-4, registered "
+        "BEFORE the corpus arrives), and hard-frontier token-budget "
+        "admission (binding budget: half the mean per-source token "
+        "mass) — folded over three CONTIGUOUS doc_id-range batches "
+        "(arrival order = doc_id order, the budget constituent's "
+        "precondition; every other constituent is order-invariant). "
+        "The verdict CASE ranks drop_short < drop_low_diversity < "
+        "drop_near_dup < drop_semantic_dup < drop_contaminated < "
+        "drop_over_budget < keep, first match wins. Exercises fold "
+        "COMPOSITION (shared dirs, shared batch-id sequence, "
+        "manifest-last commit as the crash low-water mark) that no "
+        "single fold tests. Laws (stream == batch on two "
+        "order-preserving splits, prefix parity per batch, replay "
+        "idempotence incl. a partial-crash replay) in "
+        "tests/test_round9.py.",
+    )
+    def curation_manifest_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+        from stock_trend_predictor_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
+            l2norm,
+        )
+        from stock_trend_predictor_spark.sources.tables import (
+            materialize_once,
+        )
+        from stock_trend_predictor_spark.streaming.manifest_maintenance import (
+            read_curation_manifest,
+            update_manifest_bench,
+            update_manifest_state,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        e = materialize_once(
+            load_table(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("nrm", l2norm(F.col("v")))
+        )
+        n = e.count()
+        k = max(8, n // 500)
+        sample_mod = max(1, int(n // (k * 64))) if k > 64 else 1
+        # the SemDeDup constituent's oracle replays Lloyd UNSAMPLED
+        # (the semdedup_incremental regime gate, inherited verbatim)
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN") and sample_mod > 1:
+            raise RuntimeError(
+                f"curation_manifest_incremental oracle invalid in "
+                f"the sampled-Lloyd regime (n={n}, k={k}, "
+                f"sample_mod={sample_mod})"
+            )
+        cents = kmeans_centroids(
+            e, k=k, iters=3, vec_col="v", sample_mod=sample_mod
+        )
+        # contiguous arrival order = doc_id order (the budget
+        # constituent's precondition) + the binding budget scalar —
+        # budget_admission_state's exact recipe
+        lo, hi, budget = docs.agg(
+            F.expr("percentile(doc_id, 0.33)"),
+            F.expr("percentile(doc_id, 0.67)"),
+            F.expr(
+                "CAST(SUM(size(split(text, ' '))) AS BIGINT)"
+                " DIV (COUNT(DISTINCT source) * 2)"
+            ),
+        ).first()
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"manifest-inc-{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{os.getpid()}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        # the bench suite registers FIRST (batch 0 of the shared id
+        # sequence); the three corpus batches follow as 1..3
+        update_manifest_bench(
+            spark, docs.where(F.col("doc_id") < 5), base, batch_id=0
+        )
+        splits = [
+            F.col("doc_id") <= F.lit(lo),
+            (F.col("doc_id") > F.lit(lo)) & (F.col("doc_id") <= F.lit(hi)),
+            F.col("doc_id") > F.lit(hi),
+        ]
+        vsplits = [
+            F.col("vec_id") <= F.lit(lo),
+            (F.col("vec_id") > F.lit(lo)) & (F.col("vec_id") <= F.lit(hi)),
+            F.col("vec_id") > F.lit(hi),
+        ]
+        for i in range(3):
+            update_manifest_state(
+                spark,
+                docs.where(splits[i]),
+                e.where(vsplits[i]).select("vec_id", "v"),
+                base,
+                cents,
+                batch_id=i + 1,
+                budget=int(budget),
+                # the bench suite's own ids are the benchmark, not
+                # candidates — the one-shot decon oracle's corpus cut
+                decon_filter=F.col("doc_id") >= 5,
+            )
+        return materialize_then_cleanup(
+            read_curation_manifest(spark, base), base
+        )
+
+
+_register_r9_manifest()

@@ -487,7 +487,16 @@ def _register_r8():
                 state_dir,
                 batch_id=i,
             )
-        return read_bm25_search(spark, state_dir, BM25_TERMS)
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            materialize_then_cleanup,
+        )
+
+        # pin the read, then drop the throwaway state dir (r8 ADVICE:
+        # per-pid dirs wiped only on same-pid re-entry leak across
+        # processes and pile up in /tmp over repeated sweeps)
+        return materialize_then_cleanup(
+            read_bm25_search(spark, state_dir, BM25_TERMS), state_dir
+        )
 
 
 _register_r8()

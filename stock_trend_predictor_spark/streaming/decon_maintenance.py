@@ -174,6 +174,13 @@ def update_decon_docs(
         appends={"doc_grams": grams, "scores": scores},
         app_meta={"decon_format": DECON_FORMAT},
     )
+    # the commit materialized both deltas — free the shingle
+    # checkpoint so a continuous sink's storage stays batch-bounded
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(grams)
 
 
 def update_decon_bench(
@@ -251,6 +258,11 @@ def update_decon_bench(
         appends=appends,
         app_meta={"decon_format": DECON_FORMAT},
     )
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(delta)
 
 
 def _latest_scores(

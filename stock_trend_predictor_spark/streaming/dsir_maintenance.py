@@ -148,6 +148,13 @@ def update_dsir_state(
         batch_id=batch_id,
         appends={"doc_buckets": profile.select("doc_id", "bucket", "n")},
     )
+    # the commit materialized every consumer — free this batch's
+    # eager blocks (continuous sinks must hold batch-bounded storage)
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(flagged, profile)
 
 
 def _score_profiles(

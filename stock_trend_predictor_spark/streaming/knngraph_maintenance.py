@@ -257,11 +257,13 @@ def update_knngraph_state(
     new = batch.select("vec_id", "v").withColumn("nrm", l2norm(F.col("v")))
     # probed membership feeds the bucket-set collect, the scoring
     # join (both sides), and the members segment write — eager once
+    cps: list[DataFrame] = []  # eager frames to release post-commit
     new_m = (
         assign_clusters_multiprobe(new, centroids, nprobe=3)
         .select("vec_id", "v", "nrm", "cid")
         .localCheckpoint(eager=True)
     )
+    cps.append(new_m)
     # ADAPTIVE pruned membership read: only the touched cells'
     # buckets once the members table outgrows the threshold
     if _state_bytes(state_dir, meta, "members") >= prune_min_bytes:
@@ -292,6 +294,7 @@ def update_knngraph_state(
     cand = _scored_new_vs_all(new_m, all_m, cell_cap).localCheckpoint(
         eager=True
     )
+    cps.append(cand)
 
     rev = F.lit(int(batch_id)).alias("rev")
     # fresh lists: every new vector's top-5 over its full candidates
@@ -398,6 +401,13 @@ def update_knngraph_state(
         compact_append_table(
             spark, state_dir, "toplists", repartition_by=["qbucket"]
         )
+    # free this batch's eager blocks — continuous sinks must hold
+    # batch-bounded storage, not one checkpoint set per fold
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(*cps)
 
 
 def rebucket_knngraph_state(

@@ -328,6 +328,7 @@ def _merge_label_delta(
     p: int,
     meta: dict | None,
     prune_min_bytes: int,
+    track: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The labels REVISION DELTA for this batch: one (doc_id, cluster,
     rev=batch_id) row per touched doc — fresh arrivals plus members
@@ -370,7 +371,17 @@ def _merge_label_delta(
       one-shot CC after every batch.)
 
     Per-batch labels READ IO is therefore touched-bucket-sized, not
-    O(corpus) — the r7 verdict's one residual read-side term."""
+    O(corpus) — the r7 verdict's one residual read-side term.
+
+    Checkpoint hygiene (r8 ADVICE): the helper's own eager frames
+    (rep edges, the CC result) are released before return; the
+    ``merged`` frame the RETURNED delta still references lazily is
+    appended to ``track`` for the caller to release once the delta is
+    materialized — a continuous sink must not accumulate per-batch
+    checkpoint blocks."""
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
     from stock_trend_predictor_spark.operators.components import (
         connected_components,
     )
@@ -412,11 +423,18 @@ def _merge_label_delta(
         .localCheckpoint(eager=True)
     )
     if rep_edges.isEmpty():  # no cross-component pair: fresh rows only
+        release_local_checkpoints(rep_edges)
         return fresh.select("doc_id", "cluster", rev)
-    merged = connected_components(rep_edges, "src", "dst").select(
+    cc = connected_components(rep_edges, "src", "dst")
+    merged = cc.select(
         F.col("node").alias("cluster"),
         F.col("component").alias("new_cluster"),
     ).localCheckpoint(eager=True)
+    # merged is pinned; the CC result's final round frame and the rep
+    # edges are dead now
+    release_local_checkpoints(cc, rep_edges)
+    if track is not None:
+        track.append(merged)
     # only LOSING reps force member revisions; winners keep their rows
     losing = merged.where(F.col("new_cluster") != F.col("cluster"))
     fresh_rows = fresh.join(F.broadcast(merged), "cluster", "left").select(
@@ -495,7 +513,9 @@ def update_neardup_state(
     ):
         return  # replay: commit_state would skip anyway; skip the work
     p = _fold_bucket_count(meta, n_band_buckets)
+    cps: list[DataFrame] = []  # eager frames to release post-commit
     new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
+    cps.append(new)
     # eager: the minhash band derivation feeds THREE consumers (the
     # bucket-set collect, the probe join, the segment write) — left
     # lazy each re-runs the 64-permutation signature fold over the
@@ -505,6 +525,7 @@ def update_neardup_state(
         .withColumn("bucket", _band_bucket(p))
         .localCheckpoint(eager=True)
     )
+    cps.append(new_bands)
     new_sh = new.withColumn("bucket", _doc_bucket(p))
     # ADAPTIVE pruned probe read: once the band index outgrows
     # PRUNE_MIN_BYTES, read only the bucket directories this batch's
@@ -533,6 +554,7 @@ def update_neardup_state(
     cand = _probe_candidates(
         new_bands.drop("bucket"), all_bands.drop("bucket"), bucket_cap
     ).localCheckpoint(eager=True)
+    cps.append(cand)
     # ADAPTIVE pruned verify read: only the candidates' doc buckets
     # once the shingle store is big enough for pruning to pay
     if _state_bytes(state_dir, meta, "shingles") >= prune_min_bytes:
@@ -576,6 +598,7 @@ def update_neardup_state(
     # new_pairs feeds BOTH the pairs segment and the cluster merge —
     # eager-checkpoint once so the probe+verify join never reruns
     new_pairs = new_pairs.localCheckpoint(eager=True)
+    cps.append(new_pairs)
 
     appends: dict[str, DataFrame] = {
         "bands": new_bands,
@@ -596,7 +619,9 @@ def update_neardup_state(
             p,
             meta,
             prune_min_bytes,
+            track=cps,
         ).localCheckpoint(eager=True)
+        cps.append(delta)
         appends["labels"] = delta.withColumn("dbucket", _doc_bucket(p))
         appends["labels_byc"] = delta.withColumn(
             "cbucket", _cluster_bucket(p)
@@ -644,6 +669,14 @@ def update_neardup_state(
             compact_append_table(
                 spark, state_dir, t, repartition_by=rp_by_table.get(t)
             )
+    # commit materialized every consumer — free this batch's eager
+    # blocks so a continuous sink's storage stays batch-bounded
+    # instead of growing one checkpoint set per fold (r8 ADVICE)
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(*cps)
 
 
 def rebucket_neardup_state(

@@ -37,11 +37,14 @@ compute.
 
 Query-time read (read_bm25_search): corpus stats from the tiny stats
 table; df + per-doc tf for the query terms from the PRUNED postings
-read; every folded doc joins its term tfs (absent -> 0) and scores
-with the exact bm25_doc_search expression (k1=1.2, b=0.75,
-non-negative idf); top-20 on the pre-rounded score with doc_id
-tiebreak. Per-query read IO = (query's term buckets) + the docstats
-scan the corpus-wide output inherently needs.
+read; candidate docs join their term tfs and score with the exact
+bm25_doc_search expression (k1=1.2, b=0.75, non-negative idf);
+top-20 on the pre-rounded score with doc_id tiebreak. Per-query read
+IO = (query's term buckets) + (the candidate docs' dbuckets) — the
+docstats read prunes to the candidates' bucket set whenever >= top_k
+docs match (then every top-k score is positive and zero-match docs
+cannot rank; see read_bm25_search for the exactness argument), so
+neither side of the read is corpus-proportional at scale.
 
 Laws in tests/test_round8.py: stream == batch (== bm25_doc_search) on
 mod-3 and front/back splits with pruning forced, replay idempotence,
@@ -175,6 +178,13 @@ def update_retrieval_state(
             ("stats", None),
         ):
             compact_append_table(spark, state_dir, t, repartition_by=cols)
+    # the commit materialized all three deltas — free the tokenize
+    # checkpoint so a continuous sink's storage stays batch-bounded
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(toks)
 
 
 def rebucket_retrieval_state(
@@ -218,9 +228,16 @@ def read_bm25_search(
     bm25_doc_search's exact output contract (doc_id, dl, tf_<term>...,
     bm25 pre-rounded with doc_id tiebreak). The postings read PRUNES
     to the query terms' buckets past the adaptive threshold (every
-    posting row of a term shares its tbucket, so the prune is exact);
-    docstats scans once because BM25 ranks zero-match docs too. None
-    before the first commit."""
+    posting row of a term shares its tbucket, so the prune is exact).
+    The docstats read prunes to the CANDIDATE DOCS' dbuckets (a <= P
+    driver set derived from the pruned postings) — exact whenever at
+    least ``top_k`` docs match the query, because idf > 0 makes every
+    match score positive while zero-match docs score exactly 0, so the
+    whole top-k lies inside the match set; with fewer matches the
+    zero-score tail (doc_id ascending) needs corpus-wide docstats and
+    the read falls back to the full scan (tiny corpora only — at
+    10^11 docs any real query matches >> top_k). None before the
+    first commit."""
     meta = read_meta(state_dir)
     _check_retrieval_format(meta)
     if meta is None:
@@ -246,11 +263,31 @@ def read_bm25_search(
     postings = read_state_table(
         spark, state_dir, "postings", partition_filter=t_filter
     )
-    docstats = read_state_table(spark, state_dir, "docstats")
     stats_rows = read_state_table(spark, state_dir, "stats")
-    if postings is None or docstats is None or stats_rows is None:
+    if postings is None or stats_rows is None:
         return None
     hits = postings.where(F.col("token").isin(list(terms)))
+    if _state_bytes(state_dir, meta, "docstats") >= prune_min_bytes:
+        # ONE tiny driver job over the already-pruned hits: the
+        # candidate docs' bucket set (<= p values) plus the match
+        # count that decides whether dropping zero-match docs is
+        # exact (docstring) — never a doc-id-sized collect
+        row = hits.agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.collect_set(_d_bucket(p, "doc_id")).alias("bs"),
+        ).collect()[0]
+        d_filter = (
+            {"dbucket": sorted(row["bs"])}
+            if row["n"] >= int(top_k)
+            else None
+        )
+    else:
+        d_filter = None
+    docstats = read_state_table(
+        spark, state_dir, "docstats", partition_filter=d_filter
+    )
+    if docstats is None:
+        return None
     # per-doc tf pivot (fixed term set -> conditional agg, one pass)
     tfs = hits.groupBy("doc_id").agg(
         *[

@@ -175,11 +175,13 @@ def update_semdedup_state(
     # probed membership feeds the bucket-set collect, the scoring join
     # (both sides), the label merge's fresh rows, and the members
     # segment write — eager once (the fold-family discipline)
+    cps: list[DataFrame] = []  # eager frames to release post-commit
     new_m = (
         assign_clusters_multiprobe(new, centroids, nprobe=3)
         .select("vec_id", "v", "nrm", "cid")
         .localCheckpoint(eager=True)
     )
+    cps.append(new_m)
     # ADAPTIVE pruned membership read: only the touched cells' buckets
     # once the members table outgrows the threshold
     if _state_bytes(state_dir, meta, "members") >= prune_min_bytes:
@@ -219,6 +221,7 @@ def update_semdedup_state(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    cps.append(edges)
     # the near-dup fold's rep-contracted CC merge, verbatim — its
     # doc_id/cluster contract carries vec ids here (the merge is
     # agnostic to what the edges mean; the dead-rep pruning argument
@@ -232,7 +235,9 @@ def update_semdedup_state(
         p,
         meta,
         prune_min_bytes,
+        track=cps,
     ).localCheckpoint(eager=True)
+    cps.append(delta)
     commit_state(
         state_dir,
         {},
@@ -259,6 +264,14 @@ def update_semdedup_state(
             ("labels_byc", ["cbucket"]),
         ):
             compact_append_table(spark, state_dir, t, repartition_by=cols)
+    # free this batch's eager blocks — a continuous sink must hold
+    # batch-bounded storage, not one checkpoint set per fold (r8
+    # ADVICE: six 30x builds OOM'd a 16g JVM before this release)
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(*cps)
 
 
 def rebucket_semdedup_state(

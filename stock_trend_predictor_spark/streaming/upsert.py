@@ -88,6 +88,13 @@ def upsert_batch(
         )
     finally:
         spark.conf.set(mode_key, prev)
+    # the write materialized the merge — free its checkpoint blocks
+    # so a long-running upsert sink holds batch-bounded storage
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints(merged)
 
 
 def read_upsert_table(spark: SparkSession, target_dir: str) -> DataFrame:

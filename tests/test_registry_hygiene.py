@@ -120,36 +120,47 @@ def test_cited_files_exist():
 
 
 def test_bench_compact_line_fits_the_drivers_tail_window():
-    """r5 verdict #6 regression guard: the driver keeps only a ~1.9 KB
-    tail of bench stdout and parses a JSON line out of it. The
-    COMPACT line bench.py prints LAST must stay comfortably inside
-    that window even with every per-query value at its widest
-    rendering — adding headline queries without checking this is how
-    the r5 artifact lost its parse."""
+    """r5 verdict #6 regression guard, renegotiated per the r8
+    verdict (#5): the driver keeps only a ~1.9 KB tail of bench
+    stdout and parses a JSON line out of it. The COMPACT line
+    bench.py prints LAST no longer carries the full per-query map
+    (that outgrew the window at 59 entries and lives in the first
+    detail line + BENCH_DETAIL.json) — only the ROUND_NEW entries,
+    the continuity numbers (total + frozen-16 sum), the drift
+    bracket, and the capped suspect-name list. Model the worst-case
+    rendering of exactly that structure, with headroom for a round
+    that adds up to TWELVE new headline queries."""
     import json
     import sys
 
     sys.path.insert(0, "/root/repo")
-    from bench import HEADLINE
+    from bench import FROZEN16, HEADLINE, ROUND_NEW
 
+    assert len(FROZEN16) == 16
+    assert set(ROUND_NEW) <= set(HEADLINE)
+    assert len(ROUND_NEW) <= 12, (
+        "compact line carries every ROUND_NEW value — roll last "
+        "round's entries into HEADLINE proper before adding more"
+    )
+    # widest sane per-query rendering is "99.9": _cv rounds FIRST and
+    # renders >= 100 as the (shorter) int, so the [99.95, 100)
+    # boundary cannot produce "100.0" (r8 ADVICE)
+    longest = max(len(n) for n in HEADLINE)
+    worst_new = {f"{'x' * longest}{i:02d}": 99.9 for i in range(12)}
     compact = {
         "metric": "headline_queries_total",
         "value": 9999.999,
-        # bench.py's compact renderer: 1dp under 100 s, whole
-        # seconds past (unit/bench_runs moved to the detail artifacts
-        # for byte headroom when the r8 drift bracket landed) — the
-        # widest sane rendering is "99.9" (a 100+s value renders
-        # SHORTER as an int, and a 1000+s sf0.1 headline value is a
-        # broken round, not a rendering case)
-        "queries": {name: 99.9 for name in HEADLINE},
+        "queries": worst_new,
+        "n_queries": 999,
+        "frozen16": 9999.99,
         "sf": 0.1,
-        # the r8 drift BRACKET + suspect-resample count
         "drift": [9.99, 9.99],  # bench rounds the bracket to 2dp
         "resampled": 99,
+        "suspects": [f"{'x' * longest}{i:02d}" for i in range(6)],
     }
-    rendered = json.dumps(compact, separators=(",", ":"))  # bench.py's framing
+    rendered = json.dumps(compact, separators=(",", ":"))  # bench framing
     assert len(rendered) < 1800, (
         f"compact bench line {len(rendered)}B nears the driver's "
-        "tail window — move per-query detail to BENCH_DETAIL.json "
-        "before adding more headline queries"
+        "tail window even without the per-query map — trim the "
+        "compact structure itself"
     )

@@ -17,6 +17,12 @@ merge paths (label revisions / toplist revisions), not just appends.
 Usage:
     python tools/scaleup.py build        # once per box boot
     python tools/steady_bench.py         # prints the markdown table
+    STEADY_PRUNE0=1 python tools/steady_bench.py   # ENGAGED pruned
+        # regime (r8 verdict #1): every adaptive read is forced to
+        # prune (prune_min_bytes=0) regardless of state size, so the
+        # +16 walls measure the bucket-pruned read path the 100 TB
+        # story depends on, not the below-threshold full scans the
+        # r8 table mostly timed.
 """
 
 from __future__ import annotations
@@ -31,6 +37,11 @@ SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SCALEUP_DST", "/tmp/scaleup30")
 BATCH = 16
 NEW_ID_BASE = 10**14
+
+#: ENGAGED pruned regime: force every adaptive state read to prune.
+PRUNE0 = os.environ.get("STEADY_PRUNE0") == "1"
+#: kwargs for folds whose update takes the adaptive threshold.
+_PK = {"prune_min_bytes": 0} if PRUNE0 else {}
 
 
 def _get_spark():
@@ -184,11 +195,12 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
                     sdir,
                     cents,
                     batch_id=i,
+                    **_PK,
                 )
             batch = _probe_batch_vectors(spark, e)
             before = read_meta(sdir)
             t0 = time.perf_counter()
-            upd(spark, batch, sdir, cents, batch_id=3)
+            upd(spark, batch, sdir, cents, batch_id=3, **_PK)
             wall = time.perf_counter() - t0
         elif fold_name == "neardup":
             docs = load_table(spark, sf_dir, "documents").select(
@@ -201,13 +213,100 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
                     sh.where(F.col("doc_id") % 3 == i),
                     sdir,
                     batch_id=i,
+                    **_PK,
                 )
             batch = D.with_shingle_hashes(
                 _probe_batch_docs(spark, sf_dir)
             ).select("doc_id", "hs").localCheckpoint(eager=True)
             before = read_meta(sdir)
             t0 = time.perf_counter()
-            update_neardup_state(spark, batch, sdir, batch_id=3)
+            update_neardup_state(spark, batch, sdir, batch_id=3, **_PK)
+            wall = time.perf_counter() - t0
+        elif fold_name == "phash":
+            from stock_trend_predictor_spark.operators.multimodal import (
+                attach_payload,
+                perceptual_hash,
+            )
+            from stock_trend_predictor_spark.streaming.phash_maintenance import (
+                update_phash_state,
+            )
+
+            docs = load_table(spark, sf_dir, "documents")
+            ph = perceptual_hash(attach_payload(docs)).select(
+                "doc_id", "phash"
+            ).localCheckpoint(eager=True)
+            for i in range(3):
+                update_phash_state(
+                    spark,
+                    ph.where(F.col("doc_id") % 3 == i),
+                    sdir,
+                    batch_id=i,
+                    **_PK,
+                )
+            batch = (
+                ph.orderBy("doc_id")
+                .limit(BATCH)
+                .select(
+                    (F.col("doc_id") + F.lit(NEW_ID_BASE)).alias(
+                        "doc_id"
+                    ),
+                    "phash",
+                )
+                .localCheckpoint(eager=True)
+            )
+            before = read_meta(sdir)
+            t0 = time.perf_counter()
+            update_phash_state(spark, batch, sdir, batch_id=3, **_PK)
+            wall = time.perf_counter() - t0
+        elif fold_name == "manifest":
+            from stock_trend_predictor_spark.streaming.manifest_maintenance import (
+                update_manifest_bench,
+                update_manifest_state,
+            )
+
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "source"
+            )
+            e = _vectors(spark, sf_dir)
+            cents = _cents_for(spark, e)
+            update_manifest_bench(
+                spark,
+                docs.where(F.col("doc_id") % 10**9 < 5),
+                sdir,
+                batch_id=0,
+            )
+            # budget never exhausts: the steady cost measured is the
+            # composition machinery, not the reject fast-path
+            for i in range(3):
+                update_manifest_state(
+                    spark,
+                    docs.where(F.col("doc_id") % 3 == i),
+                    e.where(F.col("vec_id") % 3 == i).select(
+                        "vec_id", "v"
+                    ),
+                    sdir,
+                    cents,
+                    batch_id=i + 1,
+                    budget=10**12,
+                    **_PK,
+                )
+            batch = _probe_batch_docs(spark, sf_dir).withColumn(
+                "source", F.lit("steady-src")
+            )
+            vbatch = _probe_batch_vectors(spark, e)
+            # commit bytes span every constituent dir, not just the
+            # manifest's own quality table
+            before = {
+                sub: read_meta(
+                    sdir if sub == "." else os.path.join(sdir, sub)
+                )
+                for sub in (".", "nd", "sem", "decon", "budget")
+            }
+            t0 = time.perf_counter()
+            update_manifest_state(
+                spark, batch, vbatch, sdir, cents, batch_id=4,
+                budget=10**12, **_PK,
+            )
             wall = time.perf_counter() - t0
         elif fold_name == "dsir":
             from stock_trend_predictor_spark.streaming.dsir_maintenance import (
