@@ -35,17 +35,27 @@ def release_local_checkpoints(*dfs: DataFrame | None) -> None:
     """Free the executor storage blocks behind eagerly checkpointed
     DataFrames. Safe on None / non-checkpoint frames (no-op); call
     only after the last action that reads each frame — a released
-    local checkpoint cannot be recomputed."""
+    local checkpoint cannot be recomputed.
+
+    OWNERSHIP RULE (r9): a frame is released only when its analyzed
+    plan IS the checkpoint leaf — the exact shape
+    ``.localCheckpoint()`` returns. A DERIVED frame (any operator
+    over a checkpointed input) is a true no-op, NOT a walk to its
+    leaves: those leaves are the INPUT's RDDs, owned by whoever
+    created them — the first cut of this helper walked
+    ``collectLeaves()`` and a constituent fold could silently free
+    its CALLER's still-live input blocks (caught by
+    tests/test_round9.py::test_manifest_releases_checkpoint_blocks
+    going 3 → 1 instead of 3 → 3). To release, pass the handle you
+    called ``.localCheckpoint(eager=True)`` on, nothing else."""
     for df in dfs:
         if df is None:
             continue
         try:
-            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-            for i in range(leaves.size()):
-                try:
-                    leaves.apply(i).rdd().unpersist(False)
-                except Exception:
-                    pass  # leaf without a persisted RDD (scan, local rel)
+            analyzed = df._jdf.queryExecution().analyzed()
+            if analyzed.getClass().getSimpleName() != "LogicalRDD":
+                continue  # derived frame: not ours to free
+            analyzed.rdd().unpersist(False)
         except Exception:
             pass  # never let cleanup break the fold itself
 

@@ -95,11 +95,14 @@ def connected_components(
         prev_cp = updated
         if changed == 0:
             break
-    release_local_checkpoints(und)
-    # the FINAL round's frame backs the returned labels and stays
-    # persisted — callers release it via the returned df (its plan
-    # reaches the same LogicalRDD leaf) after their last action
-    return labels
+    # re-checkpoint the 2-col projection so the RETURNED frame is
+    # itself a checkpoint root the caller can release directly (the
+    # r9 ownership rule: release_local_checkpoints frees only roots,
+    # never walks a derived plan to someone else's leaves), then
+    # free the final round's 3-col frame and the undirected edges
+    out = labels.localCheckpoint(eager=True)
+    release_local_checkpoints(prev_cp, und)
+    return out
 
 
 def components_recursive_sql(edges_cte: str) -> str:

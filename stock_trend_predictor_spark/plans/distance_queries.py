@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stock_trend_predictor_spark.functions.exact import (
+    exact_sum_sql,
     stable_round,
     stable_round_sql,
 )
@@ -149,9 +150,97 @@ FROM terms GROUP BY 1, 2
 
     @register(
         "dtw_distance_daily_pairs",
-        # No oracle: the DTW recurrence is a 2-D dynamic program —
-        # not SQL-expressible; rows-only at the driver, proven against
-        # a brute-force Python DP in tests/test_ranking.py.
+        # Full oracle since r9 (was rows-only): the 2-D dynamic
+        # program replays as an ANTI-DIAGONAL wavefront recursion.
+        # Cell (i,j) depends on (i-1,j), (i,j-1) — diagonal d-1 — and
+        # (i-1,j-1) — diagonal d-2 — so cells of one diagonal are
+        # mutually independent and the recursive CTE computes one
+        # diagonal per iteration: the working table carries the fresh
+        # diagonal (i+j == wave) plus a re-emitted copy of the one
+        # before (i+j == wave-1), every pair advancing in lockstep on
+        # the global wave counter (max(wave) over the working set —
+        # DuckDB permits aggregation over the recursive reference).
+        # The banded cost grid is non-recursive prep; missing
+        # predecessors coalesce to +infinity exactly like the
+        # Python DP's band edges; the virtual origin (0,0) = 0.0 is
+        # the seed row. Termination is natural: past the last
+        # diagonal nothing is fresh and nothing is carried. Floats
+        # are bit-stable cross-engine because the DP evaluation tree
+        # per cell — abs(a_i - b_j) + min of three doubles — is
+        # IDENTICAL regardless of schedule, and the z-normalized
+        # inputs come from the exact_sum decimal idiom both engines
+        # share. tests/test_ranking.py keeps the Python-DP equality
+        # and metric-axiom laws.
+        oracle=f"""
+WITH RECURSIVE bars AS (
+    SELECT event_type AS symbol, day, close FROM (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               value AS close,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+), stats AS (
+    SELECT symbol,
+           {exact_sum_sql('close')} / count(*) AS mu,
+           count(*) AS n,
+           {exact_sum_sql('close * close')} AS ssq
+    FROM bars GROUP BY symbol
+), z AS (
+    SELECT b.symbol,
+           row_number() OVER (
+               PARTITION BY b.symbol ORDER BY b.day) AS idx,
+           (b.close - s.mu)
+             / sqrt((s.ssq - s.n * s.mu * s.mu) / (s.n - 1)) AS zy
+    FROM bars b JOIN stats s ON s.symbol = b.symbol
+), sizes AS (
+    SELECT symbol, count(*) AS len FROM z GROUP BY symbol
+), prs AS (
+    SELECT sa.symbol AS sym_a, sb.symbol AS sym_b,
+           sa.len AS n, sb.len AS m
+    FROM sizes sa JOIN sizes sb ON sa.symbol < sb.symbol
+), grid AS (
+    SELECT p.sym_a, p.sym_b, za.idx AS i, zb.idx AS j,
+           abs(za.zy - zb.zy) AS cost
+    FROM prs p
+    JOIN z za ON za.symbol = p.sym_a
+    JOIN z zb ON zb.symbol = p.sym_b
+             AND zb.idx >= greatest(1, za.idx - {DTW_BAND})
+             AND zb.idx <= least(p.m, za.idx + {DTW_BAND})
+), dp(wave, sym_a, sym_b, i, j, v) AS (
+    SELECT 0, sym_a, sym_b, 0, 0, CAST(0.0 AS DOUBLE) FROM prs
+    UNION ALL
+    SELECT * FROM (
+        SELECT mw.w + 1 AS wave, g.sym_a, g.sym_b, g.i, g.j,
+               g.cost + least(
+                   coalesce(up.v, CAST('infinity' AS DOUBLE)),
+                   coalesce(lf.v, CAST('infinity' AS DOUBLE)),
+                   coalesce(dg.v, CAST('infinity' AS DOUBLE))) AS v
+        FROM grid g
+        CROSS JOIN (SELECT max(wave) AS w FROM dp) mw
+        LEFT JOIN dp up ON up.i + up.j = up.wave
+                       AND up.sym_a = g.sym_a AND up.sym_b = g.sym_b
+                       AND up.i = g.i - 1 AND up.j = g.j
+        LEFT JOIN dp lf ON lf.i + lf.j = lf.wave
+                       AND lf.sym_a = g.sym_a AND lf.sym_b = g.sym_b
+                       AND lf.i = g.i AND lf.j = g.j - 1
+        LEFT JOIN dp dg ON dg.i + dg.j = dg.wave - 1
+                       AND dg.sym_a = g.sym_a AND dg.sym_b = g.sym_b
+                       AND dg.i = g.i - 1 AND dg.j = g.j - 1
+        WHERE g.i + g.j = mw.w + 1
+        UNION ALL
+        SELECT wave + 1, sym_a, sym_b, i, j, v
+        FROM dp WHERE i + j = wave
+    )
+)
+SELECT d.sym_a, d.sym_b,
+       CAST(p.n AS BIGINT) AS n_days,
+       {stable_round_sql('d.v', 6)} AS dtw
+FROM dp d
+JOIN prs p ON p.sym_a = d.sym_a AND p.sym_b = d.sym_b
+WHERE d.i = p.n AND d.j = p.m AND d.wave = d.i + d.j
+""",
         doc=f"Dynamic-time-warping distance between every unordered "
         f"symbol pair's z-normalized daily close series (Sakoe-Chiba "
         f"band +/-{DTW_BAND} days, |.| local cost): the shape "

@@ -301,11 +301,62 @@ def _register_kcore():
 
     @register(
         "kcore_copurchase",
-        # No oracle: iterative peeling needs aggregation inside the
-        # recursion, which SQL recursive CTEs disallow — the driver
-        # records a rows-only check; tests/test_graph.py proves the
-        # result against a brute-force Python peel (the k-core is
-        # unique, so equality is well-defined).
+        # Full oracle since r9 (was rows-only): standard SQL disallows
+        # aggregation over the recursive reference, but DuckDB permits
+        # it, so the one-level peel replays as a recursive CTE — each
+        # iteration's working table is the surviving edge set, the
+        # recursive term drops every edge touching a degree<12 vertex
+        # of the working set and re-emits survivors (round-tagged)
+        # WHILE a low-degree vertex exists. Termination is natural:
+        # at the fixpoint the guard EXISTS fails and nothing is
+        # emitted. The k-core is the UNIQUE fixpoint of valid
+        # removals under any schedule (the same argument that makes
+        # the Spark side's fringe-cascade exact), so the one-level
+        # SQL peel and the cascaded Spark peel agree bit-for-bit —
+        # all values are integer ids and integer degrees. The
+        # max-round edge set is the answer unless it still holds a
+        # low-degree vertex, which happens exactly when the peel
+        # emptied the edge set — then the true core is empty (losing
+        # every edge drags any survivor under k), and the outer
+        # NOT EXISTS returns zero rows. tests/test_graph.py keeps the
+        # brute-force Python peel law.
+        oracle="""
+WITH RECURSIVE e AS (
+    SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                    greatest(l1.l_partkey, l2.l_partkey) AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+), peel(a, b, r) AS (
+    SELECT a, b, 0 FROM e
+    UNION ALL
+    SELECT p.a, p.b, p.r + 1
+    FROM peel p
+    WHERE EXISTS (
+            SELECT 1 FROM (SELECT a AS v FROM peel
+                           UNION ALL SELECT b FROM peel)
+            GROUP BY v HAVING count(*) < 12)
+      AND p.a NOT IN (
+            SELECT v FROM (SELECT a AS v FROM peel
+                           UNION ALL SELECT b FROM peel)
+            GROUP BY v HAVING count(*) < 12)
+      AND p.b NOT IN (
+            SELECT v FROM (SELECT a AS v FROM peel
+                           UNION ALL SELECT b FROM peel)
+            GROUP BY v HAVING count(*) < 12)
+), core AS (
+    SELECT a, b FROM peel WHERE r = (SELECT max(r) FROM peel)
+), deg AS (
+    SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM core UNION ALL SELECT b FROM core
+    ) GROUP BY v
+)
+SELECT v, deg FROM deg
+WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg < 12)
+""",
         doc="12-core of the 1998 co-purchase graph (same edge set as "
         "triangle_count_copurchase; its median degree is ~18 at every "
         "test SF, so k=12 peels the sparse third and cascades): "

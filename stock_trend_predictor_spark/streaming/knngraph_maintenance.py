@@ -319,6 +319,10 @@ def update_knngraph_state(
         # (new query, old neighbor) scored pairs — bit-exact, sim
         # computed once
         old_ids = old_m.select("vec_id").distinct()
+        # eager: the pruned-read path consumes delta TWICE (the
+        # qbucket filter collect + the merge plan) — left lazy the
+        # touched-cell-mate aggregation reran per consumer (measured
+        # 4x the unpruned +16 wall at 30x copy-saturation)
         delta = (
             cand.join(
                 F.broadcast(
@@ -333,7 +337,9 @@ def update_knngraph_state(
                 ).alias("_delta")
             )
             .withColumnRenamed("neighbor_id", "query_id")
+            .localCheckpoint(eager=True)
         )
+        cps.append(delta)
         # pruned latest-wins read of ONLY the touched queries' stored
         # lists (every revision of a query shares its qbucket)
         if _state_bytes(state_dir, meta, "toplists") >= prune_min_bytes:

@@ -20,6 +20,22 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _persistent_ids(spark) -> set:
+    """Ids of the currently persisted RDDs. The release laws assert
+    on SET DIFFERENCE (no NEW ids survive the fold), not on counts:
+    frames created by fixtures can be unpersisted asynchronously
+    mid-test (Python GC of their proxies -> JVM weak-ref collection
+    -> ContextCleaner), so a count can legitimately SHRINK under a
+    long fold — which is not a leak and must not fail the law."""
+    it = (
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    )
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def _phash_docs(spark, sf_dir):
     """(doc_id, phash) for the whole documents table — the fold's
     input view, hashed once through the real Arrow kernel."""
@@ -432,8 +448,14 @@ def test_release_local_checkpoints_frees_blocks(spark):
         eager=True
     )
     assert _n_persistent(spark) == base + 1
-    derived = cp.select("id")  # release works through derived plans
-    release_local_checkpoints(derived)
+    # OWNERSHIP RULE (r9): a DERIVED frame is a no-op — its plan
+    # leaves are the INPUT's RDDs, which the releasing code does not
+    # own (the first leaf-walking cut let a constituent fold free its
+    # caller's live input blocks)
+    release_local_checkpoints(cp.select("id"))
+    assert _n_persistent(spark) == base + 1
+    # the handle itself releases
+    release_local_checkpoints(cp)
     assert _n_persistent(spark) == base
     # no-ops: None and a plain scan
     release_local_checkpoints(None, spark.range(5))
@@ -534,15 +556,15 @@ def test_fold_updates_release_checkpoint_blocks(
         }
 
     key = {"knngraph": "vec_id", "semdedup": "vec_id"}
-    base = _n_persistent(spark)
+    base_ids = _persistent_ids(spark)
     for name, fn0 in runs(0).items():
         d = str(tmp_path / f"rel-{name}")
         col = F.col(key.get(name, "doc_id"))
         fn0(col % 2 == 0, d)
         runs(1)[name](col % 2 == 1, d)
-        assert _n_persistent(spark) == base, (
-            f"{name} fold leaked checkpoint blocks: "
-            f"{_n_persistent(spark)} != {base}"
+        leaked = _persistent_ids(spark) - base_ids
+        assert not leaked, (
+            f"{name} fold leaked checkpoint blocks: RDD ids {leaked}"
         )
 
 
@@ -777,13 +799,15 @@ def test_manifest_replay_and_partial_crash(spark, sf_dir, tmp_path):
 
 
 def test_manifest_releases_checkpoint_blocks(spark, sf_dir, tmp_path):
-    """The composed update returns the session to its pre-call
-    persistent-RDD count (every constituent + the composition's own
-    eager frame release)."""
+    """The composed update leaves NO new persistent RDDs behind
+    (every constituent + the composition's own eager frame release).
+    Asserted as a set difference, not a count — fixture-owned frames
+    can be GC-unpersisted mid-fold (see _persistent_ids)."""
     docs, vecs, cents, budget, (lo, hi) = _manifest_fixture(
         spark, sf_dir
     )
     base = str(tmp_path / "m-rel")
-    before = _n_persistent(spark)
+    before_ids = _persistent_ids(spark)
     _fold_manifest(spark, docs, vecs, cents, budget, base, (lo, hi))
-    assert _n_persistent(spark) == before
+    leaked = _persistent_ids(spark) - before_ids
+    assert not leaked, f"manifest fold leaked RDD ids {leaked}"

@@ -89,7 +89,10 @@ QUERIES = [
     ("stratified_hash_sample", "bucket-pruned prefix scan: offsets filtered to < top_k before the broadcast join; window partitioned by (source, md5-prefix), never source alone"),
     ("weighted_doc_sample", "priority-bucketed prefix scan with top_k prune; no lang-only window over the corpus"),
     ("gopher_repetition_flags", "ONE posexplode + one doc-keyed window pass for offsets and all nine gram arities; count/interval windows on (doc,n[,gram]) keys that scale with the corpus; no Python"),
-    ("bm25_incremental", "query read: postings pruned to the query terms' buckets; stats collapse to one broadcast row; TakeOrderedAndProject top-20"),
+    ("bm25_incremental", "query read: postings pruned to the query terms' buckets AND docstats pruned to the candidates' dbuckets (r9); stats collapse to one broadcast row; TakeOrderedAndProject top-20"),
+    # round-9 additions: the composed manifest + the multimodal fold
+    ("curation_manifest_incremental", "manifest read: five latest-wins state reads joined on doc_id (8-byte ids + booleans shuffle, never text/vectors); verdict CASE is a narrow projection; no corpus-sized window"),
+    ("phash_incremental_pairs", "pairs read is a pure state scan (the fold did the work); the per-batch probe is a band-bucket equi-join with Hamming verify on candidate pairs only — no Python past the Arrow phash kernel"),
 ]
 
 

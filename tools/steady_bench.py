@@ -35,7 +35,12 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SCALEUP_DST", "/tmp/scaleup30")
-BATCH = 16
+#: probe-batch size — override to measure the BATCH-scaling axis of
+#: the steady-state claim (cost tracks the batch): e.g.
+#: STEADY_BATCH=160 re-times every fold folding a +160 batch into the
+#: same 1x/30x indexes (r9 — the +16 column alone shows cost is flat
+#: in INDEX size; the batch axis shows it scales with the BATCH).
+BATCH = int(os.environ.get("STEADY_BATCH", "16"))
 NEW_ID_BASE = 10**14
 
 #: ENGAGED pruned regime: force every adaptive state read to prune.
@@ -423,7 +428,15 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
             update_retrieval_state(spark, batch, sdir, batch_id=3)
             wall = time.perf_counter() - t0
         after = read_meta(sdir)
-        written = _commit_bytes(sdir, before, after)
+        if fold_name == "manifest":
+            # the composition commits across five dirs — sum the
+            # segment diffs of every constituent
+            written = 0
+            for sub, bm in before.items():
+                sd = sdir if sub == "." else os.path.join(sdir, sub)
+                written += _commit_bytes(sd, bm, read_meta(sd))
+        else:
+            written = _commit_bytes(sdir, before, after)
         state = _dir_bytes(sdir)
         print(
             f"# {fold_name} {tag}: wall={wall:.2f}s"
@@ -435,7 +448,17 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
         spark.stop()
 
 
-FOLDS = ("neardup", "decon", "dsir", "budget", "semdedup", "knngraph", "bm25")
+FOLDS = (
+    "neardup",
+    "decon",
+    "dsir",
+    "budget",
+    "semdedup",
+    "knngraph",
+    "bm25",
+    "phash",
+    "manifest",
+)
 
 
 def measure(folds=FOLDS) -> None:
@@ -452,7 +475,8 @@ def measure(folds=FOLDS) -> None:
             f" {s1 / 2**20:.1f} | {s30 / 2**20:.1f} |"
         )
     print(
-        "| fold | +16 fold 1x (s) | +16 fold 30x (s) | wall ratio |"
+        f"| fold | +{BATCH} fold 1x (s) | +{BATCH} fold 30x (s) |"
+        " wall ratio |"
         " commit KB 1x | commit KB 30x | state MB 1x | state MB 30x |"
     )
     print("|---|---|---|---|---|---|---|---|")
