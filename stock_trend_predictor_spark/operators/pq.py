@@ -26,10 +26,18 @@ Spark shapes:
   closure; only code arrays and scores move. At 100 TB the codes
   table is ~M bytes/vector — the entire point.
 
-Approximate by construction -> no SQL oracle; recall@10 vs the exact
-brute force is published per round in RECALL.json and floor-asserted
-in tests/test_round4.py, alongside an exact-replication law against a
-local numpy PQ.
+ADC search stays approximate by construction -> no SQL oracle for the
+top-k queries; recall@10 vs the exact brute force is published per
+round in RECALL.json and floor-asserted in tests/test_round4.py,
+alongside an exact-replication law against a local numpy PQ. The
+ENCODING itself (pq_embedding_codes) carries a full oracle since r9:
+the decimal-sum Lloyd makes every codebook value a pure function of
+the assignment sets, and DuckDB replays it — see
+plans/similarity_queries.py::_pq_codes_oracle_sql for the replay and
+:func:`pq_min_assign_margin` for the regime gate that makes code
+equality engine-exact (cross-engine decimal-cast noise in the
+centroids is ~1e-14 relative; the gate demands every argmin margin
+beat it by orders of magnitude).
 """
 
 from __future__ import annotations
@@ -56,6 +64,41 @@ PQ_ITERS = 3
 PQ_REFINE_SHORTLIST = 200
 
 
+def pq_min_assign_margin(vecs: DataFrame, cb_now: "np.ndarray") -> float:
+    """Smallest (second-best − best) assignment-distance gap over all
+    (row, subspace) pairs for the given codebooks — ONE Arrow pass,
+    one double per batch, min-aggregated. The oracle regime gate for
+    pq_embedding_codes: cross-engine decimal-cast noise perturbs the
+    replayed centroids by ~1e-14 relative, so code-for-code equality
+    is engine-exact iff every argmin margin dominates that
+    (measured: 3.3e-7 at sf0.001, 2.5e-6 at sf0.01 — a 1e-9 gate
+    trips only when the data genuinely leaves the regime).
+    ``vecs`` carries one double-array column ``v``."""
+    m, ksub, dsub = cb_now.shape
+    cnorm2 = (cb_now * cb_now).sum(axis=2)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            xs = x.reshape(len(x), m, dsub)
+            dist = cnorm2[None, :, :] - 2.0 * np.einsum(
+                "bmd,mkd->bmk", xs, cb_now
+            )
+            part = np.partition(dist, 1, axis=2)
+            yield pd.DataFrame(
+                {"mm": [float((part[:, :, 1] - part[:, :, 0]).min())]}
+            )
+
+    row = (
+        vecs.mapInPandas(probe, schema="mm double")
+        .agg(F.min("mm").alias("mm"))
+        .collect()[0]
+    )
+    return float(row["mm"])
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = PQ_M,
@@ -63,6 +106,7 @@ def pq_codebooks(
     iters: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    margin_probe: list | None = None,
 ) -> list[list[list[float]]]:
     """M per-subspace codebooks, each ksub x (d/m), via deterministic
     Lloyd (seeds = the ksub lowest-id rows' subvectors, empty clusters
@@ -91,6 +135,11 @@ def pq_codebooks(
     vecs = corpus.select(as_double(vec_col).alias("v"))
     for _ in range(iters):
         cb_now = cb.copy()
+        if margin_probe is not None:
+            # oracle regime evidence: the min assignment margin under
+            # THIS round's codebooks (one extra Arrow pass, gate runs
+            # only when the caller asks)
+            margin_probe.append(pq_min_assign_margin(vecs, cb_now))
         cnorm2 = (cb_now * cb_now).sum(axis=2)
 
         def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -23,6 +23,114 @@ _COS_SQL = (
 )
 
 
+def _pq_codes_oracle_sql() -> str:
+    """DuckDB replay of the deterministic PQ codebook build + encode
+    (operators/pq.py::pq_codebooks / pq_encode — m=16 subspaces of
+    dsub=4 dims, ksub=16 centroids, 3 Lloyd rounds over the 64-dim
+    embeddings).
+
+    Float-parity ledger, term by term:
+    - subvector loads: list element FLOAT -> DOUBLE casts are exact;
+    - assignment distance: the literal left-associated expression
+      numpy evaluates — ((c1²+c2²)+c3²)+c4² − 2·(((x1c1+x2c2)+x3c3)
+      +x4c4) (numpy's axis-reductions and einsum loops are
+      sequential below the 128-element pairwise threshold), ties to
+      the lowest cid (argmin-first);
+    - decimal mean terms: CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))
+      — DuckDB's double->VARCHAR is the shortest repr, so the
+      decimal term equals Spark's BigDecimal.valueOf(x).setScale(18,
+      HALF_UP) (a DIRECT double->decimal cast would round the binary
+      expansion instead and diverge at digits 17–18);
+    - mean: CAST(CAST(sum AS VARCHAR) AS DOUBLE)/count — decimal ->
+      VARCHAR is exact and VARCHAR -> DOUBLE is correctly rounded,
+      i.e. exactly the driver's float(Decimal)/n;
+    - empty cells keep the previous centroid (LEFT JOIN + coalesce).
+    Residual ~1e-14 centroid noise cannot flip a code while the
+    registry query's margin gate holds (see the register comment);
+    recon_mse is compared under stable_round(6), wide enough for
+    summation-order noise in the 64-term mean."""
+    from stock_trend_predictor_spark.operators.pq import (
+        PQ_ITERS,
+        PQ_KSUB,
+        PQ_M,
+    )
+
+    dsub = 4  # 64-dim embeddings / PQ_M=16
+    xd = " + ".join(f"x.x{p} * cb.c{p}" for p in range(1, dsub + 1))
+    cn = " + ".join(f"cb.c{p} * cb.c{p}" for p in range(1, dsub + 1))
+    xcols = ",\n           ".join(
+        f"CAST(e.embedding[s.sub * {dsub} + {p}] AS DOUBLE) AS x{p}"
+        for p in range(1, dsub + 1)
+    )
+    seedcols = ",\n           ".join(
+        f"CAST(r.embedding[s.sub * {dsub} + {p}] AS DOUBLE) AS c{p}"
+        for p in range(1, dsub + 1)
+    )
+    parts = [
+        f"""
+WITH xs AS MATERIALIZED (
+    SELECT e.vec_id, CAST(s.sub AS INT) AS sub,
+           {xcols}
+    FROM embeddings e, range({PQ_M}) s(sub)
+), cb0 AS (
+    SELECT CAST(s.sub AS INT) AS sub, CAST(r.rn - 1 AS INT) AS cid,
+           {seedcols}
+    FROM (SELECT embedding,
+                 row_number() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB}) r,
+         range({PQ_M}) s(sub)
+)"""
+    ]
+    mucols = ",\n           ".join(
+        f"CAST(CAST(SUM(CAST(CAST(x.x{p} AS VARCHAR) AS DECIMAL(38,18)))"
+        f" AS VARCHAR) AS DOUBLE) / COUNT(*) AS c{p}"
+        for p in range(1, dsub + 1)
+    )
+    cbcols = ",\n           ".join(
+        f"coalesce(m.c{p}, p.c{p}) AS c{p}" for p in range(1, dsub + 1)
+    )
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(f""", a{i} AS (
+    SELECT vec_id, sub, cid FROM (
+        SELECT x.vec_id, x.sub, cb.cid,
+               row_number() OVER (
+                   PARTITION BY x.vec_id, x.sub
+                   ORDER BY ({cn}) - 2.0 * ({xd}), cb.cid) AS rk
+        FROM xs x JOIN cb{i - 1} cb ON cb.sub = x.sub
+    ) WHERE rk = 1
+), mu{i} AS (
+    SELECT a.sub, a.cid,
+           {mucols}
+    FROM a{i} a JOIN xs x ON x.vec_id = a.vec_id AND x.sub = a.sub
+    GROUP BY a.sub, a.cid
+), cb{i} AS (
+    SELECT p.sub, p.cid,
+           {cbcols}
+    FROM cb{i - 1} p LEFT JOIN mu{i} m
+      ON m.sub = p.sub AND m.cid = p.cid
+)""")
+    sq = " + ".join(
+        f"(x.x{p} - cb.c{p}) * (x.x{p} - cb.c{p})"
+        for p in range(1, dsub + 1)
+    )
+    parts.append(f""", enc AS (
+    SELECT vec_id, sub, cid, sqerr FROM (
+        SELECT x.vec_id, x.sub, cb.cid,
+               ({sq}) AS sqerr,
+               row_number() OVER (
+                   PARTITION BY x.vec_id, x.sub
+                   ORDER BY ({cn}) - 2.0 * ({xd}), cb.cid) AS rk
+        FROM xs x JOIN cb{PQ_ITERS} cb ON cb.sub = x.sub
+    ) WHERE rk = 1
+)
+SELECT vec_id,
+       list(cid ORDER BY sub) AS codes,
+       {stable_round_sql(f'SUM(sqerr) / {PQ_M * dsub}', 6)} AS recon_mse
+FROM enc
+GROUP BY vec_id""")
+    return "".join(parts)
+
+
 def _mmr_oracle(k_steps: int, n_cand: int, lam: float) -> str:
     """The greedy MMR selection UNROLLED as chained CTEs (the
     bpe_train_merges treatment — a fixed selection budget needs no
@@ -257,8 +365,29 @@ FROM ranked WHERE rank <= 10
 
     @register(
         "pq_embedding_codes",
-        oracle=None,  # iterative float k-means codebooks — no SQL
-        # oracle; exact numpy-replication law in tests/test_round4.py
+        # Full oracle since r9 (was rows-only): the decimal-sum Lloyd
+        # makes every codebook value a pure function of the
+        # assignment sets, so DuckDB replays the whole build as
+        # chained CTEs — seeds (lowest-16 rows' subvectors), then per
+        # iteration one assignment (row_number over the EXACT
+        # float expression numpy evaluates: left-associated
+        # cnorm2 - 2*dot, cid tie-break = argmin-first) and one
+        # decimal mean (terms cast via VARCHAR so DuckDB rounds the
+        # SHORTEST double repr exactly like Spark's
+        # BigDecimal.valueOf; the sum re-reads as VARCHAR -> DOUBLE,
+        # i.e. the correctly-rounded float(Decimal) the driver
+        # computes), empty cells keeping the previous centroid.
+        # Cross-engine decimal-cast noise can still perturb replayed
+        # centroids by ~1e-14 relative, so code equality is
+        # engine-exact ONLY while every argmin margin dominates it:
+        # the registry query measures the min margin per Lloyd round
+        # plus the final encode (operators/pq.py::
+        # pq_min_assign_margin) under SPARK_GRAFT_ORACLE_RUN and
+        # raises RuntimeError below 1e-9 (measured: 3.3e-7 at
+        # sf0.001, 2.5e-6 at sf0.01 — five orders of headroom over
+        # the noise, three under the gate). recon_mse compares under
+        # stable_round(6); the numpy-replication law stays.
+        oracle=_pq_codes_oracle_sql(),
         doc="Product-quantization encoding of the embeddings table "
         "(Jegou et al. 2011): 16 subspaces x 16 centroids (4-bit "
         "codes) from the deterministic per-subspace Lloyd build, "
@@ -270,13 +399,39 @@ FROM ranked WHERE rank <= 10
         "a mean-reconstruction-error ceiling (operators/pq.py).",
     )
     def pq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
         from stock_trend_predictor_spark.operators.pq import (
             pq_codebooks,
             pq_encode,
+            pq_min_assign_margin,
+        )
+        from stock_trend_predictor_spark.operators.similarity import (
+            as_double,
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        books = pq_codebooks(emb)
+        probe = (
+            [] if os.environ.get("SPARK_GRAFT_ORACLE_RUN") else None
+        )
+        books = pq_codebooks(emb, margin_probe=probe)
+        if probe is not None:
+            import numpy as np
+
+            probe.append(
+                pq_min_assign_margin(
+                    emb.select(as_double("embedding").alias("v")),
+                    np.asarray(books, dtype=np.float64),
+                )
+            )
+            if min(probe) < 1e-9:
+                raise RuntimeError(
+                    "pq_embedding_codes oracle regime violated: min "
+                    f"argmin margin {min(probe):.3e} < 1e-9 — the "
+                    "~1e-14 cross-engine decimal-cast noise in the "
+                    "replayed centroids could flip a code; rerun "
+                    "without the oracle or retune the gate"
+                )
         return pq_encode(emb, books).select(
             "vec_id",
             "codes",
