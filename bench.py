@@ -117,6 +117,9 @@ HEADLINE = [
     "semdedup_incremental",      # maintained SemDeDup fold (3 commits)
     "gopher_repetition_flags",   # 9-arity gram windows + interval union
     "bm25_incremental",          # maintained retrieval index (additive fold)
+    # round-9 additions (everything above stays frozen).
+    "curation_manifest_incremental",  # composed 5-fold keep manifest
+    "phash_incremental_pairs",   # maintained multimodal phash fold
 ]
 
 #: THIS round's additions — the only queries whose per-query values
@@ -126,8 +129,11 @@ HEADLINE = [
 #: committed). Roll these into HEADLINE proper next round and refill
 #: with that round's newcomers.
 ROUND_NEW = [
-    "curation_manifest_incremental",  # composed 5-fold keep manifest
-    "phash_incremental_pairs",   # maintained multimodal phash fold
+    # r10 has no new registry queries; the one materially re-planned
+    # query rides the compact line instead: the PCA moments pass is
+    # now the decimal-exact explode (oracle graduation) and the
+    # eigensolve a fixed-iteration driver-side power method
+    "embedding_pca_projection",
 ]
 HEADLINE += ROUND_NEW
 

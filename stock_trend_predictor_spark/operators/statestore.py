@@ -64,11 +64,29 @@ write and the META swap is invisible (the orphan dir is never
 referenced; a later compaction at a higher version overwrites its own
 fresh path).
 
-Single-writer by construction (one streaming query owns a state dir).
-On a shared object store without atomic rename the same protocol rides
-a conditional-put of META or a log-structured manifest (see
-sources/tick_api.py's per-batch manifest commit) — the local
-form here keeps the identical read/commit API.
+**Single-writer contract — ENFORCED.** One streaming query (or one
+registry build) owns a state dir at a time. Without enforcement two
+concurrent writers both read META ``v_n`` and both swap a ``v_n+1``
+pointer; the second ``os.replace`` wins and silently orphans the
+first writer's segments — a classic lost update that at 100 TB is
+"two ingest jobs pointed at one index", an operator error the layer
+must REFUSE, not absorb (r9 verdict #2). Every META-swapping entry
+point (:func:`commit_state`, :func:`rebucket_append_table`,
+:func:`compact_append_table`) therefore takes a pid-scoped writer
+lease for the duration of its write+swap: ``WRITER.lock`` is created
+atomically (content-complete via ``os.link`` of a prewritten temp —
+never observable half-written), a second writer that finds a lease
+held by a LIVE process raises :class:`ConcurrentWriterError`
+immediately (no partial write), and a lease left by a DEAD process
+(a crashed writer) is stolen so crash-retry keeps working — the
+retried batch re-reads META, which still points at the last complete
+version. Two threads of one process refusing each other is
+intentional: same box, same bug. On a shared object store without
+atomic rename the same protocol rides a conditional-put of META (the
+put's version precondition IS the CAS this lease emulates locally) or
+a log-structured manifest (see sources/tick_api.py's per-batch
+manifest commit) — the local form here keeps the identical
+read/commit API.
 """
 
 from __future__ import annotations
@@ -79,6 +97,83 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to commit to a state dir whose
+    writer lease is held by a live process (module docstring:
+    single-writer contract). The loser gets this BEFORE writing
+    anything — no segment, no META swap — so refusing is free."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — still alive
+    return True
+
+
+def _acquire_writer_lease(state_dir: str) -> str:
+    """Take the state dir's writer lease or raise
+    :class:`ConcurrentWriterError`. The lease file is created
+    content-complete in one atomic step (``os.link`` from a
+    prewritten per-pid temp), so a contender never observes a
+    half-written lease. A lease whose recorded pid is dead is a
+    crashed writer's leftover: steal it (remove + retry once — if
+    two stealers race, the ``os.link`` exclusivity picks exactly
+    one winner and the other raises)."""
+    lock = os.path.join(state_dir, "WRITER.lock")
+    tmp = f"{lock}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"pid": os.getpid()}, fh)
+    try:
+        for attempt in range(2):
+            try:
+                os.link(tmp, lock)
+                return lock
+            except FileExistsError:
+                try:
+                    with open(lock) as fh:
+                        holder = int(json.load(fh)["pid"])
+                except FileNotFoundError:
+                    continue  # released between link and read — retry
+                except (ValueError, KeyError, TypeError, OSError) as exc:
+                    raise ConcurrentWriterError(
+                        f"state dir {state_dir!r} has an unreadable "
+                        f"writer lease {lock!r}; refusing to commit "
+                        f"(remove it manually if no writer is live)"
+                    ) from exc
+                if _pid_alive(holder):
+                    raise ConcurrentWriterError(
+                        f"state dir {state_dir!r} is being written by "
+                        f"live pid {holder}; a state dir is "
+                        f"single-writer — point concurrent jobs at "
+                        f"separate dirs"
+                    )
+                # crashed writer: steal, then retry the atomic link
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+        raise ConcurrentWriterError(
+            f"lost the lease-steal race twice on {state_dir!r}; "
+            f"another writer is active"
+        )
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def _release_writer_lease(lock: str) -> None:
+    try:
+        os.unlink(lock)
+    except FileNotFoundError:
+        pass
 
 
 def read_meta(state_dir: str) -> dict | None:
@@ -170,6 +265,7 @@ def commit_state(
     appends: dict[str, DataFrame] | None = None,
     append_partition_by: dict[str, list[str]] | None = None,
     app_meta: dict | None = None,
+    progress_meta: dict | None = None,
 ) -> bool:
     """Write every snapshot table to a fresh version dir, every append
     table's delta to a new segment, and atomically point META at the
@@ -213,8 +309,46 @@ def commit_state(
     that last wrote it. An appends-only commit (``tables={}``) on a
     dir whose META lists snapshot tables therefore keeps them
     readable (r7 verdict: it used to GC every prior ``v-*`` dir while
-    writing no new one — silent snapshot loss)."""
+    writing no new one — silent snapshot loss).
+
+    ``progress_meta`` is the NON-pinned sibling of ``app_meta``: a
+    small JSON-able dict merged last-write-wins into META's
+    ``progress`` entry. Use it for running watermarks an update loop
+    must carry across commits (e.g. the manifest fold's max folded
+    doc_id) — values that by nature CHANGE every batch and so cannot
+    live under the first-commit-wins ``app`` pin. Read back via
+    ``read_meta()["progress"]``; rebucket/compact preserve it.
+
+    Raises :class:`ConcurrentWriterError` (before any write) if
+    another live process holds the dir's writer lease — the enforced
+    single-writer contract (module docstring)."""
     os.makedirs(state_dir, exist_ok=True)
+    lock = _acquire_writer_lease(state_dir)
+    try:
+        return _commit_state_locked(
+            state_dir,
+            tables,
+            batch_id,
+            files_per_table,
+            appends,
+            append_partition_by,
+            app_meta,
+            progress_meta,
+        )
+    finally:
+        _release_writer_lease(lock)
+
+
+def _commit_state_locked(
+    state_dir: str,
+    tables: dict[str, DataFrame],
+    batch_id: int | None,
+    files_per_table: int,
+    appends: dict[str, DataFrame] | None,
+    append_partition_by: dict[str, list[str]] | None,
+    app_meta: dict | None,
+    progress_meta: dict | None,
+) -> bool:
     meta = read_meta(state_dir)
     if (
         meta is not None
@@ -266,6 +400,8 @@ def commit_state(
                 f"counts)"
             )
         app.setdefault(k, v)  # first commit wins
+    progress = dict(meta.get("progress", {})) if meta else {}
+    progress.update(progress_meta or {})  # last write wins, by design
     tmp = os.path.join(state_dir, "META.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -278,6 +414,7 @@ def commit_state(
                 "segments": segments,
                 "partitioned": partitioned,
                 "app": app,
+                "progress": progress,
                 "last_batch_id": batch_id,
             },
             fh,
@@ -319,7 +456,30 @@ def rebucket_append_table(
     META (old segments, old pin) untouched and the orphan dirs
     unreferenced — a retry at the same version overwrites them in
     place. Old segment dirs are GC'd only after the swap. Returns
-    False when no named table has committed segments."""
+    False when no named table has committed segments. Holds the
+    dir's writer lease for the whole rewrite+swap (raises
+    :class:`ConcurrentWriterError` against a live concurrent
+    writer — module docstring)."""
+    if read_meta(state_dir) is None:
+        return False
+    lock = _acquire_writer_lease(state_dir)
+    try:
+        return _rebucket_append_table_locked(
+            spark, state_dir, recompute, partition_by, app_updates,
+            files_per_table,
+        )
+    finally:
+        _release_writer_lease(lock)
+
+
+def _rebucket_append_table_locked(
+    spark: SparkSession,
+    state_dir: str,
+    recompute: dict,
+    partition_by: dict[str, list[str]],
+    app_updates: dict,
+    files_per_table: int,
+) -> bool:
     meta = read_meta(state_dir)
     if meta is None:
         return False
@@ -389,7 +549,28 @@ def compact_append_table(
     c-{version}`` BEFORE the META swap; a crash in between leaves
     META referencing the old segment list, so the half-written (or
     fully-written-but-unreferenced) compact dir is invisible. GC of
-    superseded segment dirs happens only after the swap."""
+    superseded segment dirs happens only after the swap. Holds the
+    dir's writer lease across the rewrite+swap (raises
+    :class:`ConcurrentWriterError` against a live concurrent
+    writer)."""
+    if read_meta(state_dir) is None:
+        return False
+    lock = _acquire_writer_lease(state_dir)
+    try:
+        return _compact_append_table_locked(
+            spark, state_dir, name, files_per_table, repartition_by
+        )
+    finally:
+        _release_writer_lease(lock)
+
+
+def _compact_append_table_locked(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    files_per_table: int,
+    repartition_by: list[str] | None,
+) -> bool:
     meta = read_meta(state_dir)
     if meta is None:
         return False

@@ -495,3 +495,147 @@ def hll_sink(stream: DataFrame, state_dir: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- deterministic PCA (oracle-replayable power iteration) -----------
+
+#: fixed iteration count of the deflated power method — part of the
+#: query's DEFINITION (both engines run exactly this many steps, so
+#: cross-engine equality holds for any value; 2000 puts the iterate
+#: within ~1e-10 of the true eigenvector at every shipped SF despite
+#: the synthetic embeddings' near-degenerate spectrum, measured
+#: lambda2/lambda1 up to 0.9874).
+PCA_POWER_ITERS = 2000
+
+
+def exact_moment_sums(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[dict, dict, int]:
+    """DECIMAL(38,18)-exact moment sums of a vector column:
+    ``(sxy[(i, j)], si[i], n)`` with i <= j — the replayable twin of
+    :func:`gram_partials`. Each product term is cast
+    double -> DECIMAL(38,18) (Spark rounds the SHORTEST repr, which
+    DuckDB matches via CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)) —
+    the pq_embedding_codes idiom), so the sums are exact decimals,
+    order-independent, and bit-identical across engines. Scale shape
+    is unchanged from the float path: the explode is combined
+    map-side (partial decimal sums), so only d*(d+1)/2 rows per
+    partition cross the shuffle — the explode trades the BLAS kernel
+    for Catalyst-side exactness; :func:`gram_partials` remains the
+    raw-throughput variant."""
+    x = F.col(vec_col).cast("array<double>")
+    pair_struct = (
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> named_struct("
+        f"'i', i, 'j', j, "
+        f"'t', CAST(element_at(x, i + 1) * element_at(x, j + 1) "
+        f"AS DECIMAL(38,18))))))"
+    )
+    moms = (
+        vectors.select(x.alias("x"))
+        .select(F.explode(F.expr(pair_struct)).alias("p"))
+        .groupBy("p.i", "p.j")
+        .agg(F.sum("p.t").alias("sxy"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sing = (
+        f"transform(sequence(0, {dim - 1}), i -> named_struct("
+        f"'i', i, 's', CAST(element_at(x, i + 1) AS DECIMAL(38,18))))"
+    )
+    svec = (
+        vectors.select(x.alias("x"))
+        .select(F.explode(F.expr(sing)).alias("p"))
+        .groupBy("p.i")
+        .agg(F.sum("p.s").alias("si"))
+        .collect()
+    )
+    sxy = {(r["i"], r["j"]): r["sxy"] for r in moms}
+    si = {r["i"]: r["si"] for r in svec}
+    return sxy, si, int(moms[0]["n"])
+
+
+def _fold(vals):
+    """First-element-init left-associated fold — the iteration-side
+    summation order both engines share (DuckDB ``list_reduce`` with
+    no initial value; this pure-Python mirror)."""
+    it = iter(vals)
+    acc = next(it)
+    for v in it:
+        acc = acc + v
+    return acc
+
+
+def deterministic_power_pca(
+    sxy: dict, si: dict, n: int, dim: int = 64,
+    iters: int = PCA_POWER_ITERS,
+) -> dict:
+    """Top-2 PCA by DEFLATED POWER ITERATION with every float op in
+    a pinned order — pure Python (no numpy: its reductions switch
+    summation strategy with size), op-for-op the computation the
+    DuckDB oracle replays as a recursive CTE, so the outputs are
+    bit-identical across engines given the exact decimal moments
+    from :func:`exact_moment_sums`.
+
+    Per step: ``v'_i = fold_j(cov[i][j] * v_j) / sqrt(fold_j(v_j^2))``
+    (normalize by the PREVIOUS iterate's norm — linearity lets the
+    SQL replay compute both folds from one join scan; magnitudes stay
+    ~lambda-sized, no under/overflow at any iteration count). After
+    ``iters`` steps: lambda = the final iterate's norm, the unit
+    vector is sign-fixed on the largest-|component| entry (ties ->
+    lowest index; the pivot compares UNNORMALIZED components so both
+    engines order the same quantity), and PC2 repeats on
+    ``cov - lambda1 * u1 u1^T``.
+
+    Returns u1, u2, lam1, lam2, mu, off1, off2, evr1, evr2 and the
+    discrete-decision margins (min over components of pivot
+    separation and |pivot value|) for the oracle regime gate: every
+    arithmetic step is deterministic IEEE, so the only cross-engine
+    risk is a pivot/sign decision sitting within residual
+    decimal-cast noise (~1e-14) of a tie."""
+    import math
+
+    sxyd = {k: float(v) for k, v in sxy.items()}
+    sid = [float(si[i]) for i in range(dim)]
+    cov = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            v = (sxyd[(i, j)] - sid[i] * sid[j] / n) / (n - 1)
+            cov[i][j] = cov[j][i] = v
+
+    def power(c):
+        v = [1.0] * dim
+        for _ in range(iters):
+            nrm = math.sqrt(_fold([v[j] * v[j] for j in range(dim)]))
+            v = [
+                _fold([c[i][j] * v[j] for j in range(dim)]) / nrm
+                for i in range(dim)
+            ]
+        lam = math.sqrt(_fold([v[j] * v[j] for j in range(dim)]))
+        u = [v[i] / lam for i in range(dim)]
+        piv = max(range(dim), key=lambda i: (abs(v[i]), -i))
+        if not (v[piv] > 0):
+            u = [-x for x in u]
+        ranked = sorted((abs(x) for x in v), reverse=True)
+        return u, lam, ranked[0] - ranked[1], abs(v[piv])
+
+    u1, lam1, pm1, sm1 = power(cov)
+    cov2 = [
+        [cov[i][j] - lam1 * u1[i] * u1[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    u2, lam2, pm2, sm2 = power(cov2)
+    mu = [sid[i] / n for i in range(dim)]
+    trace = _fold([cov[i][i] for i in range(dim)])
+    return {
+        "u1": u1,
+        "u2": u2,
+        "lam1": lam1,
+        "lam2": lam2,
+        "mu": mu,
+        "off1": _fold([mu[i] * u1[i] for i in range(dim)]),
+        "off2": _fold([mu[i] * u2[i] for i in range(dim)]),
+        "evr1": lam1 / trace,
+        "evr2": lam2 / trace,
+        "pivot_margin": min(pm1, pm2),
+        "sign_margin": min(sm1, sm2),
+    }

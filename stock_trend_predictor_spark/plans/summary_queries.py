@@ -279,74 +279,182 @@ GROUP BY p.i, p.j
             F.col("n").alias("n"),
         )
 
+    def _pca_power_sql(cov_cte: str, tag: str, iters: int) -> str:
+        """One deflated-power-iteration leg as DuckDB CTEs: the
+        recursion normalizes by the PREVIOUS iterate's norm inside
+        the same GROUP BY scan (both folds come from one join), and
+        the sign fix pivots on the UNNORMALIZED final components —
+        op-for-op the pure-Python driver loop
+        (operators/summaries.py::deterministic_power_pca). list()
+        with ORDER BY + list_reduce is the engine's ordered
+        first-element-init fold, matching the Python mirror."""
+        return f"""
+pw{tag}(it, i, val) AS (
+  SELECT 0, i, 1.0::DOUBLE FROM range({EMB_DIM}) t(i)
+  UNION ALL
+  SELECT p.it + 1, c.i,
+         list_reduce(list(c.cv * p.val ORDER BY c.j), (a,b) -> a + b)
+         / sqrt(list_reduce(list(p.val * p.val ORDER BY c.j), (a,b) -> a + b))
+  FROM {cov_cte} c JOIN pw{tag} p ON p.i = c.j
+  WHERE p.it < {iters}
+  GROUP BY p.it, c.i
+),
+fin{tag} AS MATERIALIZED (SELECT i, val FROM pw{tag} WHERE it = {iters}),
+lam{tag} AS MATERIALIZED (
+  SELECT sqrt(list_reduce(list(val * val ORDER BY i), (a,b) -> a + b)) AS l
+  FROM fin{tag}
+),
+unit{tag} AS MATERIALIZED (
+  SELECT i,
+         CASE WHEN (SELECT val FROM fin{tag}
+                    ORDER BY abs(val) DESC, i ASC LIMIT 1) > 0
+              THEN val / (SELECT l FROM lam{tag})
+              ELSE -(val / (SELECT l FROM lam{tag})) END AS u
+  FROM fin{tag}
+)"""
+
+    def _pca_oracle_sql() -> str:
+        from stock_trend_predictor_spark.operators.summaries import (
+            PCA_POWER_ITERS,
+        )
+
+        d, t = EMB_DIM, PCA_POWER_ITERS
+        return f"""
+WITH RECURSIVE dims AS (SELECT i FROM range({d}) t(i)),
+terms AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(CAST(CAST(e.embedding[a.i + 1] AS DOUBLE)
+                   * CAST(e.embedding[b.i + 1] AS DOUBLE) AS VARCHAR)
+              AS DECIMAL(38,18)) AS t
+  FROM embeddings e CROSS JOIN dims a CROSS JOIN dims b WHERE a.i <= b.i
+),
+moms AS (SELECT i, j, SUM(t) AS sxy, COUNT(*) AS n FROM terms GROUP BY i, j),
+svec AS MATERIALIZED (
+  SELECT d.i,
+         CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[d.i + 1] AS DOUBLE)
+                                 AS VARCHAR) AS DECIMAL(38,18)))
+                   AS VARCHAR) AS DOUBLE) AS si,
+         CAST(CAST(SUM(CAST(CAST(CAST(e.embedding[d.i + 1] AS DOUBLE)
+                                 AS VARCHAR) AS DECIMAL(38,18)))
+                   AS VARCHAR) AS DOUBLE)
+           / (SELECT count(*) FROM embeddings) AS mu
+  FROM embeddings e CROSS JOIN dims d GROUP BY d.i
+),
+covu AS (
+  SELECT m.i, m.j,
+         (CAST(CAST(m.sxy AS VARCHAR) AS DOUBLE) - a.si * b.si / m.n)
+           / (m.n - 1) AS cv
+  FROM moms m JOIN svec a ON a.i = m.i JOIN svec b ON b.i = m.j
+),
+covm AS MATERIALIZED (
+  SELECT i, j, cv FROM covu
+  UNION ALL
+  SELECT j AS i, i AS j, cv FROM covu WHERE i < j
+),
+{_pca_power_sql("covm", "1", t)},
+covm2 AS MATERIALIZED (
+  SELECT c.i, c.j, c.cv - (SELECT l FROM lam1) * ua.u * ub.u AS cv
+  FROM covm c JOIN unit1 ua ON ua.i = c.i JOIN unit1 ub ON ub.i = c.j
+),
+{_pca_power_sql("covm2", "2", t)},
+offs AS MATERIALIZED (
+  SELECT (SELECT list_reduce(list(s.mu * u1.u ORDER BY s.i), (a,b) -> a + b)
+          FROM svec s JOIN unit1 u1 ON u1.i = s.i) AS off1,
+         (SELECT list_reduce(list(s.mu * u2.u ORDER BY s.i), (a,b) -> a + b)
+          FROM svec s JOIN unit2 u2 ON u2.i = s.i) AS off2,
+         (SELECT l FROM lam1)
+           / (SELECT list_reduce(list(cv ORDER BY i), (a,b) -> a + b)
+              FROM covm WHERE i = j) AS evr1,
+         (SELECT l FROM lam2)
+           / (SELECT list_reduce(list(cv ORDER BY i), (a,b) -> a + b)
+              FROM covm WHERE i = j) AS evr2
+)
+SELECT e.vec_id, e.label,
+       {stable_round_sql(
+           "list_reduce(list_prepend(0.0::DOUBLE,"
+           " list(CAST(e.embedding[u1.i + 1] AS DOUBLE) * u1.u"
+           " ORDER BY u1.i)), (a,b) -> a + b)"
+           " - (SELECT off1 FROM offs)", 6)} AS pc1,
+       {stable_round_sql(
+           "list_reduce(list_prepend(0.0::DOUBLE,"
+           " list(CAST(e.embedding[u2.i + 1] AS DOUBLE) * u2.u"
+           " ORDER BY u2.i)), (a,b) -> a + b)"
+           " - (SELECT off2 FROM offs)", 6)} AS pc2,
+       {stable_round_sql("(SELECT evr1 FROM offs)", 6)} AS evr1,
+       {stable_round_sql("(SELECT evr2 FROM offs)", 6)} AS evr2
+FROM embeddings e CROSS JOIN unit1 u1 JOIN unit2 u2 ON u2.i = u1.i
+GROUP BY e.vec_id, e.label
+"""
+
     @register(
         "embedding_pca_projection",
-        oracle=None,  # eigendecomposition is not SQL-expressible;
-        # numpy cross-check law in tests/test_summaries.py
+        # Full oracle since r10 (was rows-only, r9 verdict #7): the
+        # eigensolve is redefined as a FIXED-ITERATION deflated power
+        # method whose every float op has a pinned order — exact
+        # DECIMAL(38,18) moment sums (the pq VARCHAR-cast idioms) make
+        # the d x d covariance bit-identical across engines, and the
+        # iteration/normalization/sign-fix/projection then replay in
+        # DuckDB as a recursive CTE + ordered list_reduce folds.
+        # Measured bit-equal projections at sf0.001/0.01/0.1 (2000/
+        # 2000 rows at sf0.1), and within 1e-10 of numpy eigh despite
+        # the near-degenerate synthetic spectrum. The one residual
+        # cross-engine risk is the two DISCRETE decisions (pivot
+        # choice, sign) sitting inside ~1e-14 decimal-cast noise of a
+        # tie — gated below under SPARK_GRAFT_ORACLE_RUN.
+        oracle=_pca_oracle_sql(),
         doc="PCA projection of every embedding onto the top-2 "
         "principal components — the distributed back half of the "
-        "covariance query: the d x d moment matrix (a model-sized "
-        "driver artifact, same policy as IVF centroids) is "
-        "eigendecomposed on the driver, the two leading eigenvectors "
-        "are sign-fixed (largest-|component| entry made positive, so "
-        "the output is unique) and broadcast as array literals, and "
-        "each row's coordinates are a JVM-side zip_with/aggregate dot "
-        "product minus the precomputed mean offset — no Python, no "
-        "shuffle in the projection pass at all. At 100 TB: one "
-        "gram-partial pass (d^2 doubles per partition) + one narrow "
-        "map — the standard large-scale PCA shape. Also emits each "
-        "component's explained-variance ratio as constant columns so "
-        "the projection is self-describing.",
+        "covariance query: DECIMAL-exact d x d moment sums (a "
+        "model-sized driver artifact, same policy as IVF centroids; "
+        "map-side-combined, so d*(d+1)/2 rows per partition cross "
+        "the shuffle — never the vectors) feed a deterministic "
+        "driver-side deflated power method "
+        "(operators/summaries.py::deterministic_power_pca), the two "
+        "leading eigenvectors are sign-fixed (largest-|component| "
+        "entry positive, ties to the lowest index) and broadcast as "
+        "array literals, and each row's coordinates are a JVM-side "
+        "zip_with/aggregate dot product minus the precomputed mean "
+        "offset — no Python, no shuffle in the projection pass. At "
+        "100 TB: one moment pass + one narrow map, the standard "
+        "large-scale PCA shape. Emits each component's "
+        "explained-variance ratio (eigenvalue / trace) as constant "
+        "columns so the projection is self-describing.",
     )
     def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import numpy as np
+        import os
 
         from stock_trend_predictor_spark.operators.summaries import (
-            gram_partials,
+            deterministic_power_pca,
+            exact_moment_sums,
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        agg = (
-            gram_partials(emb, vec_col="embedding")
-            .groupBy("i", "j")
-            .agg(
-                F.sum("sxy").alias("sxy"),
-                F.sum("si").alias("si"),
-                F.sum("n").alias("n"),
-            )
-            .collect()  # d*(d+1)/2 rows — parameter-sized by design
+        sxy, si, n = exact_moment_sums(
+            emb, vec_col="embedding", dim=EMB_DIM
         )
-        d = max(r.j for r in agg) + 1
-        n = agg[0].n
-        sxy = np.zeros((d, d))
-        si = np.zeros(d)
-        for r in agg:
-            sxy[r.i, r.j] = sxy[r.j, r.i] = r.sxy
-            if r.i == r.j:
-                si[r.i] = r.si
-        mu = si / n
-        cov = (sxy - np.outer(si, si) / n) / (n - 1)
-        evals, evecs = np.linalg.eigh(cov)
-        order = np.argsort(evals)[::-1]
-        evals, evecs = evals[order], evecs[:, order]
-        comps = []
-        for k in range(2):
-            v = evecs[:, k]
-            pivot = int(np.argmax(np.abs(v)))  # ties: lowest index wins
-            comps.append(v if v[pivot] > 0 else -v)
-        evr = evals[:2] / evals.sum()
-
+        res = deterministic_power_pca(sxy, si, n, dim=EMB_DIM)
+        if os.environ.get("SPARK_GRAFT_ORACLE_RUN"):
+            margin = min(res["pivot_margin"], res["sign_margin"])
+            if margin < 1e-9:
+                raise RuntimeError(
+                    "embedding_pca_projection oracle regime violated: "
+                    f"min pivot/sign margin {margin:.3e} < 1e-9 — a "
+                    "discrete decision sits within cross-engine "
+                    "decimal-cast noise of a tie; rerun without the "
+                    "oracle or retune the gate"
+                )
         x = F.col("embedding").cast("array<double>")
         cols = {"vec_id": F.col("vec_id"), "label": F.col("label")}
-        for k, v in enumerate(comps, start=1):
-            lit_v = F.array(*[F.lit(float(w)) for w in v])
+        for k in (1, 2):
+            u = res[f"u{k}"]
+            lit_v = F.array(*[F.lit(float(w)) for w in u])
             dot = F.aggregate(
                 F.zip_with(x, lit_v, lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, y: acc + y,
             )
-            cols[f"pc{k}"] = stable_round(dot - float(np.dot(mu, comps[k - 1])), 6)
-            cols[f"evr{k}"] = stable_round(F.lit(float(evr[k - 1])), 6)
+            cols[f"pc{k}"] = stable_round(dot - res[f"off{k}"], 6)
+            cols[f"evr{k}"] = stable_round(F.lit(res[f"evr{k}"]), 6)
         return emb.select(*[c.alias(name) for name, c in cols.items()])
 
     hash28_sql_mod = (

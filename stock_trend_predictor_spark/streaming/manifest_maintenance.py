@@ -43,7 +43,10 @@ arrival-order-invariant (their fold laws); the decon score depends
 only on (docs, bench) sets; budget admission is the doc_id-order
 prefix rule, invariant under ORDER-PRESERVING batching (the one
 order-sensitive constituent — the composition inherits budget.py's
-precondition that arrival order is doc_id order). A deterministic
+precondition that arrival order is doc_id order, ENFORCED at
+runtime since r10 via the committed max-doc_id watermark in META's
+``progress`` entry: an out-of-order batch raises before any
+constituent commit). A deterministic
 CASE over pure signals is pure, so the composed verdict equals the
 one-shot CASE over the constituent one-shots, and the registry
 query's oracle NESTS the constituent oracles verbatim as scoped
@@ -70,10 +73,22 @@ tests/test_round9.py: stream == batch (== the composed one-shot) on
 two order-preserving splits, prefix parity after every batch, replay
 idempotence (including a partial-crash replay: one sub-fold ahead),
 and checkpoint-release accounting.
+
+MAINTENANCE SURFACE (r10, matching the family contract): the quality
+table carries a ``dbucket`` hash-bucket column under the pinned
+``n_manifest_buckets`` (plain per-batch deltas, bucketed layout via
+``compact_every`` / rebucket — the statestore LSM discipline);
+:func:`rebucket_manifest_state` re-pins P across the WHOLE
+composition behind an intent marker that makes the mixed-P crash
+window refuse reads instead of mis-pruning (its docstring has the
+cross-dir crash argument). Laws in tests/test_round10.py: composed
+rebucket identity, crash-midway refusal + re-run convergence, and
+the out-of-order refusal leaving zero partial state.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -96,11 +111,50 @@ MIN_TOKENS = 20
 MIN_DIVERSITY = 0.3
 
 #: on-disk layout version of the manifest's own quality table.
-MANIFEST_FORMAT = 1
+#: v2 (r10): quality is hash-bucketed on ``dbucket`` like every other
+#: fold's doc-keyed append table (family contract), with the bucket
+#: count pinned as ``n_manifest_buckets``.
+MANIFEST_FORMAT = 2
+
+#: default bucket count for the quality table — matches the
+#: constituents' birth default so a composed re-pin keeps one P.
+N_MANIFEST_BUCKETS = 64
 
 
 def _sub(base_dir: str, name: str) -> str:
     return os.path.join(base_dir, name)
+
+
+def _doc_bucket(p: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(p))
+
+
+def _rebucket_intent_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "REBUCKET.json")
+
+
+def _check_no_rebucket_in_progress(base_dir: str) -> None:
+    """Refuse to fold or read while a composed rebucket's intent
+    marker exists — between the marker's write and its removal the
+    five constituent dirs may carry MIXED bucket layouts (each dir's
+    own swap is atomic, but the composition has no cross-dir
+    transaction), and the only safe move is to drive the rebucket to
+    completion (idempotent — re-run it)."""
+    path = _rebucket_intent_path(base_dir)
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as fh:
+            target = json.load(fh).get("target_p")
+    except (OSError, ValueError):
+        target = "?"
+    raise RuntimeError(
+        f"a composed rebucket to P={target} is in progress or "
+        f"crashed midway on {base_dir!r} — constituent dirs may "
+        f"carry mixed bucket layouts; re-run "
+        f"rebucket_manifest_state(spark, base_dir, {target}) to "
+        f"completion before folding or reading"
+    )
 
 
 def _check_manifest_format(meta: dict | None) -> None:
@@ -150,6 +204,7 @@ def update_manifest_bench(
         update_decon_bench,
     )
 
+    _check_no_rebucket_in_progress(base_dir)
     update_decon_bench(
         spark, bench_docs, _sub(base_dir, "decon"), batch_id
     )
@@ -165,6 +220,7 @@ def update_manifest_state(
     budget: int,
     decon_filter: Column | None = None,
     prune_min_bytes: int = PRUNE_MIN_BYTES,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one arrival batch — documents carrying (doc_id, text,
     source) plus their vectors (vec_id, v) — through every
@@ -177,7 +233,22 @@ def update_manifest_state(
 
     PRECONDITIONS (inherited from the constituents): each doc/vec
     arrives exactly once, and arrival order is doc_id order across
-    batches (the budget constituent's hard-frontier law)."""
+    batches (the budget constituent's hard-frontier law). The order
+    precondition is ENFORCED, not assumed (r9 verdict #3): the
+    committed max folded doc_id rides META's ``progress`` watermark
+    (written atomically with the quality commit — the low-water
+    mark, so a partial-crash replay re-checks against the pre-batch
+    value), and a batch whose min doc_id does not exceed it RAISES
+    before any constituent commit — an out-of-order arrival would
+    otherwise silently change budget admission.
+
+    ``compact_every=N`` runs the statestore OPTIMIZE after each Nth
+    batch across the composition's bucketed tables in one cadence:
+    the near-dup and SemDeDup constituents compact their own tables,
+    and the manifest's quality deltas compact into a
+    dbucket-partitioned segment (the family's LSM discipline — plain
+    per-batch deltas carrying the bucket column, bucketed layout via
+    compaction/rebucket)."""
     from stock_trend_predictor_spark.operators import dedup as D
     from stock_trend_predictor_spark.streaming.budget import (
         update_budget_state,
@@ -192,6 +263,7 @@ def update_manifest_state(
         update_semdedup_state,
     )
 
+    _check_no_rebucket_in_progress(base_dir)
     meta = read_meta(base_dir)
     _check_manifest_format(meta)
     if (
@@ -204,12 +276,31 @@ def update_manifest_state(
     docs = docs_batch.select("doc_id", "text", "source").localCheckpoint(
         eager=True
     )
+    # enforce the budget constituent's order precondition BEFORE any
+    # sub-fold commits: a refused batch must leave zero partial state
+    lo_id, hi_id = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    prior_max = (meta or {}).get("progress", {}).get("max_doc_id")
+    if (
+        lo_id is not None
+        and prior_max is not None
+        and lo_id <= prior_max
+    ):
+        release_local_checkpoints(docs)
+        raise RuntimeError(
+            f"out-of-order arrival batch {batch_id}: min doc_id "
+            f"{lo_id} does not exceed the committed watermark "
+            f"{prior_max} — the composition requires arrival order "
+            f"to be doc_id order (budget admission is an "
+            f"arrival-order prefix rule; folding this batch would "
+            f"silently change the admitted set)"
+        )
     update_neardup_state(
         spark,
         D.with_shingle_hashes(docs).select("doc_id", "hs"),
         _sub(base_dir, "nd"),
         batch_id=batch_id,
         prune_min_bytes=prune_min_bytes,
+        compact_every=compact_every,
     )
     update_semdedup_state(
         spark,
@@ -218,6 +309,7 @@ def update_manifest_state(
         centroids,
         batch_id=batch_id,
         prune_min_bytes=prune_min_bytes,
+        compact_every=compact_every,
     )
     decon_docs = docs if decon_filter is None else docs.where(decon_filter)
     update_decon_docs(
@@ -234,15 +326,43 @@ def update_manifest_state(
         batch_id=batch_id,
     )
     # the manifest's own commit runs LAST — the composition's
-    # low-water mark for the replay discipline
+    # low-water mark for the replay discipline. quality is bucketed
+    # on dbucket under the pinned P (family contract), and the
+    # order-watermark advances in the same atomic META swap.
+    p = int(
+        (meta or {}).get("app", {}).get(
+            "n_manifest_buckets", N_MANIFEST_BUCKETS
+        )
+    )
+    new_max = hi_id if prior_max is None else max(
+        prior_max, hi_id if hi_id is not None else prior_max
+    )
     commit_state(
         base_dir,
         {},
         batch_id=batch_id,
         files_per_table=8,
-        appends={"quality": quality_row(docs)},
-        app_meta={"manifest_format": MANIFEST_FORMAT},
+        appends={
+            "quality": quality_row(docs).withColumn(
+                "dbucket", _doc_bucket(p)
+            )
+        },
+        app_meta={
+            "manifest_format": MANIFEST_FORMAT,
+            "n_manifest_buckets": p,
+        },
+        progress_meta=(
+            {} if new_max is None else {"max_doc_id": new_max}
+        ),
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from stock_trend_predictor_spark.operators.statestore import (
+            compact_append_table,
+        )
+
+        compact_append_table(
+            spark, base_dir, "quality", repartition_by=["dbucket"]
+        )
     release_local_checkpoints(docs)
 
 
@@ -268,6 +388,7 @@ def read_curation_manifest(
         read_semdedup_keep,
     )
 
+    _check_no_rebucket_in_progress(base_dir)
     _check_manifest_format(read_meta(base_dir))
     q = read_state_table(spark, base_dir, "quality")
     if q is None:
@@ -333,6 +454,73 @@ def read_curation_manifest(
         admitted.alias("admitted"),
         decision.alias("decision"),
     )
+
+
+def rebucket_manifest_state(
+    spark: SparkSession, base_dir: str, new_p: int
+) -> bool:
+    """Grow (or shrink) the COMPOSITION's bucket count in one move —
+    the maintenance surface the constituent folds each expose,
+    lifted to the capstone (r9 verdict #3). Re-buckets every
+    bucketed constituent (near-dup bands/shingles/labels, SemDeDup
+    members/labels) and the manifest's own quality table under ONE
+    target P, re-pinning each dir's layout parameter; decon and
+    budget keep no bucketed probe tables, so there is nothing to
+    rewrite there.
+
+    Crash consistency ACROSS dirs: each constituent's rewrite+re-pin
+    is atomic in ITS dir (statestore.rebucket_append_table), but
+    there is no cross-dir transaction — so the composed move is
+    fenced by an INTENT marker (``REBUCKET.json`` in ``base_dir``,
+    written atomically before the first rewrite, removed after the
+    last): while it exists, every fold/read entry point REFUSES (the
+    dirs may carry mixed P), and re-running this function with the
+    marker's target drives the move to completion — each
+    constituent rebucket is idempotent-convergent (re-deriving an
+    already-new-P table under new P is a no-op rewrite). The
+    manifest's own quality rewrite runs LAST, keeping the
+    composition's low-water-mark discipline: its re-pin is the
+    signal the composed move completed. Returns False before the
+    first manifest commit."""
+    from stock_trend_predictor_spark.operators.statestore import (
+        rebucket_append_table,
+    )
+    from stock_trend_predictor_spark.streaming.neardup_maintenance import (
+        rebucket_neardup_state,
+    )
+    from stock_trend_predictor_spark.streaming.semdedup_maintenance import (
+        rebucket_semdedup_state,
+    )
+
+    meta = read_meta(base_dir)
+    _check_manifest_format(meta)
+    if meta is None:
+        return False
+    new_p = int(new_p)
+    if new_p < 1:
+        raise ValueError(f"bucket count must be >= 1, got {new_p}")
+    # INTENT first — readers/folders refuse until the move completes
+    intent = _rebucket_intent_path(base_dir)
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"target_p": new_p}, fh)
+    os.replace(tmp, intent)
+    rebucket_neardup_state(spark, _sub(base_dir, "nd"), new_p)
+    rebucket_semdedup_state(spark, _sub(base_dir, "sem"), new_p)
+    # the manifest's own rewrite + re-pin LAST (low-water mark)
+    changed = rebucket_append_table(
+        spark,
+        base_dir,
+        recompute={
+            "quality": lambda df: df.withColumn(
+                "dbucket", _doc_bucket(new_p)
+            )
+        },
+        partition_by={"quality": ["dbucket"]},
+        app_updates={"n_manifest_buckets": new_p},
+    )
+    os.unlink(intent)
+    return changed
 
 
 def manifest_maintenance_sink(

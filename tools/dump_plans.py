@@ -93,6 +93,8 @@ QUERIES = [
     # round-9 additions: the composed manifest + the multimodal fold
     ("curation_manifest_incremental", "manifest read: five latest-wins state reads joined on doc_id (8-byte ids + booleans shuffle, never text/vectors); verdict CASE is a narrow projection; no corpus-sized window"),
     ("phash_incremental_pairs", "pairs read is a pure state scan (the fold did the work); the per-batch probe is a band-bucket equi-join with Hamming verify on candidate pairs only — no Python past the Arrow phash kernel"),
+    # round-10: the oracle-graduated PCA's re-planned moments pass
+    ("embedding_pca_projection", "decimal moment sums: explode map-side combines to d*(d+1)/2 partial rows per partition (vectors never shuffle); projection is zip_with/aggregate inside codegen; eigensolve is driver-side on the parameter-sized artifact"),
 ]
 
 

@@ -344,18 +344,24 @@ def probe_bm25(spark) -> None:
     query shapes per corpus: the registry's COMMON terms (candidates
     ~ the corpus, so the docstats read is candidate-bounded ==
     corpus-bounded — inherent, you must score every candidate); the
-    rarest REAL tokens with df >= top_k (bucket-granularity honesty:
-    the synthetic vocabulary has a df floor of ~3% of the corpus, so
-    candidates > P and the docstats prune admits ~everything — the
-    postings side still collapses); and a RARE marker token carried
+    rarest tokens with df >= top_k, which since r10 are
+    GENERATOR-NATIVE Zipf-tail levels (fold text carries
+    zipf_tail_token(doc_id), df(zt_j) ~ N * 2**-(j+1), so a natural
+    term with df just above top_k exists at every corpus size — the
+    raw synthetic vocabulary alone has a ~3%-of-corpus df floor that
+    made this row degenerate before); and a RARE marker token carried
     by one small folded batch (df = 50 >= top_k, candidates << P —
-    the sharded-search hot path where BOTH reads collapse to a
-    handful of buckets)."""
+    kept as the arrival-hot-path shape). At 30x the selective row's
+    candidates (~top_k..2*top_k docs) touch a handful of the 1920
+    dbuckets — BOTH reads collapse without a marker."""
     from pyspark.sql import functions as F
 
     from stock_trend_predictor_spark.operators.statestore import (
         compact_append_table,
         read_meta,
+    )
+    from stock_trend_predictor_spark.functions.text import (
+        zipf_tail_token,
     )
     from stock_trend_predictor_spark.plans.summary_queries import (
         BM25_TERMS,
@@ -367,8 +373,18 @@ def probe_bm25(spark) -> None:
           "| postings MB read/total | docstats MB read/total |")
     print("|---|---|---|---|---|---|---|")
     for label, src, p in (("1x", SMALL, 64), ("30x", BIG, 1920)):
+        # fold text = raw text + the generator-native Zipf tail token
+        # (df(zt_j) ~ N * 2**-(j+1)): the deepest populated levels sit
+        # near df = top_k at EVERY corpus size, so the 'selective' row
+        # below picks a NATURAL rare term and the two-sided pruned
+        # read demonstrates without a specially-folded marker batch
+        # (r9 verdict item 6; tools/scaleup.py carries the same
+        # derivation as the documents table's zipf_token column)
         docs = load_table(spark, src, "documents").select(
-            "doc_id", "text"
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"), zipf_tail_token("doc_id")
+            ).alias("text"),
         )
         n_docs = docs.count()
         sdir = f"/tmp/probe-bm25-{label}"

@@ -78,6 +78,17 @@ def build() -> None:
                 F.concat(F.lit("rep"), F.col("r").cast("string"),
                          F.lit(" "), F.col("text")),
             )
+            # generator-native Zipf vocabulary tail (df(zt_j) ~
+            # N * 2**-(j+1)) as a SEPARATE column — the raw text
+            # stays byte-identical to earlier rounds so the dedup
+            # family's measured numbers stay comparable; BM25-side
+            # tooling concatenates it at fold time
+            # (functions/text.py::zipf_tail_token has the law)
+            from stock_trend_predictor_spark.functions.text import (
+                zipf_tail_token,
+            )
+
+            df = df.withColumn("zipf_token", zipf_tail_token("doc_id"))
         df.drop("r").write.mode("overwrite").parquet(
             f"{DST}/{name}.parquet"
         )

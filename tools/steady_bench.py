@@ -281,12 +281,23 @@ def _one_cell(fold_name: str, tag: str, sf_dir: str):
                 batch_id=0,
             )
             # budget never exhausts: the steady cost measured is the
-            # composition machinery, not the reject fast-path
+            # composition machinery, not the reject fast-path.
+            # contiguous doc_id tertiles, NOT % 3 slices — the
+            # composition's arrival-order precondition is enforced at
+            # runtime since r10 (out-of-order batches refuse)
+            lo, hi = docs.agg(
+                F.expr("percentile(doc_id, 0.33)"),
+                F.expr("percentile(doc_id, 0.67)"),
+            ).first()
+            edges = [float("-inf"), float(lo), float(hi), float("inf")]
             for i in range(3):
+                span = lambda c: (c > F.lit(edges[i])) & (
+                    c <= F.lit(edges[i + 1])
+                )
                 update_manifest_state(
                     spark,
-                    docs.where(F.col("doc_id") % 3 == i),
-                    e.where(F.col("vec_id") % 3 == i).select(
+                    docs.where(span(F.col("doc_id"))),
+                    e.where(span(F.col("vec_id"))).select(
                         "vec_id", "v"
                     ),
                     sdir,
