@@ -463,3 +463,82 @@ def test_pca_power_python_replication_and_margins(spark, sf_dir):
     one = next(iter(rows.values()))
     assert one.evr1 == sround(res["evr1"])
     assert one.evr2 == sround(res["evr2"])
+
+
+# ---------------------------------------------------------------- #
+# sweep-freshness checker: the protocol rule, mechanically enforced #
+# ---------------------------------------------------------------- #
+
+
+def test_check_sweep_fresh_flags_every_drift_shape(tmp_path):
+    """tools/check_sweep_fresh.py is the mechanical form of the r10
+    sweep-ordering protocol rule (COVERAGE.md): a shipped sweep log
+    must list exactly the live registry's queries in exactly their
+    oracled/rows-only modes with FAILURES: 0. Pin each drift shape
+    the checker must catch — including the r9 staleness shape (log
+    rows-only, registry oracled) that motivated the rule — and that
+    a log agreeing with the LIVE registry passes. Parsing must also
+    survive a tty progress bar gluing a result line after a \\r."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from tools.check_sweep_fresh import check, parse_log
+
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    def write_log(path, modes, failures="0"):
+        lines = []
+        for name, mode in modes.items():
+            if mode == "oracled":
+                lines.append(f"[OK] {name}: spark=1 oracle=1 ")
+            elif mode == "FAIL":
+                lines.append(f"[FAIL] {name}: value hash mismatch")
+            else:
+                lines.append(f"[rows-only] {name}: 1 rows")
+        # glue the FIRST result line onto a progress-bar \r fragment —
+        # the capture shape that hid the PCA [OK] line from a naive
+        # line-based grep during this round's own verification
+        body = "[Stage 8:> (0 + 1) / 1]\r" + "\n".join(lines)
+        path.write_text(body + f"\nFAILURES: {failures}\n")
+        return str(path)
+
+    true_modes = {
+        n: ("oracled" if n in oracles else "rows-only") for n in qs
+    }
+
+    # 1. a log that matches the live registry exactly → fresh
+    p = write_log(tmp_path / "fresh.log", true_modes)
+    assert check(p) == []
+    modes, failures = parse_log(p)
+    assert failures == 0 and len(modes) == len(qs)
+
+    # 2. the r9 staleness shape: one oracled query swept rows-only
+    some_oracled = sorted(oracles)[0]
+    stale = dict(true_modes, **{some_oracled: "rows-only"})
+    p = write_log(tmp_path / "stale.log", stale)
+    assert any("re-sweep" in s and some_oracled in s for s in check(p))
+
+    # 3. a query missing from the log entirely
+    dropped = dict(true_modes)
+    gone = sorted(qs)[0]
+    del dropped[gone]
+    p = write_log(tmp_path / "missing.log", dropped)
+    assert any("absent from the log" in s and gone in s for s in check(p))
+
+    # 4. a FAIL line, and a non-zero trailer
+    failed = dict(true_modes, **{some_oracled: "FAIL"})
+    p = write_log(tmp_path / "fail.log", failed, failures="1")
+    probs = check(p)
+    assert any("FAILED in the sweep" in s for s in probs)
+    assert any("FAILURES: 1" in s for s in probs)
+
+    # 5. a log naming a query the registry no longer has
+    extra = dict(true_modes, phantom_query="oracled")
+    p = write_log(tmp_path / "extra.log", extra)
+    assert any("not in registry" in s for s in check(p))
+
+    # 6. a truncated log (no trailer) is never fresh
+    p = tmp_path / "trunc.log"
+    p.write_text("[OK] q1_pricing_summary: spark=4 oracle=4 \n")
+    assert any("truncated" in s for s in check(str(p)))
