@@ -31,7 +31,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
@@ -39,6 +39,15 @@ def connected_components(
     reachable from ``node`` — deterministic, partition-layout
     independent. Nodes appearing only as isolated endpoints of no edge
     are the caller's concern (a pair graph has no isolated nodes).
+
+    ``max_iter`` is a runaway guard, not a budget: the loop exits the
+    round after no label changes, so star-like dedup graphs (diameter
+    2-4) never go near it. It must exceed the worst graph DIAMETER the
+    caller can see — a chain-shaped near-dup component at sf0.1 needs
+    28 propagation rounds, so the former cap of 20 silently returned
+    unconverged (wrong) labels there. 64 covers diameters well past
+    anything a bounded-similarity pair graph produces while costing
+    converging graphs nothing.
     """
     # undirect once; labels seeded with each node's own id.
     # localCheckpoint (NOT plain persist) after every round: an

@@ -257,6 +257,33 @@ def _write_segment(
         df.coalesce(files_per_table).write.mode("overwrite").parquet(path)
 
 
+def _run_writes(
+    writes: list[tuple[DataFrame, str, list[str] | None]],
+    files_per_table: int,
+) -> None:
+    """Execute independent table writes, OVERLAPPED when there is
+    more than one (each write is its own Spark job against its own
+    directory; the driver submits them from a small thread pool so a
+    later job's tasks back-fill executors idled by an earlier job's
+    straggler tail, instead of paying N sequential write walls per
+    commit). Semantically identical to the sequential loop: all
+    writes complete — or the first failure propagates — before the
+    caller swaps META, so a half-written dir is never referenced."""
+    if len(writes) <= 1:
+        for df, path, pcols in writes:
+            _write_segment(df, path, pcols, files_per_table)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(writes))) as pool:
+        futures = [
+            pool.submit(_write_segment, df, path, pcols, files_per_table)
+            for df, path, pcols in writes
+        ]
+        for f in futures:
+            f.result()  # propagate the first failure before any swap
+
+
 def commit_state(
     state_dir: str,
     tables: dict[str, DataFrame],
@@ -359,10 +386,16 @@ def _commit_state_locked(
         return False
     version = 0 if meta is None else meta["version"] + 1
     vdir = f"v-{version:010d}"
+    # every table's write is an independent Spark job targeting its
+    # own directory, and META is swapped only after ALL of them
+    # complete — so the writes can OVERLAP (one driver thread each;
+    # concurrent jobs back-fill each other's task tails instead of
+    # serializing N write walls per commit). Any failure propagates
+    # before the swap: a partially-written version dir / segment is
+    # never referenced, exactly as in the sequential order.
+    writes: list = []
     for name, df in tables.items():
-        df.coalesce(files_per_table).write.mode("overwrite").parquet(
-            os.path.join(state_dir, vdir, name)
-        )
+        writes.append((df, os.path.join(state_dir, vdir, name), None))
     # carry forward snapshot tables this commit did not rewrite:
     # they stay in the version dir that last wrote them
     prev_dirs = (
@@ -383,12 +416,11 @@ def _commit_state_locked(
         # simply never referenced
         seg = os.path.join(f"seg-{name}", f"b-{version:010d}")
         pcols = (append_partition_by or {}).get(name)
-        _write_segment(
-            df, os.path.join(state_dir, seg), pcols, files_per_table
-        )
+        writes.append((df, os.path.join(state_dir, seg), pcols))
         segments[name] = [*segments.get(name, []), seg]
         if pcols:
             partitioned[name] = pcols
+    _run_writes(writes, files_per_table)
     app = dict(meta.get("app", {})) if meta else {}
     for k, v in (app_meta or {}).items():
         if k in app and app[k] != v:

@@ -294,37 +294,59 @@ def update_manifest_state(
             f"arrival-order prefix rule; folding this batch would "
             f"silently change the admitted set)"
         )
-    update_neardup_state(
-        spark,
-        D.with_shingle_hashes(docs).select("doc_id", "hs"),
-        _sub(base_dir, "nd"),
-        batch_id=batch_id,
-        prune_min_bytes=prune_min_bytes,
-        compact_every=compact_every,
-    )
-    update_semdedup_state(
-        spark,
-        vecs_batch.select("vec_id", "v"),
-        _sub(base_dir, "sem"),
-        centroids,
-        batch_id=batch_id,
-        prune_min_bytes=prune_min_bytes,
-        compact_every=compact_every,
-    )
+    # the four constituents write to FOUR DISJOINT state dirs and
+    # never read each other's — independent jobs, so the driver
+    # submits them from a thread pool and they back-fill each other's
+    # straggler tails instead of serializing four fold walls per
+    # batch (the §2.6 overlap discipline). The composition's crash
+    # contract is unchanged: there was never a cross-dir transaction —
+    # a crash (or one constituent failing) leaves an arbitrary subset
+    # of sub-folds committed, and the at-least-once re-delivery
+    # converges exactly as before (committed sub-folds skip on their
+    # replay guards). The manifest's own quality commit still runs
+    # strictly AFTER all four succeed — the low-water mark.
     decon_docs = docs if decon_filter is None else docs.where(decon_filter)
-    update_decon_docs(
-        spark,
-        decon_docs.select("doc_id", "text"),
-        _sub(base_dir, "decon"),
-        batch_id=batch_id,
-    )
-    update_budget_state(
-        spark,
-        docs,
-        _sub(base_dir, "budget"),
-        budget=int(budget),
-        batch_id=batch_id,
-    )
+    constituents = [
+        lambda: update_neardup_state(
+            spark,
+            D.with_shingle_hashes(docs).select("doc_id", "hs"),
+            _sub(base_dir, "nd"),
+            batch_id=batch_id,
+            prune_min_bytes=prune_min_bytes,
+            compact_every=compact_every,
+        ),
+        lambda: update_semdedup_state(
+            spark,
+            vecs_batch.select("vec_id", "v"),
+            _sub(base_dir, "sem"),
+            centroids,
+            batch_id=batch_id,
+            prune_min_bytes=prune_min_bytes,
+            compact_every=compact_every,
+        ),
+        lambda: update_decon_docs(
+            spark,
+            decon_docs.select("doc_id", "text"),
+            _sub(base_dir, "decon"),
+            batch_id=batch_id,
+        ),
+        lambda: update_budget_state(
+            spark,
+            docs,
+            _sub(base_dir, "budget"),
+            budget=int(budget),
+            batch_id=batch_id,
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [pool.submit(fn) for fn in constituents]
+        errs = [f.exception() for f in futures]
+    for err in errs:
+        if err is not None:
+            release_local_checkpoints(docs)
+            raise err
     # the manifest's own commit runs LAST — the composition's
     # low-water mark for the replay discipline. quality is bucketed
     # on dbucket under the pinned P (family contract), and the
