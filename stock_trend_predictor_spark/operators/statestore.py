@@ -268,7 +268,15 @@ def _run_writes(
     straggler tail, instead of paying N sequential write walls per
     commit). Semantically identical to the sequential loop: all
     writes complete — or the first failure propagates — before the
-    caller swaps META, so a half-written dir is never referenced."""
+    caller swaps META, so a half-written dir is never referenced.
+    ``SPARK_GRAFT_COMMIT_OVERLAP=0`` restores the sequential loop
+    (same writes, same order-independence — an A/B and escape hatch
+    for deployments where concurrent jobs hurt, e.g. a saturated
+    dynamic-allocation cluster)."""
+    if os.environ.get("SPARK_GRAFT_COMMIT_OVERLAP", "1") == "0":
+        for df, path, pcols in writes:
+            _write_segment(df, path, pcols, files_per_table)
+        return
     if len(writes) <= 1:
         for df, path, pcols in writes:
             _write_segment(df, path, pcols, files_per_table)
