@@ -28,7 +28,26 @@ tests/test_round9.py for each fold in the family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def job_phase(spark: SparkSession, phase: str):
+    """Label the Spark jobs of a code region (guide §1.5): appends
+    ``" | <phase>"`` to the current thread's job description and
+    restores the previous value on exit, so a bench's per-query label
+    (``Q:<name>``) keeps wrapping the operator-level phase labels.
+    Pure observability — event-log/UI attribution for multi-job
+    operators (folds, Lloyd loops, CC batches); no effect on plans."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(f"{prev} | {phase}" if prev else phase)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def release_local_checkpoints(*dfs: DataFrame | None) -> None:

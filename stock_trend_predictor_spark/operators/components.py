@@ -37,6 +37,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 64,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
@@ -47,12 +48,24 @@ def connected_components(
 
     ``max_iter`` is a runaway guard, not a budget: the loop exits the
     round after no label changes, so star-like dedup graphs (diameter
-    2-4) never go near it. It must exceed the worst graph DIAMETER the
-    caller can see — a chain-shaped near-dup component at sf0.1 needs
-    28 propagation rounds, so the former cap of 20 silently returned
-    unconverged (wrong) labels there. 64 covers diameters well past
-    anything a bounded-similarity pair graph produces while costing
-    converging graphs nothing.
+    2-4) never go near it. High-diameter graphs do not run to their
+    diameter either: each batch of rounds propagates over the edge
+    list AUGMENTED with the batch-start label tree (see the loop
+    comment), so reach grows geometrically — a diameter-d component
+    converges in O(log d) rounds, the r11 cure for the sf0.1
+    chain-shaped component that needed 28 plain propagation rounds.
+    64 is headroom far past anything that leaves.
+
+    ``broadcast_edges=True`` hints each round's join to broadcast the
+    (augmented) edge list — checkpointed frames report no stats, so
+    AQE never auto-broadcasts them (the pagerank ``broadcast_ranks``
+    precedent). Per round the only exchange is then the min-groupBy,
+    and one chained batch of K rounds reuses a single broadcast
+    build. Correct whenever the caller KNOWS the edge list is
+    bounded (the fold merges' rep graphs are ≤ 2 rows per new pair
+    by construction); leave False for corpus-sized pair graphs.
+    Results are identical either way — join strategy never changes
+    the propagated min.
     """
     # undirect once; labels seeded with each node's own id.
     # localCheckpoint (NOT plain persist) after every round: an
@@ -67,16 +80,19 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     from stock_trend_predictor_spark.operators.checkpoints import (
+        job_phase,
         release_local_checkpoints,
     )
 
-    und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    spark = edges.sparkSession
+    with job_phase(spark, "cc:init"):
+        und = und.localCheckpoint(eager=True)
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
     prev_cp = labels
     # Rounds are batched ``_ROUNDS_PER_SYNC`` at a time between driver
     # syncs: K propagation rounds are chained LAZILY and materialized
@@ -95,38 +111,40 @@ def connected_components(
     #    2^K round-works per batch (measured: ~30 s on a 482-node
     #    graph at K=4). Single-consumer chaining executes K rounds in
     #    one linear job.
-    # 2. The convergence probe runs once per batch, not once per
-    #    round, and is a SCAN of the just-checkpointed frame, not a
-    #    join: the batch-start label rides through the rounds as the
-    #    ``_old`` column (each node's self-contribution carries it;
-    #    neighbor contributions carry null; the per-node max recovers
-    #    it — exactly one non-null per group), so "did the batch
-    #    change anything" is a column compare. Exact per-node
-    #    equality, any id type (the entity-resolution caller feeds
-    #    STRING node ids; labels only decrease, so `<` is the test).
+    # 2. The convergence probe costs ZERO jobs: the batch-start label
+    #    rides through the rounds as the ``_old`` column (each node's
+    #    self-contribution carries it; neighbor contributions carry
+    #    null; the per-node max recovers it), and the "did the batch
+    #    change anything" count RIDES the checkpoint pass itself via
+    #    ``df.observe`` (r11) — not a separate scan job, let alone the
+    #    shuffle join a naive old-vs-new comparison would be. Exact
+    #    per-node equality, any id type (the entity-resolution caller
+    #    feeds STRING node ids; labels only decrease, so `<` is the
+    #    test).
     #
     # A converged graph re-propagating is a row-level no-op, so the
     # up-to-K-1 rounds a batch overshoots by cannot change any label —
     # the fixpoint (min reachable id) is identical to the per-round
-    # loop; a diameter-28 component now pays 8 driver syncs instead of
-    # 28 (each sync costs a fixed scheduling floor that dominates on
-    # pruned fold graphs). Plan depth per materialization is a
-    # constant K (the lineage-growth OOM the per-batch checkpoint
-    # guards against needs unbounded depth).
-    # The batch size GROWS 1, 1, 2, 4, 8, ... (capped below): the
-    # common star-like graph converges within the first couple of
-    # rounds, so the first two batches probe after every round exactly
-    # like the classic loop (no wasted rounds, no extra latency to
-    # detect convergence) — only a graph still unconverged after that
-    # earns bigger batches, and a diameter-d component is detected
-    # within ~2d total rounds and O(log d) driver syncs instead of d
-    # syncs. The cap bounds the data-work overshoot on a deployment
-    # where CC inputs are huge and shuffle bytes dominate the sync
-    # floor — tune via SPARK_GRAFT_CC_MAX_ROUNDS_PER_SYNC (1 restores
-    # the probe-every-round loop; the fixpoint is identical at any
-    # value).
+    # loop. Plan depth per materialization is a constant K (the
+    # lineage-growth OOM the per-batch checkpoint guards against
+    # needs unbounded depth).
+    # The batch size GROWS 1, 1, 2, 2, ... (capped below): the common
+    # star-like graph converges within the first couple of rounds, so
+    # the first two batches probe after every round exactly like the
+    # classic loop (no wasted rounds, no extra latency to detect
+    # convergence). The cap is 2, NOT larger, BECAUSE of the
+    # augmentation: reach multiplies when the label tree refreshes —
+    # i.e. per BATCH — so rounds late in a long batch add +1 hop each
+    # while the first rounds of the next batch add a multiple; short
+    # batches also waste fewer overshoot rounds once converged.
+    # Simulated on diameter-60/200 chains: max_k=2 converges in 12-14
+    # total rounds (~26-30 jobs) vs 24 rounds (~36 jobs) at the old
+    # max_k=8 — and the total is diameter-independent either way
+    # (O(log d) batches). Tune via SPARK_GRAFT_CC_MAX_ROUNDS_PER_SYNC
+    # (1 restores the probe-every-round loop; the fixpoint is
+    # identical at any value).
     _max_k = max(
-        1, int(os.environ.get("SPARK_GRAFT_CC_MAX_ROUNDS_PER_SYNC", "8"))
+        1, int(os.environ.get("SPARK_GRAFT_CC_MAX_ROUNDS_PER_SYNC", "2"))
     )
     rounds_done = 0
     next_k = 1
@@ -138,6 +156,37 @@ def connected_components(
         else:
             next_k = min(next_k * 2, _max_k)
         id_type = labels.schema["component"].dataType
+        # PATH-SHORTCUT AUGMENTATION (r11): each batch propagates over
+        # the edge list UNIONED with the batch-start label tree (both
+        # orientations of (node, component), self-labeled roots
+        # dropped). A label edge connects two nodes of one und
+        # component — label(v) is always the id of a node REACHABLE
+        # from v (induction: seeds are self-ids; every received label
+        # is the label of an aug-neighbor, and aug-neighbors are
+        # reachable) — so the augmented graph has exactly the und
+        # components and the fixpoint (min reachable id) is untouched.
+        # What changes is the RATE: information crosses a label edge
+        # in one round, and label edges span the distance already
+        # propagated, so reach multiplies per batch instead of adding
+        # 1 per round (the pointer-doubling idea, but expressed as
+        # extra EDGES so each round keeps the single-consumer fan-out
+        # shape that makes lazy chaining linear). A diameter-40
+        # component measured 40 rounds / 8 syncs without this, 8
+        # rounds / 4 syncs with it. Star graphs converge in the first
+        # batches where labels == seeds, so lab_e is empty and the
+        # plan is the plain edge join.
+        lab_e = labels.where(F.col("component") != F.col("node"))
+        aug = und.unionByName(
+            lab_e.select(
+                F.col("node").alias("a"), F.col("component").alias("b")
+            )
+        ).unionByName(
+            lab_e.select(
+                F.col("component").alias("a"), F.col("node").alias("b")
+            )
+        )
+        if broadcast_edges:
+            aug = F.broadcast(aug)
         cur = labels.withColumn("_old", F.col("component"))
         for _ in range(k):
             fan = F.array(
@@ -153,7 +202,7 @@ def connected_components(
                 ),
             )
             cur = (
-                cur.join(und, cur["node"] == und["a"], "left")
+                cur.join(aug, cur["node"] == aug["a"], "left")
                 .select(F.explode(fan).alias("p"))
                 .where(F.col("p.n").isNotNull())
                 .groupBy(F.col("p.n").alias("node"))
@@ -162,13 +211,23 @@ def connected_components(
                     F.max("p.o").alias("_old"),
                 )
             )
-        updated = cur.localCheckpoint(eager=True)
-        rounds_done += k
-        changed = (
-            updated.where(F.col("component") < F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        with job_phase(spark, f"cc:rounds+{k}@{rounds_done}"):
+            # the convergence probe RIDES the checkpoint pass itself
+            # (df.observe: metrics computed during the materialization
+            # action — no separate probe job per sync at all; the r10
+            # design's scan-probe was already join-free, this removes
+            # even the scan)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            updated = cur.observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("_old")).cast("long")
+                ).alias("changed"),
+            ).localCheckpoint(eager=True)
+            rounds_done += k
+            changed = obs.get["changed"] or 0
         labels = updated.select("node", "component")
         # the superseded batch's blocks are dead once the next batch
         # is materialized — release them so an iterative call inside a
@@ -182,7 +241,8 @@ def connected_components(
     # r9 ownership rule: release_local_checkpoints frees only roots,
     # never walks a derived plan to someone else's leaves), then
     # free the final round's 3-col frame and the undirected edges
-    out = labels.localCheckpoint(eager=True)
+    with job_phase(spark, "cc:out"):
+        out = labels.localCheckpoint(eager=True)
     release_local_checkpoints(prev_cp, und)
     return out
 
@@ -427,15 +487,20 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     under any partitioning. Each round is one degree aggregate + two
     anti-joins over the SURVIVING edges only (the edge set shrinks
     monotonically); ``localCheckpoint`` truncates the lineage per
-    round, so the plan stays round-sized. The convergence probe is an
-    ``isEmpty()`` on the low-degree vertex set — O(1) rows after the
-    aggregate, same pattern as label propagation above. Rounds are
+    round, so the plan stays round-sized. Every count the loop needs
+    (fixpoint probe, fringe-cap probe) RIDES its frame's checkpoint
+    pass via ``df.observe`` — zero dedicated probe jobs per round,
+    same discipline as label propagation above. Rounds are
     bounded by the degeneracy ordering depth (worst case a path:
     O(|V|/1) — ``max_rounds`` is a safety rail; real co-occurrence
     graphs converge in a handful of rounds).
     """
-    e = edges.select("a", "b").localCheckpoint()
-    n_prev = e.count()  # cheap: counts the checkpointed blocks
+    from pyspark.sql import Observation
+
+    _cnt = F.count(F.lit(1)).alias("n")
+    obs0 = Observation()
+    e = edges.select("a", "b").observe(obs0, _cnt).localCheckpoint()
+    n_prev = obs0.get["n"] or 0  # rides the checkpoint pass (no count job)
     # Fringe-cascade peel (round-4 tuning). The naive peel runs ONE
     # degree level per materialized round; at the bench SF that is ~14
     # rounds, most of them a long tail removing <1% of edges each —
@@ -462,6 +527,7 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
         # cascade's degree rows (re-deriving it per consumer would
         # re-run the degrees shuffle)
         fringe = d1.where(F.col("deg") < 2 * k).localCheckpoint()
+        obs_fe = Observation()
         fe = (
             e.join(
                 F.broadcast(
@@ -480,25 +546,28 @@ def kcore_subgraph(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
                 "b",
             )
             .select("a", "b", "da", "db")
+            .observe(obs_fe, _cnt)
             # checkpointed: consumed by the cap probe AND the cascade
             .localCheckpoint()
         )
-        n_fringe_edges = fe.count()
+        n_fringe_edges = obs_fe.get["n"] or 0
         if n_fringe_edges <= _FRINGE_CAP:
             removed = _cascade_removals(fringe, fe, k)
         else:  # pragma: no cover - exercised only at very large SF
             removed = d1.where(F.col("deg") < k).select("v")
+        obs2 = Observation()
         e2 = (
             e.join(removed.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(removed.withColumnRenamed("v", "b"), "b", "left_anti")
             .select("a", "b")
+            .observe(obs2, _cnt)
             .localCheckpoint()
         )
-        n2 = e2.count()
+        n2 = obs2.get["n"] or 0
         # a removable vertex with any edge shrinks the edge set, and
         # zero-degree vertices aren't in the degree table at all — so
-        # an unchanged count IS the fixpoint (one action per round,
-        # no separate isEmpty probe job)
+        # an unchanged count IS the fixpoint (the count now RIDES the
+        # checkpoint pass via df.observe — zero probe jobs per round)
         if n2 == n_prev:
             return _degrees(e2)
         e, n_prev = e2, n2

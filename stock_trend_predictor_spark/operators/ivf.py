@@ -58,20 +58,27 @@ def _with_dists(
     Two physically different, numerically IDENTICAL strategies (law-
     tested in tests/test_similarity.py):
 
-    - ``k <= LITERAL_CENTROID_CAP``: k unrolled fold expressions over
+    - ``use_join=False``: k unrolled fold expressions over
       plan-literal centroids — zero join, stays in codegen;
-    - past the cap (the r5-verdict #4 lever): the k×dim matrix ships
-      as a ONE-ROW broadcast (BroadcastNestedLoopJoin of a single
-      row — data path, not plan literals) and the distance array is
-      a single ``transform`` HOF over it, so plan size and codegen
-      cost stay O(1) in k. Each element runs the same
-      (a-b)*(a-b) left-fold as the literal path, so results are
-      bit-identical. At k beyond ~10^4 the N x k fold cost itself is
-      the wall — switch to :func:`assign_clusters_two_level`
-      (IMI-style hierarchical assignment, N x ~3*sqrt(k)).
+    - ``use_join=True``: the k×dim matrix ships as a ONE-ROW
+      broadcast (BroadcastNestedLoopJoin of a single row — data
+      path, not plan literals) and the distance array is a single
+      ``transform`` HOF over it, so plan size and codegen cost stay
+      O(1) in k. Each element runs the same (a-b)*(a-b) left-fold as
+      the literal path, so results are bit-identical. At k beyond
+      ~10^4 the N x k fold cost itself is the wall — switch to
+      :func:`assign_clusters_two_level` (IMI-style hierarchical
+      assignment, N x ~3*sqrt(k)).
 
     ``use_join=None`` picks by the cap; tests pass True/False to pin
-    the equality law.
+    the equality law. (r11 measured a default flip to the join path
+    at small k: an ISOLATED 3-iteration Lloyd train read parity —
+    2.32 s join vs 2.50 s literal — but the full queries regressed
+    ~2x, canary-normalized: knn_graph_ivf 6.4 -> 13.4 s best-of-3,
+    semdedup_keep_decision 8.9 -> 11.7 s. The BNLJ broadcast build
+    and the per-row HOF fold cost more across the many assignment
+    call sites than the literal plan's per-iteration janino compiles.
+    Reverted; the cap split stands.)
     """
     if use_join is None:
         use_join = len(centroids) > LITERAL_CENTROID_CAP
@@ -146,18 +153,22 @@ def kmeans_centroids(
     while the FULL corpus is assigned exactly once afterwards. The
     slice is a pure function of ids (reproducible under any
     partitioning), and seeds stay the k lowest ids OF THE SLICE."""
+    from stock_trend_predictor_spark.operators.checkpoints import job_phase
+
+    spark = corpus.sparkSession
     if sample_mod > 1:
         corpus = corpus.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
         )
-    seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    with job_phase(spark, "lloyd:seed"):
+        seeds = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
     assert len(centroids) == k, (
         f"training sample has only {len(centroids)} rows < k={k}; "
         "lower sample_mod"
     )
     dim = len(centroids[0])
-    for _ in range(iters):
+    for _it in range(iters):
         assigned = assign_clusters(corpus, centroids, vec_col)
         # CROSS-ENGINE-DETERMINISTIC update (round 6): the old
         # F.avg(double) summed in shuffle-arrival order, so two runs —
@@ -173,15 +184,18 @@ def kmeans_centroids(
         # Python's float(Decimal), so an oracle can replay Lloyd's
         # exactly. Only (cell, dim) stats cross the driver boundary —
         # a model, not data.
-        stats = (
-            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,9)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+        with job_phase(spark, f"lloyd:iter{_it}"):
+            stats = (
+                assigned.select(
+                    "cid", F.posexplode(vec_col).alias("pos", "x")
+                )
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,9)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
         acc: dict[int, dict[int, float]] = {}
         for r in stats:
             acc.setdefault(r["cid"], {})[r["pos"]] = float(r["s"]) / r["n"]

@@ -273,19 +273,29 @@ def _run_writes(
     (same writes, same order-independence — an A/B and escape hatch
     for deployments where concurrent jobs hurt, e.g. a saturated
     dynamic-allocation cluster)."""
-    if os.environ.get("SPARK_GRAFT_COMMIT_OVERLAP", "1") == "0":
-        for df, path, pcols in writes:
+    def _labeled(df: DataFrame, path: str, pcols) -> None:
+        from stock_trend_predictor_spark.operators.checkpoints import (
+            job_phase,
+        )
+
+        # pool threads don't inherit the caller's thread-local job
+        # description, so each write labels itself (guide §1.5)
+        tag = "/".join(path.rstrip("/").split(os.sep)[-2:])
+        with job_phase(df.sparkSession, f"commit:{tag}"):
             _write_segment(df, path, pcols, files_per_table)
-        return
-    if len(writes) <= 1:
+
+    if (
+        os.environ.get("SPARK_GRAFT_COMMIT_OVERLAP", "1") == "0"
+        or len(writes) <= 1
+    ):
         for df, path, pcols in writes:
-            _write_segment(df, path, pcols, files_per_table)
+            _labeled(df, path, pcols)
         return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(4, len(writes))) as pool:
         futures = [
-            pool.submit(_write_segment, df, path, pcols, files_per_table)
+            pool.submit(_labeled, df, path, pcols)
             for df, path, pcols in writes
         ]
         for f in futures:

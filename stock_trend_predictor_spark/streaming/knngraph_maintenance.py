@@ -159,7 +159,10 @@ def _nbr_struct(sim: Column, neighbor: Column) -> Column:
 
 
 def _scored_new_vs_all(
-    new_m: DataFrame, all_m: DataFrame, cell_cap: int
+    new_m: DataFrame,
+    all_m: DataFrame,
+    cell_cap: int,
+    dedup: bool = True,
 ) -> DataFrame:
     """Scored ordered pairs (query_id, neighbor_id, sim): query from
     the BATCH, neighbor from the touched-cell membership (which
@@ -168,7 +171,15 @@ def _scored_new_vs_all(
     Index populations over ``cell_cap`` split into deterministic
     sub-cells with batch-side replication — pair-set identical to the
     plain cid equi-join (law-tested), no join bucket builds more than
-    ~cap rows."""
+    ~cap rows.
+
+    ``dedup=False`` skips the (query, neighbor) dropDuplicates
+    exchange and returns the raw multiprobe multiset — for consumers
+    that filter on ``sim`` and dedup AFTERWARDS on their own key
+    (guide §2.3: filter before the exchange): co-occurring copies of
+    a pair carry bit-identical ``sim`` (the same fold over the same
+    arrays), so any sim-threshold keeps all copies or none and a
+    downstream ``distinct()`` yields the identical pair set."""
     cnt = all_m.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
     k_cells = (
         F.when(F.col("_n") <= cell_cap, F.lit(1))
@@ -202,12 +213,14 @@ def _scored_new_vs_all(
         )
     )
     sim = dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn"))
-    return (
+    scored = (
         probe.join(idx, ["cid", "_j"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if dedup:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    return scored
 
 
 def _top5(nbrs: Column) -> Column:
@@ -241,6 +254,10 @@ def update_knngraph_state(
     )
     from stock_trend_predictor_spark.operators.similarity import l2norm
 
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        job_phase,
+    )
+
     meta = read_meta(state_dir)
     _check_graph_format(meta)
     if (
@@ -258,11 +275,12 @@ def update_knngraph_state(
     # probed membership feeds the bucket-set collect, the scoring
     # join (both sides), and the members segment write — eager once
     cps: list[DataFrame] = []  # eager frames to release post-commit
-    new_m = (
-        assign_clusters_multiprobe(new, centroids, nprobe=3)
-        .select("vec_id", "v", "nrm", "cid")
-        .localCheckpoint(eager=True)
-    )
+    with job_phase(spark, f"knnfold{batch_id}:assign"):
+        new_m = (
+            assign_clusters_multiprobe(new, centroids, nprobe=3)
+            .select("vec_id", "v", "nrm", "cid")
+            .localCheckpoint(eager=True)
+        )
     cps.append(new_m)
     # ADAPTIVE pruned membership read: only the touched cells'
     # buckets once the members table outgrows the threshold
@@ -291,9 +309,10 @@ def update_knngraph_state(
     else:
         old_m = None
         all_m = new_m
-    cand = _scored_new_vs_all(new_m, all_m, cell_cap).localCheckpoint(
-        eager=True
-    )
+    with job_phase(spark, f"knnfold{batch_id}:cand"):
+        cand = _scored_new_vs_all(new_m, all_m, cell_cap).localCheckpoint(
+            eager=True
+        )
     cps.append(cand)
 
     rev = F.lit(int(batch_id)).alias("rev")
@@ -323,22 +342,23 @@ def update_knngraph_state(
         # qbucket filter collect + the merge plan) — left lazy the
         # touched-cell-mate aggregation reran per consumer (measured
         # 4x the unpruned +16 wall at 30x copy-saturation)
-        delta = (
-            cand.join(
-                F.broadcast(
-                    old_ids.withColumnRenamed("vec_id", "neighbor_id")
-                ),
-                "neighbor_id",
+        with job_phase(spark, f"knnfold{batch_id}:delta"):
+            delta = (
+                cand.join(
+                    F.broadcast(
+                        old_ids.withColumnRenamed("vec_id", "neighbor_id")
+                    ),
+                    "neighbor_id",
+                )
+                .groupBy("neighbor_id")
+                .agg(
+                    F.collect_list(
+                        _nbr_struct(F.col("sim"), F.col("query_id"))
+                    ).alias("_delta")
+                )
+                .withColumnRenamed("neighbor_id", "query_id")
+                .localCheckpoint(eager=True)
             )
-            .groupBy("neighbor_id")
-            .agg(
-                F.collect_list(
-                    _nbr_struct(F.col("sim"), F.col("query_id"))
-                ).alias("_delta")
-            )
-            .withColumnRenamed("neighbor_id", "query_id")
-            .localCheckpoint(eager=True)
-        )
         cps.append(delta)
         # pruned latest-wins read of ONLY the touched queries' stored
         # lists (every revision of a query shares its qbucket)

@@ -412,6 +412,9 @@ def _merge_label_delta(
     lab_b = base.select(
         F.col("doc_id").alias("doc_b"), F.col("cluster").alias("rep_b")
     )
+    from pyspark.sql import Observation
+
+    obs = Observation()
     rep_edges = (
         np_.join(lab_a, "doc_a")
         .join(lab_b, "doc_b")
@@ -420,12 +423,20 @@ def _merge_label_delta(
             F.col("rep_a").alias("src"), F.col("rep_b").alias("dst")
         )
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if rep_edges.isEmpty():  # no cross-component pair: fresh rows only
+    # emptiness probe rides the checkpoint pass (df.observe) — no
+    # separate isEmpty job per batch
+    if not (obs.get["n"] or 0):  # no cross-component pair: fresh only
         release_local_checkpoints(rep_edges)
         return fresh.select("doc_id", "cluster", rev)
-    cc = connected_components(rep_edges, "src", "dst")
+    # the rep graph is ≤ 2 rows per new pair by construction (never
+    # corpus-sized), so each propagation round broadcasts it instead
+    # of shuffling the label table through a sort-merge join
+    cc = connected_components(
+        rep_edges, "src", "dst", broadcast_edges=True
+    )
     merged = cc.select(
         F.col("node").alias("cluster"),
         F.col("component").alias("new_cluster"),
@@ -512,19 +523,25 @@ def update_neardup_state(
         and batch_id <= meta["last_batch_id"]
     ):
         return  # replay: commit_state would skip anyway; skip the work
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        job_phase,
+    )
+
     p = _fold_bucket_count(meta, n_band_buckets)
     cps: list[DataFrame] = []  # eager frames to release post-commit
-    new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
+    with job_phase(spark, f"ndfold{batch_id}:batch"):
+        new = batch.select("doc_id", "hs").localCheckpoint(eager=True)
     cps.append(new)
     # eager: the minhash band derivation feeds THREE consumers (the
     # bucket-set collect, the probe join, the segment write) — left
     # lazy each re-runs the 64-permutation signature fold over the
     # batch (measured 3x the r6 fold wall at sf0.1)
-    new_bands = (
-        doc_bands(new)
-        .withColumn("bucket", _band_bucket(p))
-        .localCheckpoint(eager=True)
-    )
+    with job_phase(spark, f"ndfold{batch_id}:bands"):
+        new_bands = (
+            doc_bands(new)
+            .withColumn("bucket", _band_bucket(p))
+            .localCheckpoint(eager=True)
+        )
     cps.append(new_bands)
     new_sh = new.withColumn("bucket", _doc_bucket(p))
     # ADAPTIVE pruned probe read: once the band index outgrows
@@ -551,9 +568,10 @@ def update_neardup_state(
     # (state or this batch). Pairs with both members old cannot
     # appear — so nothing is ever re-discovered. Eager: the verify
     # join and the doc-bucket pruning below both consume it.
-    cand = _probe_candidates(
-        new_bands.drop("bucket"), all_bands.drop("bucket"), bucket_cap
-    ).localCheckpoint(eager=True)
+    with job_phase(spark, f"ndfold{batch_id}:cand"):
+        cand = _probe_candidates(
+            new_bands.drop("bucket"), all_bands.drop("bucket"), bucket_cap
+        ).localCheckpoint(eager=True)
     cps.append(cand)
     # ADAPTIVE pruned verify read: only the candidates' doc buckets
     # once the shingle store is big enough for pruning to pay
@@ -597,7 +615,8 @@ def update_neardup_state(
     )
     # new_pairs feeds BOTH the pairs segment and the cluster merge —
     # eager-checkpoint once so the probe+verify join never reruns
-    new_pairs = new_pairs.localCheckpoint(eager=True)
+    with job_phase(spark, f"ndfold{batch_id}:verify"):
+        new_pairs = new_pairs.localCheckpoint(eager=True)
     cps.append(new_pairs)
 
     appends: dict[str, DataFrame] = {
@@ -610,17 +629,18 @@ def update_neardup_state(
         # layouts (module docstring): labels/dbucket for exact by-doc
         # lookups, labels_byc/cbucket for the losing-member scans —
         # eager once so the merge never recomputes
-        delta = _merge_label_delta(
-            spark,
-            state_dir,
-            new,
-            new_pairs,
-            batch_id,
-            p,
-            meta,
-            prune_min_bytes,
-            track=cps,
-        ).localCheckpoint(eager=True)
+        with job_phase(spark, f"ndfold{batch_id}:merge"):
+            delta = _merge_label_delta(
+                spark,
+                state_dir,
+                new,
+                new_pairs,
+                batch_id,
+                p,
+                meta,
+                prune_min_bytes,
+                track=cps,
+            ).localCheckpoint(eager=True)
         cps.append(delta)
         appends["labels"] = delta.withColumn("dbucket", _doc_bucket(p))
         appends["labels_byc"] = delta.withColumn(

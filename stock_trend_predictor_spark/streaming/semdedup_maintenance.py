@@ -171,16 +171,21 @@ def update_semdedup_state(
         if meta
         else int(n_buckets)
     )
+    from stock_trend_predictor_spark.operators.checkpoints import (
+        job_phase,
+    )
+
     new = batch.select("vec_id", "v").withColumn("nrm", l2norm(F.col("v")))
     # probed membership feeds the bucket-set collect, the scoring join
     # (both sides), the label merge's fresh rows, and the members
     # segment write — eager once (the fold-family discipline)
     cps: list[DataFrame] = []  # eager frames to release post-commit
-    new_m = (
-        assign_clusters_multiprobe(new, centroids, nprobe=3)
-        .select("vec_id", "v", "nrm", "cid")
-        .localCheckpoint(eager=True)
-    )
+    with job_phase(spark, f"semfold{batch_id}:assign"):
+        new_m = (
+            assign_clusters_multiprobe(new, centroids, nprobe=3)
+            .select("vec_id", "v", "nrm", "cid")
+            .localCheckpoint(eager=True)
+        )
     cps.append(new_m)
     # ADAPTIVE pruned membership read: only the touched cells' buckets
     # once the members table outgrows the threshold
@@ -211,32 +216,40 @@ def update_semdedup_state(
     # join; edges at the exact-cosine threshold, canonicalized and
     # deduplicated across multiprobe co-occurrence. Eager: the label
     # merge consumes it twice (endpoint buckets + rep edges).
-    edges = (
-        _scored_new_vs_all(new_m, all_m, cell_cap)
-        .where(F.col("sim") >= SEM_COS_THRESHOLD)
-        .select(
-            F.least("query_id", "neighbor_id").alias("doc_a"),
-            F.greatest("query_id", "neighbor_id").alias("doc_b"),
+    with job_phase(spark, f"semfold{batch_id}:edges"):
+        # dedup=False: multiprobe co-occurring copies of a pair carry
+        # bit-identical sim, so thresholding BEFORE any dedup keeps
+        # all copies or none and the (least, greatest) distinct below
+        # collapses them — same edge set, one less full-width
+        # exchange (the old (query, neighbor) dropDuplicates shuffled
+        # every scored pair; the threshold drops most of them first)
+        edges = (
+            _scored_new_vs_all(new_m, all_m, cell_cap, dedup=False)
+            .where(F.col("sim") >= SEM_COS_THRESHOLD)
+            .select(
+                F.least("query_id", "neighbor_id").alias("doc_a"),
+                F.greatest("query_id", "neighbor_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     cps.append(edges)
     # the near-dup fold's rep-contracted CC merge, verbatim — its
     # doc_id/cluster contract carries vec ids here (the merge is
     # agnostic to what the edges mean; the dead-rep pruning argument
     # holds for any merge-only component stream)
-    delta = _merge_label_delta(
-        spark,
-        state_dir,
-        new_m.select(F.col("vec_id").alias("doc_id")).distinct(),
-        edges,
-        batch_id,
-        p,
-        meta,
-        prune_min_bytes,
-        track=cps,
-    ).localCheckpoint(eager=True)
+    with job_phase(spark, f"semfold{batch_id}:merge"):
+        delta = _merge_label_delta(
+            spark,
+            state_dir,
+            new_m.select(F.col("vec_id").alias("doc_id")).distinct(),
+            edges,
+            batch_id,
+            p,
+            meta,
+            prune_min_bytes,
+            track=cps,
+        ).localCheckpoint(eager=True)
     cps.append(delta)
     commit_state(
         state_dir,
