@@ -301,11 +301,15 @@ def update_knngraph_state(
     touched_cids = new_m.select("cid").distinct()
     if prev_m is not None:
         # the pruned read admits whole buckets; restrict to the
-        # touched cells themselves (broadcast: batch-sized set)
+        # touched cells themselves (broadcast: batch-sized set).
+        # all_m feeds TWO consumers in the scoring join (cell counts
+        # + the index side) — checkpoint so the touched-bucket state
+        # read runs once per batch, not twice
         old_m = prev_m.drop("bucket").join(
             F.broadcast(touched_cids), "cid"
         )
-        all_m = old_m.unionByName(new_m)
+        all_m = old_m.unionByName(new_m).localCheckpoint(eager=True)
+        cps.append(all_m)
     else:
         old_m = None
         all_m = new_m

@@ -205,11 +205,18 @@ def update_semdedup_state(
     )
     if prev_m is not None:
         # the pruned read admits whole buckets; restrict to the
-        # touched cells themselves (broadcast: batch-sized set)
+        # touched cells themselves (broadcast: batch-sized set).
+        # all_m feeds TWO consumers in the scoring join (cell counts
+        # + the index side) — checkpoint so the touched-bucket state
+        # read runs once per batch, not twice
         touched_cids = new_m.select("cid").distinct()
-        all_m = prev_m.drop("bucket").join(
-            F.broadcast(touched_cids), "cid"
-        ).unionByName(new_m)
+        all_m = (
+            prev_m.drop("bucket")
+            .join(F.broadcast(touched_cids), "cid")
+            .unionByName(new_m)
+            .localCheckpoint(eager=True)
+        )
+        cps.append(all_m)
     else:
         all_m = new_m
     # NEW x (existing ∪ batch) cell-mate pairs through the capped
