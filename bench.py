@@ -120,22 +120,22 @@ HEADLINE = [
     # round-9 additions (everything above stays frozen).
     "curation_manifest_incremental",  # composed 5-fold keep manifest
     "phash_incremental_pairs",   # maintained multimodal phash fold
+    # round-10 addition, rolled into HEADLINE proper per the r11
+    # verdict (#2); stays in ALWAYS_COMPACT so its compact-line series
+    # (r10: 9.6, r11: 1.4) continues unbroken.
+    "embedding_pca_projection",  # decimal-exact moments + power method
 ]
 
-#: THIS round's additions — the only queries whose per-query values
-#: ride in the COMPACT line (r8 verdict #5: the full per-query map
-#: outgrew the driver's ~1.9 KB stdout tail window at 59 entries; it
-#: now lives only in the full first line + BENCH_DETAIL.json, both
-#: committed). Roll these into HEADLINE proper next round and refill
-#: with that round's newcomers.
-ROUND_NEW = [
-    # r10 has no new registry queries; the one materially re-planned
-    # query rides the compact line instead: the PCA moments pass is
-    # now the decimal-exact explode (oracle graduation) and the
-    # eigensolve a fixed-iteration driver-side power method
-    "embedding_pca_projection",
-]
+#: THIS round's additions — always carried in the COMPACT line
+#: (their first-ever series values must not be lost). r12 is an
+#: optimization round: no new queries.
+ROUND_NEW: list[str] = []
 HEADLINE += ROUND_NEW
+
+#: Compact-line continuity keys (r11 verdict #2): queries whose
+#: per-query value must ride EVERY round's compact line so the driver
+#: always has them in both rounds' maps.
+ALWAYS_COMPACT = ["embedding_pca_projection"]
 
 #: the continuity set: the original 16 queries, frozen since round 2
 #: — their sum is the cross-round box-comparable series the compact
@@ -513,19 +513,51 @@ def main() -> None:
         r = round(v, 1)
         return r if r < 100 else int(round(v))
 
-    # COMPACT line restructure (r8 verdict #5): the full per-query
-    # map at 59+ entries outgrew the driver's ~1.9 KB tail window, so
-    # the compact "queries" now carries ONLY this round's new entries
-    # (their first-ever series values — the thing the round artifact
-    # must not lose), plus the two cross-round continuity numbers:
-    # the grand total and the frozen-16 sum. The full map stays in
-    # the first (detail) line and BENCH_DETAIL.json, both committed.
+    # COMPACT line restructure (r8 verdict #5, r11 verdict #2): the
+    # full per-query map at 59+ entries outgrew the driver's ~1.9 KB
+    # tail window, and ROUND_NEW alone left the driver only 1
+    # comparable query in an optimization round (PERF_r11 n_common=1).
+    # The compact "queries" now carries, capped at 12 entries (the
+    # tail-window guard test models exactly 12):
+    #   (a) every ROUND_NEW entry (first-ever series values),
+    #   (b) ALWAYS_COMPACT (cross-round continuity keys),
+    #   (c) the SLOWEST remaining queries — their key set is stable
+    #       round-over-round, which is what makes the prev∩now
+    #       intersection large (movers alone have unstable keys:
+    #       they are relative to a per-round-refreshed series),
+    #   (d) the largest canary-normalized movers vs BENCH_SERIES.json
+    #       (the per-query regression signal the r11 verdict asked
+    #       for), filling the remaining slots.
+    # The full map stays in the first (detail) line and
+    # BENCH_DETAIL.json, both committed.
+    import math
+
+    compact_keys: list[str] = [
+        k for k in (*ROUND_NEW, *ALWAYS_COMPACT) if k in timings
+    ]
+    for k in sorted(timings, key=timings.get, reverse=True):
+        if len(compact_keys) >= 9:
+            break
+        if k not in compact_keys:
+            compact_keys.append(k)
+
+    def _mover_score(name: str) -> float:
+        ref = series.get(name)
+        if not ref or ref <= 0:
+            return 0.0
+        return abs(math.log(max(timings[name], 1e-3)
+                            / max(ref * ratio_pre, 1e-3)))
+
+    for k in sorted(timings, key=_mover_score, reverse=True):
+        if len(compact_keys) >= 12:
+            break
+        if k not in compact_keys:
+            compact_keys.append(k)
+
     compact = {
         "metric": "headline_queries_total",
         "value": total,
-        "queries": {
-            k: _cv(timings[k]) for k in ROUND_NEW if k in timings
-        },
+        "queries": {k: _cv(timings[k]) for k in compact_keys},
         "n_queries": len(timings),
         "frozen16": round(sum(timings[q] for q in FROZEN16), 2),
         "sf": sf,

@@ -62,12 +62,39 @@ class TrainResult:
     n_test: int
 
 
+def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
+    """Drop the per-stage training summary from a fitted pipeline.
+
+    MLlib classification models keep a TrainingSummary that holds a
+    SparkSession reference. Serializing the model's transform closure
+    (which every action on model.transform(...) does) then drags the
+    session into the task closure — and once ANY ``df.observe`` has run
+    in the session, the session's ObservationManager is instantiated
+    and java-serialization dies with ``Task not serializable:
+    ObservationManager`` (observed on Spark 4.1). We never read
+    ``.summary``; stripping it makes the fitted model closure-safe in
+    sessions that also run the observe-fused iterative operators."""
+    for stage in model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if jobj.hasSummary():
+                from pyspark import SparkContext
+
+                jvm = SparkContext._active_spark_context._jvm
+                jobj.setSummary(getattr(getattr(jvm.scala, "None$"), "MODULE$"))
+        except Exception:  # noqa: BLE001 - stage without the summary API
+            pass
+    return model
+
+
 def train_and_evaluate(
     labeled: DataFrame, features: list[str] | None = None, seed: int = 42
 ) -> TrainResult:
     """Proper 80/20 holdout evaluation (M6 fixed)."""
     train, test = labeled.randomSplit([0.8, 0.2], seed=seed)
-    model = build_pipeline(features).fit(train)
+    model = _strip_training_summaries(build_pipeline(features).fit(train))
     preds = model.transform(test)
     acc = MulticlassClassificationEvaluator(
         labelCol="movement", predictionCol="prediction", metricName="accuracy"

@@ -299,3 +299,32 @@ def test_isotonic_pava_matches_python_and_laws(spark, sf_dir):
             assert abs(s.x_hi - b[1]) < 1e-9
             assert abs(s.fitted - b[2] / b[3]) < 1e-5
             assert s.n_rows == b[3]
+
+
+def test_rf_model_is_closure_safe_after_session_observe(spark):
+    """Regression (r12): once any df.observe has run in the session,
+    the session's ObservationManager exists and an MLlib model whose
+    trainingSummary still holds the SparkSession dies with "Task not
+    serializable: ObservationManager" on its first transform action.
+    train_and_evaluate must return a closure-safe (summary-stripped)
+    model even in such a session — this is exactly the shared-session
+    state the full test suite (test_graph's observe-fused CC runs
+    first) and any bench mixing fold queries with MLlib scoring hits."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [("A", 10.0 + i, 12.0, 8.0, 10.0 + i + (1 if i % 2 else -1), float(i))
+         for i in range(60)],
+        "symbol string, open double, high double, low double, close double, volume double",
+    )
+    obs = Observation("poison")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert obs.get["n"] == 60
+
+    labeled = with_movement_label(df)
+    res = train_and_evaluate(labeled)  # would raise Py4JJavaError unstripped
+    assert res.n_train + res.n_test == 60
+    rf = res.model.stages[-1]
+    assert not rf._java_obj.hasSummary()
