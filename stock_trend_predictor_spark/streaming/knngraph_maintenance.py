@@ -302,14 +302,21 @@ def update_knngraph_state(
     if prev_m is not None:
         # the pruned read admits whole buckets; restrict to the
         # touched cells themselves (broadcast: batch-sized set).
-        # all_m feeds TWO consumers in the scoring join (cell counts
-        # + the index side) — checkpoint so the touched-bucket state
-        # read runs once per batch, not twice
-        old_m = prev_m.drop("bucket").join(
-            F.broadcast(touched_cids), "cid"
-        )
-        all_m = old_m.unionByName(new_m).localCheckpoint(eager=True)
-        cps.append(all_m)
+        # Checkpoint OLD_M, not the union (r11 ADVICE): the membership
+        # feeds THREE consumers — the scoring join's cell counts, its
+        # index side, and the delta path's old_ids — and old_m is the
+        # only piece whose recompute is a state read. With old_m
+        # pinned, all_m stays a lazy union of two checkpointed frames
+        # (block reads per consumer, no second touched-bucket state
+        # read), and new_m's rows are no longer stored twice.
+        with job_phase(spark, f"knnfold{batch_id}:stateread"):
+            old_m = (
+                prev_m.drop("bucket")
+                .join(F.broadcast(touched_cids), "cid")
+                .localCheckpoint(eager=True)
+            )
+        cps.append(old_m)
+        all_m = old_m.unionByName(new_m)
     else:
         old_m = None
         all_m = new_m

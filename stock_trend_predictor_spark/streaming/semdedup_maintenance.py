@@ -206,17 +206,20 @@ def update_semdedup_state(
     if prev_m is not None:
         # the pruned read admits whole buckets; restrict to the
         # touched cells themselves (broadcast: batch-sized set).
-        # all_m feeds TWO consumers in the scoring join (cell counts
-        # + the index side) — checkpoint so the touched-bucket state
-        # read runs once per batch, not twice
+        # Checkpoint the OLD side only (r11 ADVICE, mirrored from the
+        # kNN fold): the scoring join's two consumers (cell counts +
+        # index side) then read a lazy union of two checkpointed
+        # frames — the touched-bucket state read still runs once, and
+        # new_m's rows are no longer stored twice.
         touched_cids = new_m.select("cid").distinct()
-        all_m = (
-            prev_m.drop("bucket")
-            .join(F.broadcast(touched_cids), "cid")
-            .unionByName(new_m)
-            .localCheckpoint(eager=True)
-        )
-        cps.append(all_m)
+        with job_phase(spark, f"semfold{batch_id}:stateread"):
+            old_m = (
+                prev_m.drop("bucket")
+                .join(F.broadcast(touched_cids), "cid")
+                .localCheckpoint(eager=True)
+            )
+        cps.append(old_m)
+        all_m = old_m.unionByName(new_m)
     else:
         all_m = new_m
     # NEW x (existing ∪ batch) cell-mate pairs through the capped
